@@ -1,0 +1,53 @@
+"""Structured Streaming ingestion of the documents table.
+
+The reference is strictly batch (SURVEY §2.4 'streaming: none'); this is
+the Spark-native continuous-ingestion surface a crawl pipeline needs: new
+parquet files landing in the documents directory are picked up by a file
+stream, run through the SAME extraction plan (plans/job.py), and committed
+through the SAME idempotent sink inside foreachBatch — so exactly-once
+lands on (url, warc_ts, translated_to) set semantics plus the streaming
+checkpoint, and a restart resumes from the checkpoint AND the anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..plans.job import run_extraction
+from ..plans.sink import ParquetMergeSink
+from ..schema import DOCUMENTS_SCHEMA
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    input_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    run_prefix: str = "stream",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """readStream(documents parquet dir) -> extract -> idempotent merge.
+
+    ``available_now=True`` drains everything currently in the directory
+    and stops (test/backfill mode); False tails the directory forever.
+    """
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    sink = ParquetMergeSink(sink_path)
+
+    def process_batch(batch_df, batch_id: int):
+        run_id = f"{run_prefix}-{batch_id}"
+        extracted = run_extraction(batch_df, run_id=run_id)
+        sink.merge(batch_df.sparkSession, extracted, run_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
