@@ -1,0 +1,149 @@
+"""Text-analysis operators — pure JVM-side column expressions.
+
+Training-data pipeline primitives over a text column: token counting,
+quality scoring, heuristic language ID, document fingerprinting. All
+built-in pyspark.sql.functions (whole-stage codegen; no Python in the hot
+path) and all expressible in ANSI-ish SQL so the DuckDB oracle can verify
+them 1:1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small portable punctuation class (identical semantics in Spark + DuckDB
+# regex; deliberately NOT \p{Punct}, whose membership differs by engine)
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for blank/empty."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic [0,1] quality heuristic.
+
+    score = min(1, tokens/200) * (1 - punct_ratio), rounded to 4dp.
+    Length rewards substance; punctuation-density penalizes boilerplate
+    (same spirit as P8's all-punctuation skip, translate.py:13-25).
+    """
+    n = F.length(col)
+    tokens = token_count(col)
+    punct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(
+        punct_count(col) / n.cast("double")
+    )
+    raw = F.least(F.lit(1.0), tokens / F.lit(200.0)) * (F.lit(1.0) - punct_ratio)
+    return F.round(raw, 4)
+
+
+# marker words per language for the SQL-expressible heuristic lang ID.
+# Occurrences counted as substring ' w ' hits — portable via replace().
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "fr": [" le ", " la ", " les "],
+    "de": [" der ", " die ", " und "],
+    "es": [" el ", " los ", " las "],
+}
+
+
+def _marker_hits(col: Column, marker: str) -> Column:
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit("")))
+    ) / F.lit(len(marker))
+
+
+def lang_guess(col: Column) -> Column:
+    """argmax over marker-word hit counts; 'und' when all zero.
+
+    Tie-break: fixed language order en>fr>de>es (first max wins).
+    """
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_marker_hits(padded, m) for m in markers), start=F.lit(0.0)
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        F.length(c).alias("n_chars_computed"),
+        token_count(c).alias("n_tokens"),
+        punct_count(c).cast("bigint").alias("n_punct"),
+        quality_score(c).alias("quality"),
+        lang_guess(c).alias("lang_guess"),
+        fingerprint(c).alias("fp"),
+    )
+
+
+# ---- DuckDB oracle fragments (kept adjacent so drift is visible) ---------
+
+def oracle_token_count(col: str) -> str:
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE length(string_split_regex(trim({col}), '\\s+')) END"
+    )
+
+
+def oracle_punct_count(col: str) -> str:
+    return f"length({col}) - length(regexp_replace({col}, '{PUNCT_CLASS}', '', 'g'))"
+
+
+def oracle_quality(col: str) -> str:
+    tc = oracle_token_count(col)
+    pc = oracle_punct_count(col)
+    return (
+        f"round(least(1.0, {tc} / 200.0) * (1.0 - CASE WHEN length({col}) = 0 "
+        f"THEN 0.0 ELSE ({pc}) * 1.0 / length({col}) END), 4)"
+    )
+
+
+def oracle_lang_guess(col: str) -> str:
+    padded = f"(' ' || lower({col}) || ' ')"
+
+    def hits(marker: str) -> str:
+        return (
+            f"((length({padded}) - length(replace({padded}, '{marker}', '')))"
+            f" / {len(marker)}.0)"
+        )
+
+    score = {
+        lang: " + ".join(hits(m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    greatest = "greatest(" + ", ".join(f"({s})" for s in score.values()) + ")"
+    expr = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = (
+            f"CASE WHEN ({score[lang]}) > 0 AND ({score[lang]}) = {greatest} "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+def oracle_fingerprint(col: str) -> str:
+    return f"md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"

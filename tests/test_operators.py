@@ -1,0 +1,308 @@
+"""Operator tests: Spark result vs DuckDB oracle on the driver testdata.
+
+These pre-validate exactly the contract the driver's CORRECTNESS check
+runs: same parquet inputs, Spark DataFrame vs ANSI SQL, compared after
+column-name-aligned sorting.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["documents", "embeddings", "events", "lineitem", "orders", "customer"]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def load(spark, name):
+    return spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+
+def compare(spark_df, duck_df: pd.DataFrame, sort_cols, float_cols=()):
+    s = spark_df.toPandas()
+    d = duck_df
+    assert sorted(s.columns) == sorted(d.columns), (s.columns, d.columns)
+    s = s[sorted(s.columns)].sort_values(sort_cols).reset_index(drop=True)
+    d = d[sorted(d.columns)].sort_values(sort_cols).reset_index(drop=True)
+    assert len(s) == len(d), f"row count {len(s)} vs {len(d)}"
+    for c in s.columns:
+        if c in float_cols:
+            pd.testing.assert_series_equal(
+                s[c].astype(float), d[c].astype(float),
+                check_exact=False, rtol=1e-6, atol=1e-6, check_names=False,
+            )
+        else:
+            assert s[c].astype(str).tolist() == d[c].astype(str).tolist(), c
+
+
+# ---------------------------------------------------------------------------
+# text metrics
+# ---------------------------------------------------------------------------
+
+def test_text_metrics_vs_oracle(spark, ddb):
+    from navigator_document_parser_spark.operators import text as T
+
+    docs = load(spark, "documents")
+    got = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.punct_count(F.col("text")).cast("bigint").alias("n_punct"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_guess(F.col("text")).alias("lang_guess"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    oracle = ddb.sql(f"""
+        SELECT doc_id,
+               {T.oracle_token_count('text')} AS n_tokens,
+               {T.oracle_punct_count('text')} AS n_punct,
+               {T.oracle_quality('text')} AS quality,
+               {T.oracle_lang_guess('text')} AS lang_guess,
+               {T.oracle_fingerprint('text')} AS fp
+        FROM documents
+    """).df()
+    compare(got, oracle, ["doc_id"], float_cols={"quality"})
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dup_groups_vs_oracle(spark, ddb):
+    from navigator_document_parser_spark.operators.dedup import exact_dup_groups
+
+    got = exact_dup_groups(load(spark, "documents"))
+    oracle = ddb.sql("""
+        SELECT md5(text) AS fp, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+        FROM documents GROUP BY md5(text)
+    """).df()
+    compare(got, oracle, ["fp"])
+
+
+def test_minhash_signature_vs_oracle(spark, ddb):
+    from navigator_document_parser_spark.operators.dedup import minhash_signature
+
+    got = (
+        load(spark, "documents")
+        .select(
+            "doc_id",
+            F.concat_ws("|", minhash_signature(F.col("text"), 4)).alias("sig"),
+        )
+    )
+    # identical shingle + md5-min formulation in DuckDB
+    oracle = ddb.sql("""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) < 3 THEN []
+                 ELSE list_distinct(list_transform(
+                    generate_series(1, length(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS s
+          FROM toks
+        )
+        SELECT doc_id,
+               concat_ws('|',
+                 list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min'),
+                 list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min'),
+                 list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min'),
+                 list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min')
+               ) AS sig
+        FROM sh
+    """).df()
+    compare(got, oracle, ["doc_id"])
+
+
+def test_simhash_vs_oracle(spark, ddb):
+    from navigator_document_parser_spark.operators.dedup import simhash
+
+    got = simhash(load(spark, "documents"))
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    oracle = ddb.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(
+                   string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id,
+                 CAST('0x' || substring(md5(tok), 1, 4) AS BIGINT) AS h
+          FROM toks WHERE length(tok) > 0
+        ), agg AS (
+          SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(({sig}), 0) AS simhash
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN agg USING (doc_id)
+    """).df()
+    compare(got, oracle, ["doc_id"])
+
+
+def test_ngram_jaccard_pairs_vs_oracle(spark, ddb):
+    from navigator_document_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(
+        load(spark, "documents"), threshold=0.1, length_band=64
+    )
+    oracle = ddb.sql("""
+        WITH sh AS (
+          SELECT doc_id, lang, length(text) // 64 AS lb,
+                 (WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS t)
+                  SELECT CASE WHEN length(t) < 3 THEN []
+                  ELSE list_distinct(list_transform(generate_series(1, length(t)-2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END FROM t) AS s
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CASE WHEN length(list_distinct(list_concat(a.s, b.s))) = 0
+                 THEN 0.0
+                 ELSE length(list_intersect(a.s, b.s)) * 1.0
+                      / length(list_distinct(list_concat(a.s, b.s))) END, 4)
+               AS jaccard_sim
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        WHERE round(CASE WHEN length(list_distinct(list_concat(a.s, b.s))) = 0
+                 THEN 0.0
+                 ELSE length(list_intersect(a.s, b.s)) * 1.0
+                      / length(list_distinct(list_concat(a.s, b.s))) END, 4) >= 0.1
+    """).df()
+    compare(got, oracle, ["id_a", "id_b"], float_cols={"jaccard_sim"})
+
+
+def test_minhash_dedup_sanity(spark):
+    """MinHash pipeline: identical texts always collide; verified pairs
+    carry jaccard 1.0."""
+    from navigator_document_parser_spark.operators.dedup import minhash_dedup_pairs
+
+    data = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "a completely different document about spark pipelines"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup_pairs(data, threshold=0.7).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert pairs[0]["jaccard_sim"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def test_knn_bruteforce_vs_oracle(spark, ddb):
+    from navigator_document_parser_spark.operators.similarity import knn_bruteforce
+
+    emb = load(spark, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_bruteforce(emb, queries, k=5)
+    oracle = ddb.sql("""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(q.qvec AS DOUBLE[])), 4) AS sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """).df()
+    compare(got, oracle, ["query_id", "rank"], float_cols={"sim"})
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    from navigator_document_parser_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+    )
+
+    emb = load(spark, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_bruteforce(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_lsh(
+            emb, queries, dim=dim, k=3, n_planes=4, n_tables=6
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall unreasonably low: {recall}"
+
+
+def test_embedding_neardup_blocked(spark):
+    from navigator_document_parser_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load(spark, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.99)
+    for r in pairs.limit(20).collect():
+        assert r["id_a"] < r["id_b"]
+        assert r["sim"] >= 0.99
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features_deterministic(spark):
+    from navigator_document_parser_spark.operators.multimodal import (
+        extract_media_features,
+        fake_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30, partitions=3)
+    feats = extract_media_features(media, dim=8)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 30
+    # schema shape
+    r0 = rows[0]
+    assert len(r0["features"]) == 8
+    assert r0["n_bytes"] > 0 and len(r0["content_hash"]) == 32
+    # determinism against the pure function
+    media_local = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in list(rows.items())[:5]:
+        expected = fake_features(media_local[mid], 8)
+        assert [round(x, 5) for x in r["features"]] == [
+            round(x, 5) for x in expected
+        ]
+
+
+def test_real_decoder_is_explicit_stub(spark):
+    from navigator_document_parser_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image")
