@@ -38,11 +38,19 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the testdata tables are single small parquet files -> a single scan
+    # task; repartition to defaultParallelism so per-doc expression work
+    # parallelizes (a real corpus scan has many splits and doesn't need
+    # this — narrow text rows make the shuffle negligible here)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # ---------------------------------------------------------------------------

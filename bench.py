@@ -1,0 +1,152 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: documents/sec extraction throughput (the BASELINE.json metric)
+over a deterministic synthetic Common-Crawl-style corpus sized by the
+scale factor, plus wall-clock for the operator/query suite on the driver
+testdata tables.
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def corpus_size(sf: float) -> int:
+    """Deterministic corpus size per scale factor (sf0.1 -> 20k docs)."""
+    return max(500, int(200_000 * sf))
+
+
+_CORPUS_CACHE: dict[int, str] = {}
+
+
+def materialize_corpus(spark, n_docs: int) -> str:
+    """Synthesize the corpus ONCE to parquet (untimed setup).
+
+    The timed job then reads parquet like production would — the
+    generator is not part of the measured pipeline.
+    """
+    import tempfile
+
+    if n_docs in _CORPUS_CACHE:
+        return _CORPUS_CACHE[n_docs]
+    from navigator_document_parser_spark.sources.synth import synth_documents
+
+    path = tempfile.mkdtemp(prefix=f"bench-corpus-{n_docs}-") + "/docs"
+    synth_documents(spark, n_docs, partitions=64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    _CORPUS_CACHE[n_docs] = path
+    return path
+
+
+def run_extraction_bench(spark, n_docs: int) -> tuple[float, int]:
+    """Time the extraction plan over a pre-materialized parquet corpus;
+    force evaluation of every row's text (sum of lengths) without
+    collecting payloads to the driver."""
+    from pyspark.sql import functions as F
+
+    from navigator_document_parser_spark.plans.job import run_extraction
+    from navigator_document_parser_spark.schema import DOCUMENTS_SCHEMA
+
+    path = materialize_corpus(spark, n_docs)
+    docs = spark.read.schema(DOCUMENTS_SCHEMA).parquet(path)
+    t0 = time.time()
+    out = run_extraction(docs, run_id="bench")
+    total = out.agg(
+        F.sum(F.length("text")).alias("b"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    dt = time.time() - t0
+    assert total["n"] == n_docs
+    return dt, int(total["b"])
+
+
+OP_QUERIES = [
+    "text_metrics",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "knn_cosine",
+    "knn_lsh",
+    "embedding_neardup",
+    "multimodal_features",
+    "events_hourly",
+    "events_topk_per_type",
+    "q1_pricing_summary",
+    "q3_revenue_top10",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    import __spark_entry__ as E
+    from navigator_document_parser_spark.config import build_spark
+
+    spark = build_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.shuffle.partitions": str(cpus),
+            # blob rows are ~7KB avg but scan work is CPU-heavy per byte:
+            # small split size keeps every core busy instead of letting
+            # file bin-packing collapse the corpus into a few fat tasks
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+
+    # headline: extraction throughput
+    n_docs = corpus_size(sf)
+    # warm JVM codegen/JIT + fork Python workers and their imports: the
+    # steady-state rate is what a long-running cluster job sees
+    run_extraction_bench(spark, min(5000, n_docs))
+    ext_sec, text_bytes = run_extraction_bench(spark, n_docs)
+    queries["extract_pipeline"] = round(ext_sec, 3)
+    docs_per_sec = round(n_docs / ext_sec, 1)
+
+    # operator suite on the driver tables
+    qs = E.queries()
+    total_ops = 0.0
+    for name in OP_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # force full evaluation without driver transfer
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        total_ops += dt
+
+    result = {
+        "metric": "documents/sec extraction throughput (synthetic CC-style corpus)",
+        "value": round(ext_sec + total_ops, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "n_docs": n_docs,
+        "extracted_text_bytes": text_bytes,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

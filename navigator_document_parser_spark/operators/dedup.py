@@ -109,6 +109,17 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def minhash_from_shingles(sh: Column, num_hashes: int) -> Column:
+    """Signature from a precomputed shingle array (see minhash_signature)."""
+
+    def hasher(h: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{h}:"), s))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(h))) for h in range(num_hashes)]
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -147,14 +158,17 @@ def minhash_candidate_pairs(
 
 
 def jaccard(col_a: Column, col_b: Column) -> Column:
-    """|A ∩ B| / |A ∪ B| over distinct-element arrays (4dp)."""
-    inter = F.size(F.array_intersect(col_a, col_b))
-    union = F.size(F.array_union(col_a, col_b))
+    """|A ∩ B| / |A ∪ B| over distinct-element arrays (4dp).
+
+    Computed as i / (|A| + |B| - i): one array_intersect pass instead of
+    intersect+union (higher-order array ops are interpreted, not
+    codegen'd — halving the passes matters at pair-explosion scale).
+    Identical value to the union formulation for distinct-element arrays.
+    """
+    inter = F.size(F.array_intersect(col_a, col_b)).cast("double")
+    union = F.size(col_a) + F.size(col_b) - inter
     return F.round(
-        F.when(union == 0, F.lit(0.0)).otherwise(
-            inter.cast("double") / union.cast("double")
-        ),
-        4,
+        F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 4
     )
 
 
@@ -165,18 +179,86 @@ def minhash_dedup_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.7,
+    persist: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup: candidates -> exact-Jaccard verify.
 
     Output (id_a, id_b, jaccard_sim) for verified pairs above threshold.
+
+    Plan notes (measured on 500 docs, interpreted higher-order funcs):
+      - signatures derive from the shingle COLUMN, and band keys from
+        per-hash minima used exactly once — element_at() over a computed
+        sig array would re-inline the whole signature expression per
+        band element after CollapseProject (~10x work)
+      - the shingle table feeds THREE join branches (sig + verify a/b)
+        and the exploded band table feeds TWO (self-join sides); without
+        persist Spark recomputes each branch from the scan. persist=True
+        (default) materializes both — shingles are ~2-3x text bytes,
+        MEMORY_AND_DISK spills safely at corpus scale. Disable only when
+        cache pressure costs more than recompute.
     """
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands)
+    from pyspark import StorageLevel
+
+    rows_per_band = num_hashes // bands
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh")
     )
+    if persist:
+        # barrier + reuse: three join branches read the materialized
+        # shingles; lineage truncation also stops InferFiltersFromGenerate
+        # pushdown from re-evaluating the shingle expression at the scan
+        sh = sh.localCheckpoint(eager=False)
+
+    # Band keys built directly from per-hash minima: each min-expression
+    # appears exactly once. Composing element_at() over a computed sig
+    # array instead duplicates the whole signature expression per band
+    # element after Catalyst's CollapseProject — and higher-order
+    # functions are interpreted (no codegen), so that duplication
+    # multiplied the shingle-hash work ~rows_per_band*bands times
+    # (measured 10x on 500 docs).
+    def min_hash(h: int) -> Column:
+        def hasher(prefix: str):
+            # single-arg lambda only: F.transform treats 2-arg lambdas as
+            # (element, index)
+            return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+        return F.array_min(F.transform(F.col("sh"), hasher(f"{h}:")))
+
+    sigs = sh.select(
+        "id",
+        F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            min_hash(b * rows_per_band + r)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                )
+                for b in range(bands)
+            ]
+        ).alias("band_keys"),
+    )
+    exploded = sigs.select("id", F.posexplode("band_keys").alias("band", "key"))
+    if persist:
+        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -285,26 +367,58 @@ def ngram_jaccard_pairs(
     length_band: int = 64,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact Jaccard over word 3-gram sets, pairwise within
-    (lang, length//band) blocks only."""
+    """Exact Jaccard over word 3-gram sets within (lang, length//band)
+    blocks — inverted-index formulation.
+
+    Instead of materializing shingle ARRAYS onto every candidate pair
+    (array_intersect is interpreted per pair; pair rows carry both
+    arrays through the shuffle — measured 35s+ on 5k docs), explode the
+    distinct shingles once and equi-join on (shingle, block):
+    |A ∩ B| = the pair's match count, so
+    J = cnt / (|A| + |B| - cnt). Everything is codegen'd hash join +
+    hash aggregate; shuffle rows are (id, block, shingle) — no arrays.
+    Cost scales with sum over shingles of df(s)^2 within a block (tiny
+    for natural text) instead of all block pairs.
+    """
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(lang_col).alias("lg"),
         F.floor(F.length(F.col(text_col)) / length_band).alias("lb"),
         word_shingles(F.col(text_col)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # lineage barrier: InferFiltersFromGenerate adds size(sh)>0 below the
+    # explode, and predicate pushdown carries that through Repartition to
+    # the scan — re-evaluating the whole (interpreted) shingle expression
+    # per row on the unparallelized pre-shuffle side, per join branch
+    # (measured 10x). localCheckpoint truncates lineage so shingles are
+    # computed exactly once, post-shuffle, in parallel.
+    base = base.localCheckpoint(eager=False)
+
+    inv = base.select(
+        "id", "lg", "lb", "n_sh", F.explode("sh").alias("s")
     )
-    a = base.select(
-        F.col("id").alias("id_a"), "lg", "lb", F.col("sh").alias("sh_a")
+    a = inv.select(
+        F.col("id").alias("id_a"), "lg", "lb", "s", F.col("n_sh").alias("na")
     )
-    b = base.select(
-        F.col("id").alias("id_b"), "lg", "lb", F.col("sh").alias("sh_b")
+    b = inv.select(
+        F.col("id").alias("id_b"), "lg", "lb", "s", F.col("n_sh").alias("nb")
+    )
+    inter = (
+        a.join(b, ["lg", "lb", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    sim = F.round(
+        F.col("i").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+        4,
     )
     return (
-        a.join(b, ["lg", "lb"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"),
-        )
+        inter.select("id_a", "id_b", sim.alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
     )
