@@ -106,6 +106,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return _extract_pipeline(spark, SF_DEFAULT)
 
 
+def _translate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6-P8 gating + M14 stub translation over freshly extracted rows
+    (rows-only: the translator UDF is not SQL-expressible)."""
+    from navigator_document_parser_spark.plans.job import (
+        run_extraction,
+        run_translation,
+    )
+    from navigator_document_parser_spark.sources.synth import synth_documents
+
+    docs = synth_documents(spark, 120, partitions=4)
+    extracted = run_extraction(docs, run_id="tq")
+    out = run_translation(extracted, ["en"])
+    return out.select(
+        "url",
+        "translated_to",
+        F.size("text_blocks").cast("bigint").alias("n_blocks"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.col("languages")[0].alias("doc_lang"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SQL-expressible queries (Spark side)
 # ---------------------------------------------------------------------------
@@ -321,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_split": _route_split,                # P1
         "valid_text_filter": _valid_text_filter,    # P5
         "translate_gating": _translate_gating,      # P6/P7/P8
+        "translate_pipeline": _translate_pipeline,  # M14 (rows-only)
         "line_blocks": _line_blocks,                # M3/M5
         "lang_doc_stats": _lang_doc_stats,          # §2.4 aggregation
         "text_metrics": _text_metrics,              # M9-adjacent + quality

@@ -1,0 +1,82 @@
+"""spark-submit entrypoint for the extraction pipeline.
+
+Cluster usage (north-rule deployment shape):
+
+    zip -r ndps.zip navigator_document_parser_spark
+    spark-submit --py-files ndps.zip jobs/extract.py \
+        --input  s3a://bucket/warehouse/documents \
+        --output s3a://bucket/warehouse/documents_extracted \
+        --run-id 2026-08-16-a \
+        --parsing-date 2026-08-16T00:00:00 \
+        --rebalance-partitions 0 \
+        --translate en
+
+Reads the documents table (Iceberg path or parquet dir), resumes from
+whatever the sink has committed (anti-join), extracts, merges, writes
+lineage, then optionally appends stub-translated rows for the target
+languages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--parsing-date", default=None,
+                   help="run-level literal; pin for determinism")
+    p.add_argument("--rebalance-partitions", type=int, default=0,
+                   help=">0 forces a round-robin repartition (skew defusal)")
+    p.add_argument("--translate", default="",
+                   help="comma-separated target languages; empty = skip")
+    p.add_argument("--assume-unique-keys", action="store_true",
+                   help="skip within-batch dedup (zero-shuffle path)")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from navigator_document_parser_spark.config import build_spark
+    from navigator_document_parser_spark.plans.job import (
+        run_extraction,
+        run_translation,
+    )
+    from navigator_document_parser_spark.plans.sink import ParquetMergeSink
+    from navigator_document_parser_spark.schema import DOCUMENTS_SCHEMA
+
+    spark = build_spark("extract-job", master=args.master)
+    docs = spark.read.schema(DOCUMENTS_SCHEMA).parquet(args.input)
+
+    sink = ParquetMergeSink(args.output)
+    extracted = run_extraction(
+        docs,
+        run_id=args.run_id,
+        rebalance_partitions=args.rebalance_partitions or None,
+        parsing_date=args.parsing_date,
+    )
+    stats = sink.merge(
+        spark, extracted, args.run_id,
+        assume_unique_keys=args.assume_unique_keys,
+    )
+    print(f"extraction merged: {stats}")
+
+    targets = [t for t in args.translate.split(",") if t]
+    if targets:
+        committed = spark.read.parquet(args.output).filter(
+            "translated = false"
+        )
+        translated = run_translation(committed, targets)
+        tstats = sink.merge(
+            spark, translated, args.run_id + "-translate",
+        )
+        print(f"translation merged: {tstats}")
+
+
+if __name__ == "__main__":
+    main()

@@ -23,8 +23,11 @@ from ..extraction.translate import stub_translate  # noqa: F401 (public surface)
 OUTPUT_COLUMNS = [
     "url", "warc_ts", "text", "detected_title", "has_valid_text",
     "text_blocks", "pdf_blocks", "page_metadata", "md5sum", "languages",
-    "parser", "error", "translated", "translated_to", "run_id",
+    "parser", "error", "translated", "translated_to", "pipeline_metadata",
+    "run_id",
 ]
+
+ENGINE_VERSION = "spark-docparse/0.1.0"
 
 
 def with_route(df: DataFrame) -> DataFrame:
@@ -62,12 +65,18 @@ def run_extraction(
     docs: DataFrame,
     run_id: str = "run-0",
     rebalance_partitions: int | None = None,
+    parsing_date: str | None = None,
 ) -> DataFrame:
     """documents(url, warc_ts, html, text, lang) -> documents_extracted.
 
     Single ArrowEvalPython stage; keys and passthroughs stay JVM-side —
     only (html, route) cross into Python, only the result struct comes
     back.
+
+    ``parsing_date`` is a RUN-LEVEL literal (M13 parity,
+    cli/parse_pdfs.py:414-422 inserts {parser_metadata: {parsing_date}}
+    into pipeline_metadata) — deliberately not per-row now():
+    determinism requires the caller to pin it once per run.
     """
     routed = with_route(docs)
     if rebalance_partitions:
@@ -92,6 +101,16 @@ def run_extraction(
         F.col("x.error").alias("error"),
         F.lit(False).alias("translated"),
         F.lit(None).cast("string").alias("translated_to"),
+        # M13: parser-metadata enrichment under the 'parser_metadata' key
+        # (src/base.py:12, cli/parse_pdfs.py:204-242)
+        F.create_map(
+            F.lit("parser_metadata"),
+            F.create_map(
+                F.lit("engine_version"), F.lit(ENGINE_VERSION),
+                F.lit("parsing_date"), F.lit(parsing_date or "1970-01-01T00:00:00"),
+                F.lit("run_id"), F.lit(run_id),
+            ),
+        ).alias("pipeline_metadata"),
         F.lit(run_id).alias("run_id"),
     )
     # run-level counters (X4): visible via QueryExecutionListener / UI
@@ -102,6 +121,63 @@ def run_extraction(
             "failures"
         ),
         F.sum(F.length(F.col("text"))).alias("bytes_text_out"),
+    )
+
+
+def raw_parse_artifacts(extracted: DataFrame) -> DataFrame:
+    """S8 analog: raw-extraction-artifact side table.
+
+    The reference optionally archives the raw Azure AnalyzeResult JSON
+    per document (cli/parse_pdfs.py:245-289). Our engine's raw artifact
+    is the full extraction struct serialized to JSON — an append-only
+    side table `(url, warc_ts, run_id, artifact)` that downstream
+    debugging/replays can read without touching the main output.
+    """
+    return extracted.select(
+        "url",
+        "warc_ts",
+        "run_id",
+        F.to_json(
+            F.struct(
+                "parser", "detected_title", "has_valid_text",
+                "text_blocks", "pdf_blocks", "page_metadata", "md5sum",
+                "languages", "error",
+            )
+        ).alias("artifact"),
+    )
+
+
+def flip_pdf_block_coords(extracted: DataFrame) -> DataFrame:
+    """M12 Spark-side: convert pdf block bboxes from top-left-origin y to
+    bottom-left (PDF convention): y' = H - y, y0/y1 swapped.
+
+    Pure Catalyst transform over the blocks array zipped with the page
+    height lookup (map from page_metadata) — no Python. Mirrors
+    cpr_sdk's vertically_flip_text_block_coords as exercised by
+    cli/test/test_run_parser.py:118-121.
+    """
+    heights = F.map_from_arrays(
+        F.col("page_metadata.page_number"), F.col("page_metadata.height")
+    )
+    flipped = F.transform(
+        F.col("pdf_blocks"),
+        lambda b: F.struct(
+            b["page"].alias("page"),
+            b["text"].alias("text"),
+            b["language"].alias("language"),
+            b["x0"].alias("x0"),
+            (F.element_at(heights, b["page"]) - b["y1"]).alias("y0"),
+            b["x1"].alias("x1"),
+            (F.element_at(heights, b["page"]) - b["y0"]).alias("y1"),
+            b["offset"].alias("offset"),
+            b["length"].alias("length"),
+        ),
+    )
+    return extracted.withColumn(
+        "pdf_blocks",
+        F.when(F.col("pdf_blocks").isNotNull(), flipped).otherwise(
+            F.col("pdf_blocks")
+        ),
     )
 
 
