@@ -268,6 +268,31 @@ def _events_hourly(spark, sf):
     )
 
 
+def _events_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity) — the batch analog of
+    the streaming stateful operator; pure window functions."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = F.when(secs - F.lag(secs).over(w) > 1800, 1).otherwise(0)
+    with_session = e.withColumn(
+        "session_idx",
+        F.sum(gap).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    return with_session.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def _events_topk_per_type(spark, sf):
     from pyspark.sql.window import Window
 
@@ -358,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,  # rows-only (mapInPandas)
         # relational / windows (free on Spark; parity breadth)
         "events_hourly": _events_hourly,
+        "events_sessionize": _events_sessionize,
         "events_topk_per_type": _events_topk_per_type,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_revenue_top10": _q3_revenue_top10,
@@ -547,6 +573,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                          (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC)) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, value,
+                     CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_idx
+              FROM g
+            )
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   round(SUM(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_idx
         """,
         "events_topk_per_type": """
             SELECT event_type,

@@ -115,9 +115,12 @@ def main():
     # headline: extraction throughput
     n_docs = corpus_size(sf)
     # warm JVM codegen/JIT + fork Python workers and their imports: the
-    # steady-state rate is what a long-running cluster job sees
+    # steady-state rate is what a long-running cluster job sees;
+    # best-of-2 measured runs damps local-machine noise
     run_extraction_bench(spark, min(5000, n_docs))
-    ext_sec, text_bytes = run_extraction_bench(spark, n_docs)
+    ext_sec1, text_bytes = run_extraction_bench(spark, n_docs)
+    ext_sec2, _ = run_extraction_bench(spark, n_docs)
+    ext_sec = min(ext_sec1, ext_sec2)
     queries["extract_pipeline"] = round(ext_sec, 3)
     docs_per_sec = round(n_docs / ext_sec, 1)
 
