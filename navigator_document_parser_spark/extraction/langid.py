@@ -49,18 +49,26 @@ _STOPWORDS: dict[str, frozenset[str]] = {
     ),
 }
 
-_DIACRITIC_HINTS: list[tuple[re.Pattern, str, float]] = [
-    (re.compile(r"ß"), "de", 2.0),
-    (re.compile(r"[äöü]"), "de", 0.5),
-    (re.compile(r"ñ"), "es", 2.0),
-    (re.compile(r"[¿¡]"), "es", 2.0),
-    (re.compile(r"[àâêîôûëïœ]"), "fr", 0.5),
-    (re.compile(r"ç"), "fr", 0.5),
-    (re.compile(r"[ãõ]"), "pt", 2.0),
-    (re.compile(r"ĳ"), "nl", 2.0),
+# per-character hints, counted with C-speed str.count (replaces 8 regex
+# scans per block — lang-ID was 51% of end-to-end extraction time)
+_DIACRITIC_CHARS: list[tuple[str, str, float]] = [
+    ("ß", "de", 2.0),
+    *[(c, "de", 0.5) for c in "äöü"],
+    ("ñ", "es", 2.0),
+    *[(c, "es", 2.0) for c in "¿¡"],
+    *[(c, "fr", 0.5) for c in "àâêîôûëïœç"],
+    *[(c, "pt", 2.0) for c in "ãõ"],
+    ("ĳ", "nl", 2.0),
 ]
 
 LANGS = tuple(sorted(_STOPWORDS))
+
+# merged stopword index: one dict lookup per word instead of one
+# set-membership probe per language
+_WORD_LANGS: dict[str, tuple[str, ...]] = {}
+for _lang, _sw in _STOPWORDS.items():
+    for _w in _sw:
+        _WORD_LANGS[_w] = _WORD_LANGS.get(_w, ()) + (_lang,)
 
 
 def detect(text: str) -> str | None:
@@ -74,13 +82,18 @@ def detect(text: str) -> str | None:
     words = _WORD_RE.findall(text.lower())
     if not words:
         return None
-    scores = {lang: 0.0 for lang in LANGS}
+    scores = dict.fromkeys(LANGS, 0.0)
+    get = _WORD_LANGS.get
     for w in words:
-        for lang, sw in _STOPWORDS.items():
-            if w in sw:
+        langs = get(w)
+        if langs:
+            for lang in langs:
                 scores[lang] += 1.0
-    for rx, lang, weight in _DIACRITIC_HINTS:
-        scores[lang] += weight * len(rx.findall(text))
+    if not text.isascii():
+        for ch, lang, weight in _DIACRITIC_CHARS:
+            n = text.count(ch)
+            if n:
+                scores[lang] += weight * n
     best = max(sorted(scores), key=lambda k: scores[k])
     if scores[best] <= 0.0:
         return None
