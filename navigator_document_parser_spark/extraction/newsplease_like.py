@@ -54,8 +54,11 @@ def _paragraphs_under(node: Node) -> list[str]:
 
 def maintext(html: str) -> str | None:
     """Main article text: paragraphs of the best container, '\\n'-joined."""
-    root = parse_html(html)
+    return maintext_from_root(parse_html(html))
 
+
+def maintext_from_root(root: Node) -> str | None:
+    """maintext over an already-parsed tree (shared-parse path)."""
     best: Node | None = None
     best_score = 0.0
     for node in root.iter():

@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 
 from ..config import HTML_MAX_PARAGRAPH_LENGTH_WORDS
 from . import newsplease_like, readability
+from .dom import Node, parse_html
 from .lines import combine_bullet_lines_with_next, has_valid_text, split_lines
 
 PARSER_NEWSPLEASE = "newsplease"
@@ -59,9 +60,8 @@ def _blocks(lines: list[str]) -> list[TextBlock]:
     return [TextBlock(text_block_id=f"b{i}", text=[line]) for i, line in enumerate(lines)]
 
 
-def extract_readability(html: str) -> HtmlExtraction:
-    """Readability path (src/html_parser/readability.py:73-119)."""
-    title, raw = readability.extract(html)
+def _readability_from_root(root: Node) -> HtmlExtraction:
+    title, raw = readability.extract_from_root(root)
     lines = combine_bullet_lines_with_next(split_lines(raw))
     return HtmlExtraction(
         detected_title=title,
@@ -71,13 +71,8 @@ def extract_readability(html: str) -> HtmlExtraction:
     )
 
 
-def extract_newsplease(html: str) -> HtmlExtraction:
-    """newsplease path (src/html_parser/newsplease.py:99-146).
-
-    Note: no strip/drop-empty/bullet-merge here, and no title (the
-    reference's newsplease branch leaves detected_title empty).
-    """
-    text = newsplease_like.maintext(html)
+def _newsplease_from_root(root: Node) -> HtmlExtraction:
+    text = newsplease_like.maintext_from_root(root)
     if not text:
         return empty_response()
     lines = newsplease_like.maintext_lines(text)
@@ -89,20 +84,42 @@ def extract_newsplease(html: str) -> HtmlExtraction:
     )
 
 
+def extract_readability(html: str) -> HtmlExtraction:
+    """Readability path (src/html_parser/readability.py:73-119)."""
+    return _readability_from_root(parse_html(html))
+
+
+def extract_newsplease(html: str) -> HtmlExtraction:
+    """newsplease path (src/html_parser/newsplease.py:99-146).
+
+    Note: no strip/drop-empty/bullet-merge here, and no title (the
+    reference's newsplease branch leaves detected_title empty).
+    """
+    return _newsplease_from_root(parse_html(html))
+
+
 def extract_combined(
     html: str, max_paragraph_words: int = HTML_MAX_PARAGRAPH_LENGTH_WORDS
 ) -> HtmlExtraction:
-    """M7 policy (src/html_parser/combined.py:53-79)."""
-    np_result = extract_newsplease(html)
+    """M7 policy (src/html_parser/combined.py:53-79).
+
+    The DOM is parsed ONCE and shared by both extractors — the reference
+    hands the same html string to both parsers (combined.py:65-77); our
+    parse is deterministic, so sharing the tree is a pure optimization
+    (readability's scorer only annotates node.score, which newsplease
+    ignores — and newsplease runs first anyway).
+    """
+    root = parse_html(html)
+    np_result = _newsplease_from_root(root)
 
     if len(np_result.text_blocks) == 0:
-        return extract_readability(html)
+        return _readability_from_root(root)
 
     longest_words = max(
         len(" ".join(b.text).split(" ")) for b in np_result.text_blocks
     )
     if longest_words > max_paragraph_words:
-        return extract_readability(html)
+        return _readability_from_root(root)
 
     return np_result
 

@@ -111,6 +111,16 @@ def score_tree(root: Node) -> Node | None:
     return best
 
 
+def extract_from_root(root: Node) -> tuple[str, str]:
+    """(title, text) from an already-parsed tree (shared-parse path)."""
+    title = page_title(root)
+    best = score_tree(root)
+    if best is None:
+        body = root.find_first("body") or root
+        return title, body.render_text()
+    return title, best.render_text()
+
+
 def extract(html: str) -> tuple[str, str]:
     """(title, text) — text has '\\n' at block boundaries, markup stripped.
 
@@ -119,10 +129,4 @@ def extract(html: str) -> tuple[str, str]:
     Falls back to whole-<body> text when no candidate scores (short pages),
     matching readability's own body fallback.
     """
-    root = parse_html(html)
-    title = page_title(root)
-    best = score_tree(root)
-    if best is None:
-        body = root.find_first("body") or root
-        return title, body.render_text()
-    return title, best.render_text()
+    return extract_from_root(parse_html(html))
