@@ -36,6 +36,36 @@ from navigator_document_parser_spark.operators.similarity import (
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+_REPO_DIR = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+_PKG_ZIP: list[str] = []
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the package to Python workers regardless of the driver's cwd.
+
+    Local-mode workers resolve imports from their own cwd/PYTHONPATH, not
+    the driver's sys.path — a harness running from elsewhere would
+    otherwise hit ModuleNotFoundError inside pandas UDFs. Equivalent to
+    spark-submit --py-files on a cluster.
+    """
+    import os
+    import zipfile
+
+    if not _PKG_ZIP:
+        path = os.path.join("/tmp", "ndps_pkg.zip")
+        pkg_root = os.path.join(_REPO_DIR, "navigator_document_parser_spark")
+        with zipfile.ZipFile(path, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_root):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, _REPO_DIR))
+        _PKG_ZIP.append(path)
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP[0])
+    except Exception:
+        pass  # already added in this context
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the testdata tables are single small parquet files -> a single scan
@@ -64,6 +94,7 @@ def _extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per-document results."""
     from navigator_document_parser_spark.plans.job import run_extraction
 
+    _ensure_workers_can_import(spark)
     docs = _docs(spark, sf_dir)
     paragraphs = F.array_join(
         F.transform(
@@ -115,6 +146,7 @@ def _translate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from navigator_document_parser_spark.sources.synth import synth_documents
 
+    _ensure_workers_can_import(spark)
     docs = synth_documents(spark, 120, partitions=4)
     extracted = run_extraction(docs, run_id="tq")
     out = run_translation(extracted, ["en"])
@@ -354,6 +386,7 @@ def _multimodal_features(spark, sf):
         synth_media,
     )
 
+    _ensure_workers_can_import(spark)
     media = synth_media(spark, 200, partitions=4)
     return extract_media_features(media, dim=8).select(
         "media_id", "kind", "n_bytes", "content_hash"
