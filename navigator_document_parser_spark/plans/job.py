@@ -57,6 +57,12 @@ def rebalance_for_skew(df: DataFrame, partitions: int) -> DataFrame:
     input files are few/skewed, skippable when the scan already produces
     balanced splits (spark.sql.files.maxPartitionBytes handles that for
     parquet). AQE cannot help a map-only stage, hence the explicit knob.
+
+    Byte-balance bound: round-robin balances ROW counts; residual byte
+    imbalance is bounded by single-blob granularity (one document cannot
+    be split across tasks), i.e. max_partition <= mean + max_blob. Size
+    ``partitions`` so mean partition bytes >> the largest expected blob
+    and the bound is tight (tested in tests/test_skew.py).
     """
     return df.repartition(partitions)
 
