@@ -50,6 +50,24 @@ class ParquetMergeSink:
         # column-pruned scan: only the key columns leave the parquet reader
         return existing.select(*self.keys).dropDuplicates(self.keys)
 
+    # -- production path -----------------------------------------------------
+
+    def iceberg_merge_sql(self, target_table: str, source_view: str) -> str:
+        """The single statement this sink emulates, for real Iceberg
+        catalogs (SURVEY §7.4.5): register the batch as a temp view and
+        run this instead of merge(). Same keys, same insert-if-absent
+        semantics; snapshot isolation comes from Iceberg's commit.
+        """
+        on = " AND ".join(
+            f"t.{k} <=> s.{k}" for k in self.keys  # null-safe equality
+        )
+        return (
+            f"MERGE INTO {target_table} t\n"
+            f"USING {source_view} s\n"
+            f"ON {on}\n"
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+
     # -- merge -------------------------------------------------------------
 
     def merge(
