@@ -238,6 +238,15 @@ def _text_metrics(spark, sf):
     )
 
 
+def _fingerprint_winnow(spark, sf):
+    from navigator_document_parser_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    _ensure_workers_can_import(spark)
+    return winnow_fingerprints(_docs(spark, sf))
+
+
 def _dedup_exact(spark, sf):
     return exact_dup_groups(_docs(spark, sf))
 
@@ -404,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_blocks": _line_blocks,                # M3/M5
         "lang_doc_stats": _lang_doc_stats,          # §2.4 aggregation
         "text_metrics": _text_metrics,              # M9-adjacent + quality
+        "fingerprint_winnow": _fingerprint_winnow,  # rolling-hash winnowing
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_minhash_sig": _dedup_minhash_sig,
@@ -513,6 +523,7 @@ def oracle_sql() -> dict[str, str]:
                    {T.oracle_fingerprint('text')} AS fp
             FROM documents
         """,
+        "fingerprint_winnow": T.oracle_winnow(),
         "dedup_exact": """
             SELECT md5(text) AS fp, COUNT(*) AS n_copies,
                    MIN(doc_id) AS keeper_id

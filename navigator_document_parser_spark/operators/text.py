@@ -87,6 +87,99 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    k-gram hashes -> min per sliding window of w -> distinct selections.
+
+    Output rows (id, fp) — the robust rolling-hash fingerprint set used
+    for plagiarism-style containment detection. Hashes are md5-prefix
+    ints, portable to the DuckDB oracle. Short texts (< k chars after
+    normalization) produce no rows.
+    """
+    # Arrow-batched pandas UDF, not nested array expressions: composing
+    # slice() over a computed gram array re-inlines the whole gram
+    # expression per window after CollapseProject -> O(n^2) md5 per row
+    # (measured: did not finish at 500 docs). The Python loop is O(n)
+    # and uses the same md5 math, so the SQL oracle still reproduces it.
+    import hashlib
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+
+    ws_re = _re.compile(r"\s+")
+
+    def winnow_one(text: str) -> list[int]:
+        t = ws_re.sub(" ", (text or "").lower()).strip()
+        n = len(t) - k + 1
+        if n < 1:
+            return []
+        grams = [
+            int(hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:8], 16)
+            for i in range(n)
+        ]
+        n_win = n - w + 1
+        if n_win < 1:
+            return []
+        seen: set[int] = set()
+        out: list[int] = []
+        for j in range(n_win):
+            m = min(grams[j : j + w])
+            if m not in seen:
+                seen.add(m)
+                out.append(m)
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for fp in winnow_one(text):
+                    ids.append(doc_id)
+                    fps.append(fp)
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "fp": pd.Series(fps, dtype="int64")})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="id long, fp long"
+    )
+
+
+def oracle_winnow(k: int = 8, w: int = 4) -> str:
+    """DuckDB equivalent of winnow_fingerprints over `documents`."""
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) - {k} + 1 < 1 THEN []
+                 ELSE list_transform(
+                   generate_series(1, length(t) - {k} + 1),
+                   i -> CAST('0x' || substring(md5(substring(t, i, {k})), 1, 8)
+                             AS BIGINT))
+                 END AS g
+          FROM norm
+        ), sel AS (
+          SELECT doc_id,
+                 CASE WHEN length(g) - {w} + 1 < 1 THEN []
+                 ELSE list_distinct(list_transform(
+                   generate_series(1, length(g) - {w} + 1),
+                   j -> list_aggregate(list_slice(g, j, j + {w} - 1), 'min')))
+                 END AS fps
+          FROM grams
+        )
+        SELECT doc_id AS id, unnest(fps) AS fp FROM sel
+    """
+
+
 def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(
