@@ -298,6 +298,25 @@ def _knn_lsh(spark, sf):
     )
 
 
+def _knn_ivf(spark, sf):
+    """IVF coarse-quantizer ANN (rows-only: iterative k-means is not a
+    single SQL statement; recall is pytest-checked vs brute force)."""
+    from navigator_document_parser_spark.operators.similarity import (
+        ivf_train,
+        knn_ivf,
+    )
+
+    emb = _emb(spark, sf)
+    cents = ivf_train(emb, n_centroids=16, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_ivf(emb, queries, cents, k=5, n_probe=6)
+    return out.select(
+        "query_id", "vec_id", "sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def _events_hourly(spark, sf):
     e = spark.read.parquet(f"{sf}/events.parquet")
     return e.groupBy(
@@ -422,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "knn_cosine": _knn_cosine,
         "knn_lsh": _knn_lsh,                        # rows-only (approx)
+        "knn_ivf": _knn_ivf,                        # rows-only (approx)
         "embedding_neardup": _embedding_neardup,
         "multimodal_features": _multimodal_features,  # rows-only (mapInPandas)
         # relational / windows (free on Spark; parity breadth)

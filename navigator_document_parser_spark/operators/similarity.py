@@ -180,6 +180,148 @@ def knn_lsh(
     )
 
 
+def _seed_centroids(embeddings: DataFrame, n_centroids: int,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic centroid seeding: the n vectors whose md5(id) is
+    smallest — a uniform pseudo-random sample with no RNG state."""
+    from pyspark.sql.window import Window
+
+    return (
+        embeddings.select(
+            F.col(id_col).alias("cid_seed"), F.col(vec_col).alias("centroid")
+        )
+        .orderBy(F.md5(F.col("cid_seed").cast("string")))
+        .limit(n_centroids)
+        .withColumn(
+            "cid",
+            F.row_number().over(
+                Window.orderBy(F.md5(F.col("cid_seed").cast("string")))
+            ),
+        )
+        .select("cid", "centroid")
+    )
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: Lloyd's k-means entirely in DataFrame ops.
+
+    Assignment = argmax cosine vs broadcast centroids (one narrow
+    crossJoin per iteration — centroids are tiny); update = per-cluster
+    elementwise mean via posexplode + groupBy. Deterministic: seeding by
+    md5(id) order, fixed iteration count, 4dp-rounded ranking with id
+    tie-breaks. Returns (cid, centroid array<double>).
+    """
+    from pyspark.sql.window import Window
+
+    cents = _seed_centroids(embeddings, n_centroids, id_col, vec_col).select(
+        "cid", F.col("centroid").cast("array<double>").alias("centroid")
+    )
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    for _ in range(iterations):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vid", "v", "cid", cosine(F.col("v"), F.col("centroid")).alias("sim")
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("sim").desc(), F.col("cid").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "v", "cid")
+        )
+        # elementwise mean per cluster: explode dims, groupBy (cid, dim)
+        dims = assigned.select(
+            "cid", F.posexplode("v").alias("dim", "x")
+        )
+        cents = (
+            dims.groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("pairs")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("pairs"), lambda p: p["m"]).alias("centroid"),
+            )
+        )
+    return cents
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF search: score only vectors in the query's n_probe nearest
+    cells. At corpus scale the candidate set shrinks by
+    ~n_probe/n_centroids; the cell join is an equi-join on cid.
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.broadcast(centroids)
+
+    def assign(df, idc, vc, top_n, out_prefix):
+        scored = df.crossJoin(cents).select(
+            F.col(idc), F.col(vc),
+            "cid", cosine(F.col(vc), F.col("centroid")).alias("csim"),
+        )
+        w = Window.partitionBy(idc).orderBy(
+            F.col("csim").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_n)
+            .select(F.col(idc), F.col(vc), F.col("cid").alias(f"{out_prefix}cid"))
+        )
+
+    e_cells = assign(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("evec")),
+        "vec_id", "evec", 1, "e",
+    )
+    q_cells = F.broadcast(
+        assign(
+            queries.select(F.col(query_id_col).alias("query_id"),
+                           F.col(vec_col).alias("qvec")),
+            "query_id", "qvec", n_probe, "q",
+        )
+    )
+    scored = (
+        e_cells.join(q_cells, e_cells.ecid == q_cells.qcid)
+        .select(
+            "query_id", "vec_id",
+            cosine(F.col("evec"), F.col("qvec")).alias("sim"),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
