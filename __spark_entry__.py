@@ -264,6 +264,20 @@ def _dedup_minhash_pairs(spark, sf):
     )
 
 
+def _dedup_components(spark, sf):
+    """Near-dup pairs -> connected components (min-label clusters)."""
+    from navigator_document_parser_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf), threshold=0.1, length_band=64)
+    return connected_components(pairs).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("comp").cast("bigint").alias("comp"),
+    )
+
+
 def _dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf))
 
@@ -439,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash": _dedup_simhash,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_components": _dedup_components,
         "knn_cosine": _knn_cosine,
         "knn_lsh": _knn_lsh,                        # rows-only (approx)
         "knn_ivf": _knn_ivf,                        # rows-only (approx)
@@ -578,6 +593,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh a ON a.doc_id = c.id_a
             JOIN sh b ON b.doc_id = c.id_b
             WHERE {_JACCARD} >= 0.2
+        """,
+        "dedup_components": f"""
+            {_SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)}
+            , pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang
+               AND (length(a.text) // 64) = (length(b.text) // 64)
+               AND a.doc_id < b.doc_id
+              WHERE {_JACCARD} >= 0.1
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM edges
+            ), reach AS (
+              SELECT node, node AS r FROM nodes
+              UNION
+              SELECT reach.node, e.dst AS r
+              FROM reach JOIN edges e ON reach.r = e.src
+            )
+            SELECT node, CAST(MIN(r) AS BIGINT) AS comp
+            FROM reach GROUP BY node
         """,
         "dedup_simhash": f"""
             WITH toks AS (

@@ -269,6 +269,103 @@ def minhash_dedup_pairs(
 
 
 # --------------------------------------------------------------------------
+# connected components + canonical dedup (pairs -> clusters -> keep one)
+# --------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label propagation over the duplicate-pair graph.
+
+    Output (node, comp): comp = smallest id reachable from node. The
+    standard large-graph approach (hash-min): each iteration joins the
+    current labels across edges and takes the min — converges in
+    O(graph diameter) rounds; duplicate clusters are near-cliques from
+    LSH banding, so 3-5 rounds in practice. Per-round localCheckpoint
+    truncates the iterative lineage (mandatory for loops in Spark).
+    Early-exits when a round changes no label.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+
+    for _ in range(max_iterations):
+        # hash-min step: candidate label for dst = min neighbor comp
+        neighbor = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        stepped = labels.join(neighbor, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+            ).alias("comp"),
+            (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp"))
+            .cast("int")
+            .alias("changed"),
+        )
+        # pointer-jumping step: comp := comp(comp) — halves label-chain
+        # depth each round, so long paths converge in O(log diameter)
+        # instead of O(diameter)
+        l2 = stepped.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
+        new_labels = (
+            stepped.join(l2, stepped.comp == l2.jnode, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
+                F.greatest(
+                    F.col("changed"),
+                    (F.coalesce(F.col("jcomp"), F.col("comp")) < F.col("comp"))
+                    .cast("int"),
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = new_labels.select("node", "comp")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical row per duplicate cluster.
+
+    A row survives unless it belongs to a component and is not its
+    minimum-id representative. Left-anti join against the loser set —
+    docs never in any pair pass through untouched.
+    """
+    comps = connected_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
