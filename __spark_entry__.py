@@ -238,6 +238,42 @@ def _text_metrics(spark, sf):
     )
 
 
+def _corpus_curation(spark, sf):
+    """Composed training-data curation: exact-dedup keeper ∩ quality gate.
+
+    The one-liner every corpus pipeline ends with: keep one copy per
+    distinct text, drop low-quality docs, tag with the heuristic lang.
+    """
+    d = _docs(spark, sf)
+    keepers = (
+        d.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        d.join(keepers, "doc_id")
+        .select(
+            "doc_id",
+            T.lang_guess(F.col("text")).alias("lang_guess"),
+            T.quality_score(F.col("text")).alias("quality"),
+            T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        )
+        .filter((F.col("quality") >= 0.1) & (F.col("n_tokens") >= 10))
+    )
+
+
+def _quality_by_lang(spark, sf):
+    """Exact median/p90 of the quality score per language."""
+    d = _docs(spark, sf).select(
+        "lang", T.quality_score(F.col("text")).alias("q")
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(q, 0.5)"), 4).alias("q_median"),
+        F.round(F.expr("percentile(q, 0.9)"), 4).alias("q_p90"),
+    )
+
+
 def _fingerprint_winnow(spark, sf):
     from navigator_document_parser_spark.operators.text import (
         winnow_fingerprints,
@@ -447,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_doc_stats": _lang_doc_stats,          # §2.4 aggregation
         "text_metrics": _text_metrics,              # M9-adjacent + quality
         "fingerprint_winnow": _fingerprint_winnow,  # rolling-hash winnowing
+        "corpus_curation": _corpus_curation,        # composed curation
+        "quality_by_lang": _quality_by_lang,        # exact percentiles
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_minhash_sig": _dedup_minhash_sig,
@@ -559,6 +597,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint_winnow": T.oracle_winnow(),
+        "corpus_curation": f"""
+            WITH keepers AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            )
+            SELECT d.doc_id,
+                   {T.oracle_lang_guess('d.text')} AS lang_guess,
+                   {T.oracle_quality('d.text')} AS quality,
+                   CAST({T.oracle_token_count('d.text')} AS BIGINT) AS n_tokens
+            FROM documents d JOIN keepers USING (doc_id)
+            WHERE {T.oracle_quality('d.text')} >= 0.1
+              AND {T.oracle_token_count('d.text')} >= 10
+        """,
+        "quality_by_lang": f"""
+            WITH q AS (
+              SELECT lang, {T.oracle_quality('text')} AS q FROM documents
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   round(quantile_cont(q, 0.5), 4) AS q_median,
+                   round(quantile_cont(q, 0.9), 4) AS q_p90
+            FROM q GROUP BY lang
+        """,
         "dedup_exact": """
             SELECT md5(text) AS fp, COUNT(*) AS n_copies,
                    MIN(doc_id) AS keeper_id
