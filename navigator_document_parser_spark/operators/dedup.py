@@ -109,17 +109,6 @@ def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def minhash_from_shingles(sh: Column, num_hashes: int) -> Column:
-    """Signature from a precomputed shingle array (see minhash_signature)."""
-
-    def hasher(h: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{h}:"), s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, hasher(h))) for h in range(num_hashes)]
-    )
-
-
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
