@@ -72,15 +72,22 @@ def run_extraction_bench(spark, n_docs: int) -> tuple[float, int]:
 
 OP_QUERIES = [
     "text_metrics",
+    "fingerprint_winnow",
+    "corpus_curation",
+    "quality_by_lang",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "knn_cosine",
     "knn_lsh",
+    "knn_ivf",
     "embedding_neardup",
     "multimodal_features",
+    "translate_pipeline",
     "events_hourly",
+    "events_sessionize",
     "events_topk_per_type",
     "q1_pricing_summary",
     "q3_revenue_top10",
