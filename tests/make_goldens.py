@@ -22,13 +22,16 @@ from navigator_document_parser_spark.sources.synth import (  # noqa: E402
 )
 
 N = 40
+# deliberately-shaped docs beyond the contiguous range: empty bodies
+# (55, 68), long-paragraph fallbacks (92, 111), heavy tails (137, 153)
+SPECIAL_IDS = [55, 68, 92, 111, 137, 153]
 OUT = pathlib.Path(__file__).parent / "fixtures" / "golden"
 
 
 def main():
     OUT.mkdir(parents=True, exist_ok=True)
     manifest = {}
-    for i in range(N):
+    for i in list(range(N)) + SPECIAL_IDS:
         is_pdf = (i % 5) == 4
         if is_pdf:
             ext = extract_pdf(make_pdf(i))
@@ -58,7 +61,7 @@ def main():
         (OUT / f"doc_{i}.txt").write_bytes(text.encode("utf-8"))
         manifest[str(i)] = entry
     (OUT / "manifest.json").write_text(json.dumps(manifest, indent=1))
-    print(f"wrote {N} goldens to {OUT}")
+    print(f"wrote {N + len(SPECIAL_IDS)} goldens to {OUT}")
 
 
 if __name__ == "__main__":

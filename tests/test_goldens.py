@@ -17,14 +17,15 @@ from navigator_document_parser_spark.sources.synth import make_html, make_pdf
 
 GOLDEN = pathlib.Path(__file__).parent / "fixtures" / "golden"
 MANIFEST = json.loads((GOLDEN / "manifest.json").read_text())
-N = len(MANIFEST)
+ALL_IDS = sorted(int(k) for k in MANIFEST)
+N = 40  # contiguous range used by the Spark-pipeline golden run
 
 
 def golden_text(i: int) -> bytes:
     return (GOLDEN / f"doc_{i}.txt").read_bytes()
 
 
-@pytest.mark.parametrize("i", range(N))
+@pytest.mark.parametrize("i", ALL_IDS)
 def test_core_extraction_matches_golden_bytes(i):
     entry = MANIFEST[str(i)]
     if entry["route"] == "pdf":
