@@ -52,11 +52,33 @@ class PageMeta:
 
 
 @dataclass
+class PdfTableCell:
+    row: int
+    col: int
+    text: str
+    x0: float                      # top-left origin, like PdfBlock
+    y0: float
+    x1: float
+    y1: float
+    offset: int                    # span into the concatenated content
+    length: int
+
+
+@dataclass
+class PdfTable:
+    page: int
+    row_count: int
+    column_count: int
+    cells: list[PdfTableCell] = field(default_factory=list)
+
+
+@dataclass
 class PdfExtraction:
     md5sum: str
     content: str
     blocks: list[PdfBlock] = field(default_factory=list)
     pages: list[PageMeta] = field(default_factory=list)
+    tables: list[PdfTable] = field(default_factory=list)
 
 
 # --------------------------------------------------------------------------
@@ -279,6 +301,7 @@ def extract_pdf(data: bytes) -> PdfExtraction:
 
     pages_meta: list[PageMeta] = []
     blocks: list[PdfBlock] = []
+    tables: list[PdfTable] = []
     content_parts: list[str] = []
     offset = 0
 
@@ -312,31 +335,42 @@ def extract_pdf(data: bytes) -> PdfExtraction:
         # reading order within the page: top-to-bottom (PDF y desc), then x
         shows.sort(key=lambda s: (-round(s.y, 2), round(s.x, 2)))
 
-        # group consecutive lines into blocks by vertical gap
+        # group consecutive lines into blocks by vertical gap; track each
+        # show's global span so table cells can carry exact spans
+        show_spans: dict[int, tuple[int, int]] = {}
         cur: list[_Show] = []
+
+        def flush(group: list[_Show], at: int) -> int:
+            blocks_text, bbox, local = _finalize(group, height)
+            blocks.append(_mk_block(page_idx, blocks_text, bbox, at))
+            for s, loc in local:
+                show_spans[id(s)] = (at + loc, len(s.text))
+            content_parts.append(blocks_text)
+            return at + len(blocks_text) + 1  # '\n' separator
+
         for s in shows:
             if cur and (cur[-1].y - s.y) > 1.8 * max(cur[-1].size, s.size):
-                blocks_text, bbox = _finalize(cur, height)
-                blocks.append(
-                    _mk_block(page_idx, blocks_text, bbox, offset)
-                )
-                offset += len(blocks_text) + 1  # '\n' separator
-                content_parts.append(blocks_text)
+                offset = flush(cur, offset)
                 cur = []
             cur.append(s)
         if cur:
-            blocks_text, bbox = _finalize(cur, height)
-            blocks.append(_mk_block(page_idx, blocks_text, bbox, offset))
-            offset += len(blocks_text) + 1
-            content_parts.append(blocks_text)
+            offset = flush(cur, offset)
+
+        tables.extend(
+            _detect_tables(page_idx, shows, show_spans, height)
+        )
 
     content = "\n".join(content_parts)
     return PdfExtraction(md5sum=md5sum, content=content, blocks=blocks,
-                         pages=pages_meta)
+                         pages=pages_meta, tables=tables)
 
 
 def _finalize(shows: list[_Show], page_height: float):
-    """Join a group of shows into block text + top-left-origin bbox."""
+    """Join a group of shows into block text + top-left-origin bbox.
+
+    Also returns each show's local character offset within the block
+    text (for table-cell span computation).
+    """
     # lines: shows sharing (almost) the same y joined by space, lines by \n
     lines: list[list[_Show]] = []
     for s in shows:
@@ -344,7 +378,19 @@ def _finalize(shows: list[_Show], page_height: float):
             lines[-1].append(s)
         else:
             lines.append([s])
-    text = "\n".join(" ".join(s.text for s in ln) for ln in lines)
+    local: list[tuple[_Show, int]] = []
+    parts: list[str] = []
+    pos = 0
+    for li, ln in enumerate(lines):
+        if li:
+            pos += 1  # '\n'
+        for si, s in enumerate(ln):
+            if si:
+                pos += 1  # ' '
+            local.append((s, pos))
+            pos += len(s.text)
+        parts.append(" ".join(s.text for s in ln))
+    text = "\n".join(parts)
     x0 = min(s.x for s in shows)
     x1 = max(s.x + 0.5 * s.size * len(s.text) for s in shows)
     y_top_pdf = max(s.y + s.size for s in shows)    # top edge in PDF space
@@ -352,7 +398,67 @@ def _finalize(shows: list[_Show], page_height: float):
     # convert to top-left origin (Azure polygon convention)
     y0 = page_height - y_top_pdf
     y1 = page_height - y_bot_pdf
-    return text, (x0, y0, x1, y1)
+    return text, (x0, y0, x1, y1), local
+
+
+def _detect_tables(
+    page: int,
+    shows: list[_Show],
+    show_spans: dict[int, tuple[int, int]],
+    page_height: float,
+) -> list[PdfTable]:
+    """Grid detection: >=2 consecutive text rows sharing the same >=2
+    x-position signature form a table (Azure AnalyzeResult 'tables'
+    analog: row_count/column_count + (row,col)-indexed cells with bbox
+    and content spans, cli/test/test_data/api_response sample shape).
+    """
+    # rows: shows grouped by (almost) equal y, in reading order
+    rows: list[list[_Show]] = []
+    for s in sorted(shows, key=lambda t: (-round(t.y, 2), round(t.x, 2))):
+        if rows and abs(rows[-1][0].y - s.y) < 0.5:
+            rows[-1].append(s)
+        else:
+            rows.append([s])
+
+    def signature(row: list[_Show]):
+        return tuple(round(s.x, 1) for s in row)
+
+    tables: list[PdfTable] = []
+    run: list[list[_Show]] = []
+
+    def flush_run():
+        if len(run) < 2:
+            return
+        sig = signature(run[0])
+        cells: list[PdfTableCell] = []
+        for r_idx, row in enumerate(run):
+            for c_idx, s in enumerate(sorted(row, key=lambda t: t.x)):
+                off, length = show_spans.get(id(s), (0, len(s.text)))
+                cells.append(
+                    PdfTableCell(
+                        row=r_idx, col=c_idx, text=s.text,
+                        x0=s.x,
+                        y0=page_height - (s.y + s.size),
+                        x1=s.x + 0.5 * s.size * len(s.text),
+                        y1=page_height - s.y,
+                        offset=off, length=length,
+                    )
+                )
+        tables.append(
+            PdfTable(
+                page=page, row_count=len(run), column_count=len(sig),
+                cells=cells,
+            )
+        )
+
+    for row in rows:
+        if len(row) >= 2 and (not run or signature(row) == signature(run[0])):
+            run.append(row)
+        else:
+            flush_run()
+            run = [row] if len(row) >= 2 else []
+    flush_run()
+    return tables
 
 
 def _mk_block(page: int, text: str, bbox, offset: int) -> PdfBlock:

@@ -35,6 +35,7 @@ def _empty_result(parser: str = "none", error: str | None = None) -> dict:
         "has_valid_text": False,
         "text_blocks": [],
         "pdf_blocks": None,
+        "pdf_tables": None,
         "page_metadata": None,
         "md5sum": None,
         "languages": [],
@@ -66,6 +67,23 @@ def _extract_one(blob, route: str) -> dict:
                         "offset": b.offset, "length": b.length,
                     }
                     for idx, b in enumerate(ext.blocks)
+                ],
+                "pdf_tables": [
+                    {
+                        "page": t.page,
+                        "row_count": t.row_count,
+                        "column_count": t.column_count,
+                        "cells": [
+                            {
+                                "row": c.row, "col": c.col, "text": c.text,
+                                "x0": c.x0, "y0": c.y0,
+                                "x1": c.x1, "y1": c.y1,
+                                "offset": c.offset, "length": c.length,
+                            }
+                            for c in t.cells
+                        ],
+                    }
+                    for t in ext.tables
                 ],
                 "page_metadata": [
                     {"page_number": p.page_number, "width": p.width,
@@ -101,6 +119,7 @@ def _extract_one(blob, route: str) -> dict:
                 for idx, b in enumerate(r.text_blocks)
             ],
             "pdf_blocks": None,
+            "pdf_tables": None,
             "page_metadata": None,
             "md5sum": None,
             "languages": doc_langs,

@@ -22,9 +22,9 @@ from ..extraction.translate import stub_translate  # noqa: F401 (public surface)
 
 OUTPUT_COLUMNS = [
     "url", "warc_ts", "text", "detected_title", "has_valid_text",
-    "text_blocks", "pdf_blocks", "page_metadata", "md5sum", "languages",
-    "parser", "error", "translated", "translated_to", "pipeline_metadata",
-    "run_id",
+    "text_blocks", "pdf_blocks", "pdf_tables", "page_metadata", "md5sum",
+    "languages", "parser", "error", "translated", "translated_to",
+    "pipeline_metadata", "run_id",
 ]
 
 ENGINE_VERSION = "spark-docparse/0.1.0"
@@ -100,6 +100,7 @@ def run_extraction(
         F.col("x.has_valid_text").alias("has_valid_text"),
         F.col("x.text_blocks").alias("text_blocks"),
         F.col("x.pdf_blocks").alias("pdf_blocks"),
+        F.col("x.pdf_tables").alias("pdf_tables"),
         F.col("x.page_metadata").alias("page_metadata"),
         F.col("x.md5sum").alias("md5sum"),
         F.col("x.languages").alias("languages"),
@@ -146,8 +147,8 @@ def raw_parse_artifacts(extracted: DataFrame) -> DataFrame:
         F.to_json(
             F.struct(
                 "parser", "detected_title", "has_valid_text",
-                "text_blocks", "pdf_blocks", "page_metadata", "md5sum",
-                "languages", "error",
+                "text_blocks", "pdf_blocks", "pdf_tables", "page_metadata",
+                "md5sum", "languages", "error",
             )
         ).alias("artifact"),
     )

@@ -53,6 +53,25 @@ PDF_BLOCK = StructType([
     StructField("length", LongType(), False),
 ])
 
+PDF_TABLE_CELL = StructType([
+    StructField("row", IntegerType(), False),
+    StructField("col", IntegerType(), False),
+    StructField("text", StringType(), False),
+    StructField("x0", DoubleType(), False),
+    StructField("y0", DoubleType(), False),
+    StructField("x1", DoubleType(), False),
+    StructField("y1", DoubleType(), False),
+    StructField("offset", LongType(), False),
+    StructField("length", LongType(), False),
+])
+
+PDF_TABLE = StructType([
+    StructField("page", IntegerType(), False),
+    StructField("row_count", IntegerType(), False),
+    StructField("column_count", IntegerType(), False),
+    StructField("cells", ArrayType(PDF_TABLE_CELL), False),
+])
+
 PAGE_META = StructType([
     StructField("page_number", IntegerType(), False),
     StructField("width", DoubleType(), False),
@@ -66,6 +85,7 @@ EXTRACTION_RESULT = StructType([
     StructField("has_valid_text", BooleanType(), True),
     StructField("text_blocks", ArrayType(HTML_TEXT_BLOCK), True),
     StructField("pdf_blocks", ArrayType(PDF_BLOCK), True),
+    StructField("pdf_tables", ArrayType(PDF_TABLE), True),
     StructField("page_metadata", ArrayType(PAGE_META), True),
     StructField("md5sum", StringType(), True),
     StructField("languages", ArrayType(StringType()), True),

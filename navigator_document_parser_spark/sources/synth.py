@@ -122,8 +122,11 @@ def make_html(i: int) -> bytes:
 
 
 def make_pdf(i: int) -> bytes:
-    """PDF bytes for row id ``i``: 1-3 pages, 2-5 blocks per page."""
+    """PDF bytes for row id ``i``: 1-3 pages, 2-5 blocks per page;
+    ~1/3 of PDFs additionally carry a grid table on page 1 (exercises
+    the AnalyzeResult-style table extraction, M10/M11)."""
     lang = LANGS[i % len(LANGS)]
+    vocab = _VOCAB[lang]
     n_pages = 1 + _rng(i, 3) % 3
     pages = []
     for p in range(n_pages):
@@ -134,6 +137,19 @@ def make_pdf(i: int) -> bytes:
             text = _sentence(i, 700 + p * 13 + b, lang, 6 + _rng(i, 60 + b) % 8)
             shows.append((72.0, y, 12.0, text))
             y -= 40.0
+        if p == 0 and _rng(i, 77) % 3 == 0:
+            # grid table: n_rows x n_cols of single-word/number cells
+            n_rows = 2 + _rng(i, 78) % 3
+            n_cols = 2 + _rng(i, 79) % 2
+            ty = y - 20.0
+            for r in range(n_rows):
+                for c in range(n_cols):
+                    if r == 0:
+                        cell = vocab[_rng(i, 200 + c) % len(vocab)]
+                    else:
+                        cell = f"{(_rng(i, 300 + r * 7 + c) % 9000) / 10:.1f}"
+                    shows.append((72.0 + 120.0 * c, ty, 12.0, cell))
+                ty -= 20.0
         pages.append(shows)
     return synthesize_pdf(pages)
 

@@ -89,3 +89,41 @@ def test_bullet_groups_by_vertical_gap():
     ]]
     ext = extract_pdf(synthesize_pdf(pages))
     assert [b.text for b in ext.blocks] == ["line a\nline b", "far away"]
+
+
+def test_table_detection_grid_with_spans():
+    from navigator_document_parser_spark.extraction.pdf_blocks import (
+        extract_pdf,
+        synthesize_pdf,
+    )
+
+    pages = [[
+        (72, 720, 14, "Quarterly Figures"),
+        (72, 650, 12, "metric"), (220, 650, 12, "q1"), (360, 650, 12, "q2"),
+        (72, 630, 12, "revenue"), (220, 630, 12, "10.5"), (360, 630, 12, "11.2"),
+        (72, 610, 12, "costs"), (220, 610, 12, "4.2"), (360, 610, 12, "4.9"),
+        (72, 520, 12, "Footnote paragraph about the table above."),
+    ]]
+    ext = extract_pdf(synthesize_pdf(pages))
+    assert len(ext.tables) == 1
+    t = ext.tables[0]
+    assert (t.row_count, t.column_count) == (3, 3)
+    grid = {(c.row, c.col): c for c in t.cells}
+    assert grid[(0, 0)].text == "metric"
+    assert grid[(2, 2)].text == "4.9"
+    for c in t.cells:
+        assert ext.content[c.offset : c.offset + c.length] == c.text
+    # y0 < y1 in top-left-origin convention; columns share x0
+    assert grid[(0, 1)].x0 == grid[(2, 1)].x0
+    assert all(c.y0 < c.y1 for c in t.cells)
+
+
+def test_no_table_on_plain_paragraph_page():
+    from navigator_document_parser_spark.extraction.pdf_blocks import (
+        extract_pdf,
+        synthesize_pdf,
+    )
+
+    pages = [[(72, 700 - 20 * j, 12, f"paragraph line {j}") for j in range(6)]]
+    ext = extract_pdf(synthesize_pdf(pages))
+    assert ext.tables == []
