@@ -1,0 +1,63 @@
+"""Incremental streaming ingestion: files arriving while the stream runs.
+
+Continuous mode (no availableNow): the file stream picks up a second
+batch of documents dropped after the first micro-batch commits; the
+keyed sink keeps everything exactly-once.
+"""
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from navigator_document_parser_spark.sources.synth import synth_documents
+from navigator_document_parser_spark.streaming.stream_job import (
+    start_extraction_stream,
+)
+
+
+def test_continuous_ingestion_picks_up_new_files(spark):
+    base = tempfile.mkdtemp(prefix="ndps-inc-")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    try:
+        docs = synth_documents(spark, 40, partitions=4).cache()
+        first = docs.filter(F.xxhash64("url") % 2 == 0)
+        second = docs.filter(F.xxhash64("url") % 2 != 0)
+        n_first, n_second = first.count(), second.count()
+
+        first.write.parquet(in_dir)  # initial files
+        q = start_extraction_stream(
+            spark, in_dir, out_dir,
+            os.path.join(base, "ckpt"),
+            available_now=False,
+            max_files_per_trigger=8,
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(out_dir).count() >= n_first:
+                        break
+                except Exception:
+                    pass
+                time.sleep(2)
+            assert spark.read.parquet(out_dir).count() == n_first
+
+            # drop the second wave into the live directory
+            second.write.mode("append").parquet(in_dir)
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.read.parquet(out_dir).count() >= n_first + n_second:
+                    break
+                time.sleep(2)
+            out = spark.read.parquet(out_dir)
+            assert out.count() == n_first + n_second
+            assert out.select("url").distinct().count() == 40
+        finally:
+            q.stop()
+        docs.unpersist()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
