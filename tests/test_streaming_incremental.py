@@ -35,29 +35,35 @@ def test_continuous_ingestion_picks_up_new_files(spark):
             available_now=False,
             max_files_per_trigger=8,
         )
-        try:
+        def wait_for(n_rows: int):
             deadline = time.time() + 120
             while time.time() < deadline:
+                if q.exception() is not None or not q.isActive:
+                    raise AssertionError(
+                        f"stream died: {q.exception()}"
+                    )
                 try:
-                    if spark.read.parquet(out_dir).count() >= n_first:
-                        break
+                    if spark.read.parquet(out_dir).count() >= n_rows:
+                        return
                 except Exception:
                     pass
                 time.sleep(2)
+
+        try:
+            wait_for(n_first)
             assert spark.read.parquet(out_dir).count() == n_first
 
             # drop the second wave into the live directory
             second.write.mode("append").parquet(in_dir)
-            deadline = time.time() + 120
-            while time.time() < deadline:
-                if spark.read.parquet(out_dir).count() >= n_first + n_second:
-                    break
-                time.sleep(2)
+            wait_for(n_first + n_second)
             out = spark.read.parquet(out_dir)
             assert out.count() == n_first + n_second
             assert out.select("url").distinct().count() == 40
         finally:
             q.stop()
-        docs.unpersist()
     finally:
+        try:
+            docs.unpersist()
+        except NameError:
+            pass
         shutil.rmtree(base, ignore_errors=True)
