@@ -145,9 +145,14 @@ def main():
         total_ops += dt
 
     result = {
-        "metric": "documents/sec extraction throughput (synthetic CC-style corpus)",
-        "value": round(ext_sec + total_ops, 3),
+        "metric": (
+            "extraction wall-clock over the synthetic CC-style corpus "
+            "(docs_per_sec field = documents/sec throughput; per-query "
+            "seconds in 'queries')"
+        ),
+        "value": round(ext_sec, 3),
         "unit": "sec",
+        "ops_suite_sec": round(total_ops, 3),
         "queries": queries,
         "sf": sf,
         "docs_per_sec": docs_per_sec,

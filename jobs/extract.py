@@ -66,15 +66,14 @@ def main(argv=None):
     )
     print(f"extraction merged: {stats}")
 
-    targets = [t for t in args.translate.split(",") if t]
+    targets = [t for t in args.translate.split(",") if t.strip()]
     if targets:
+        translate_run = args.run_id + "-translate"
         committed = spark.read.parquet(args.output).filter(
             "translated = false"
         )
-        translated = run_translation(committed, targets)
-        tstats = sink.merge(
-            spark, translated, args.run_id + "-translate",
-        )
+        translated = run_translation(committed, targets, run_id=translate_run)
+        tstats = sink.merge(spark, translated, translate_run)
         print(f"translation merged: {tstats}")
 
 

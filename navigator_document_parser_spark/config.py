@@ -22,7 +22,12 @@ HTML_MAX_PARAGRAPH_LENGTH_WORDS = int(
 )
 
 # Comma-separated ISO-639-1 translation targets. Reference: src/config.py:13-15.
-TARGET_LANGUAGES: list[str] = os.getenv("TARGET_LANGUAGES", "en").lower().split(",")
+# (whitespace-tolerant; empty entries dropped — 'en, fr' and '' behave sanely)
+TARGET_LANGUAGES: list[str] = [
+    t.strip()
+    for t in os.getenv("TARGET_LANGUAGES", "en").lower().split(",")
+    if t.strip()
+]
 
 # --- Spark-scale knobs (no reference equivalent; scale design) -------------
 

@@ -192,16 +192,18 @@ def _unescape_pdf_string(s: str) -> str:
                 out.append(_UNESC[nxt])
                 i += 2
                 continue
-            if nxt.isdigit():  # octal
+            if nxt in "01234567":  # octal (digits 0-7 ONLY, PDF spec 7.3.4.2)
                 j = i + 1
                 oct_digits = ""
-                while j < len(s) and s[j].isdigit() and len(oct_digits) < 3:
+                while j < len(s) and s[j] in "01234567" and len(oct_digits) < 3:
                     oct_digits += s[j]
                     j += 1
                 out.append(chr(int(oct_digits, 8)))
                 i = j
                 continue
-            i += 1
+            # unknown escape: the character itself (\8 -> '8')
+            out.append(nxt)
+            i += 2
             continue
         out.append(c)
         i += 1

@@ -91,61 +91,6 @@ def minhash_signature(col: Column, num_hashes: int = 8) -> Column:
     )
 
 
-def lsh_band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """Band keys: md5 of the concatenated signature slice per band."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(sig, b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
-
-
-def minhash_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 8,
-    bands: int = 4,
-) -> DataFrame:
-    """LSH candidate pairs: ids sharing at least one band bucket.
-
-    Output: (id_a, id_b, n_shared_bands), id_a < id_b.
-    """
-    rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("id"),
-        lsh_band_keys(
-            minhash_signature(F.col(text_col), num_hashes), bands, rows_per_band
-        ).alias("band_keys"),
-    )
-    exploded = sigs.select(
-        "id", F.posexplode("band_keys").alias("band", "key")
-    )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
-    )
-
-
 def jaccard(col_a: Column, col_b: Column) -> Column:
     """|A ∩ B| / |A ∪ B| over distinct-element arrays (4dp).
 
@@ -188,9 +133,14 @@ def minhash_dedup_pairs(
     """
 
     rows_per_band = num_hashes // bands
+    # drop shingle-less docs (empty/short texts): they cannot be MinHash
+    # near-dups, and leaving them in gives every one of them the SAME
+    # md5('') band key — a single quadratic hot bucket in the self-join
+    # at corpus scale (millions of empty/boilerplate pages). Also matches
+    # the SQL oracle, where NULL band keys never join.
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh")
-    )
+    ).filter(F.size("sh") > 0)
     if persist:
         # barrier + reuse: three join branches read the materialized
         # shingles; lineage truncation also stops InferFiltersFromGenerate
@@ -417,27 +367,51 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance.
+    """Near-dup pairs by SimHash hamming distance — EXACT recall.
 
-    Blocking: join on the top byte of the signature (documents differing
-    in <=2 of 16 bits usually agree on one half; for the oracle-checked
-    small-scale variant we join on equality of the top byte — at cluster
-    scale use the standard multi-probe table split).
+    Pigeonhole blocking: the 16-bit signature is split into
+    (max_hamming + 1) blocks; two signatures within max_hamming bits
+    must agree exactly on at least one block, so the union of per-block
+    equi-joins finds every qualifying pair while each join stays an
+    equi-join on a short bit-slice (the standard Manku/Jain/Sarma
+    multi-table split).
     """
+    n_blocks = max_hamming + 1
+    width = SIMHASH_BITS // n_blocks
     s = simhash(df, id_col, text_col)
-    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"),
-                 F.shiftright("simhash", 8).alias("blk"))
-    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"),
-                 F.shiftright("simhash", 8).alias("blk"))
+
+    def slices(prefix: str):
+        cols = [
+            F.col(id_col).alias(f"id_{prefix}"),
+            F.col("simhash").alias(f"h{prefix}"),
+        ]
+        for blk in range(n_blocks):
+            lo = blk * width
+            hi = SIMHASH_BITS if blk == n_blocks - 1 else lo + width
+            mask = ((1 << hi) - 1) ^ ((1 << lo) - 1)
+            cols.append(
+                F.shiftright(
+                    F.col("simhash").bitwiseAND(F.lit(mask)), lo
+                ).alias(f"blk{blk}_{prefix}")
+            )
+        return s.select(*cols)
+
+    a, b = slices("a"), slices("b")
+    cand = None
+    for blk in range(n_blocks):
+        j = a.join(
+            b,
+            (F.col(f"blk{blk}_a") == F.col(f"blk{blk}_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        ).select("id_a", "id_b", "ha", "hb")
+        cand = j if cand is None else cand.unionByName(j)
+
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
-            F.bit_count(
-                F.col("ha").bitwiseXOR(F.col("hb"))
-            ).alias("hamming"),
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -328,16 +328,29 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    dim: int | None = None,
+    n_planes: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked to avoid N^2.
 
-    Default blocking on a categorical column (label); with block_col=None
-    uses the LSH bucket instead.
+    Default blocking on a categorical column (label); with
+    block_col=None, blocks on the random-hyperplane LSH bucket instead
+    (requires ``dim``). There is deliberately no unblocked path — an
+    unconstrained self-join is exactly the N^2 this operator exists to
+    avoid.
     """
+    if block_col is None:
+        if dim is None:
+            raise ValueError(
+                "block_col=None requires dim= for LSH-bucket blocking"
+            )
+        blk = lsh_bucket(F.col(vec_col), dim, n_planes)
+    else:
+        blk = F.col(block_col)
     base = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        blk.alias("blk"),
     )
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "blk")

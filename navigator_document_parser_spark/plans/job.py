@@ -189,7 +189,9 @@ def flip_pdf_block_coords(extracted: DataFrame) -> DataFrame:
 
 
 def run_translation(
-    extracted: DataFrame, target_languages: list[str]
+    extracted: DataFrame,
+    target_languages: list[str] | None = None,
+    run_id: str | None = None,
 ) -> DataFrame:
     """Translation stage (P6-P8 + M14) over extracted outputs.
 
@@ -201,7 +203,16 @@ def run_translation(
     block texts (stub translator — deterministic reference-mock format).
     Emits ONLY the translated rows (reference writes them as additional
     *_translated_{lang}.json outputs alongside the originals).
+
+    ``target_languages`` defaults to config.TARGET_LANGUAGES (the
+    reference's env knob, src/config.py:13-15). ``run_id``, when given,
+    restamps the output rows so sink lineage attributes them to the
+    translation run, not the extraction run they derive from.
     """
+    if target_languages is None:
+        from ..config import TARGET_LANGUAGES
+
+        target_languages = TARGET_LANGUAGES
     targets = F.array(*[F.lit(t) for t in target_languages])
 
     candidates = extracted.filter(
@@ -248,6 +259,10 @@ def run_translation(
         .withColumn("languages", F.array(F.col("target_language")))
         .withColumn("translated", F.lit(True))
         .withColumn("translated_to", F.col("target_language"))
+        .withColumn(
+            "run_id",
+            F.lit(run_id) if run_id is not None else F.col("run_id"),
+        )
         .drop("target_language")
         .select(*OUTPUT_COLUMNS)
     )

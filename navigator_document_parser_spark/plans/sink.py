@@ -123,12 +123,21 @@ class ParquetMergeSink:
         # Past that, drop the broadcast hint and let AQE pick a
         # shuffle-hash join; the sink interface doesn't change.
 
-        to_write = deduped.withColumn("part_id", F.spark_partition_id())
+        # stats/lineage key on a UNIQUE per-invocation merge id, not the
+        # logical run_id: resuming a crashed run with the SAME run_id must
+        # not re-count rows committed by the earlier attempt (lineage
+        # would double-count and 'inserted' would over-report).
+        import uuid
+
+        merge_id = f"{run_id}-{uuid.uuid4().hex[:8]}"
+        to_write = deduped.withColumn(
+            "part_id", F.spark_partition_id()
+        ).withColumn("merge_id", F.lit(merge_id))
         to_write.write.mode("append").parquet(self.path)
 
         # lineage from the committed files only (column-pruned re-scan)
         written = spark.read.parquet(self.path).filter(
-            F.col("run_id") == run_id
+            F.col("merge_id") == merge_id
         )
         lineage = written.groupBy("part_id").agg(
             F.count(F.lit(1)).alias("n_rows"),

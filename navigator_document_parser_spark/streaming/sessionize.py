@@ -49,8 +49,11 @@ def make_sessionize_fn(use_timeout: bool):
 
     Emits a row per session transition: 'closed' rows when a gap (or, in
     continuous mode, a processing-time timeout) ends a session, plus one
-    'open' row reflecting current state (idempotent downstream consumers
-    key on (user_id, session_idx) and keep the latest).
+    'open' row reflecting current state. Downstream consumers must key
+    on (user_id, session_idx, session_start) and keep the latest:
+    session_start disambiguates index reuse after a timeout close frees
+    the state (the counter restarts at 0 for that user, but no two
+    sessions of one user can share a start timestamp).
 
     ``use_timeout`` must be False in availableNow/drain mode: registering
     ProcessingTimeTimeout makes the availableNow trigger spin empty

@@ -306,3 +306,36 @@ def test_real_decoder_is_explicit_stub(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", "image")
+
+
+def test_simhash_near_pairs_detects_near_identical_docs(spark):
+    from navigator_document_parser_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "weather report mentions rain tomorrow afternoon")
+    data = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-identical -> tiny hamming dist
+            (3, "completely unrelated text about database query engines "
+                "and vectorized execution plans in columnar systems"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(data, max_hamming=3).collect()
+    }
+    # pigeonhole blocking guarantees the near-identical pair is found;
+    # 16-bit simhash is coarse, so unrelated pairs MAY also fall within
+    # 3 bits — the guarantee under test is recall, not precision
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] == min(pairs.values())
+    # tight radius keeps only the near-identical pair
+    tight = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(data, max_hamming=2).collect()
+    }
+    assert (1, 2) in tight
