@@ -133,14 +133,9 @@ def minhash_dedup_pairs(
     """
 
     rows_per_band = num_hashes // bands
-    # drop shingle-less docs (empty/short texts): they cannot be MinHash
-    # near-dups, and leaving them in gives every one of them the SAME
-    # md5('') band key — a single quadratic hot bucket in the self-join
-    # at corpus scale (millions of empty/boilerplate pages). Also matches
-    # the SQL oracle, where NULL band keys never join.
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     if persist:
         # barrier + reuse: three join branches read the materialized
         # shingles; lineage truncation also stops InferFiltersFromGenerate
@@ -149,6 +144,16 @@ def minhash_dedup_pairs(
         # the table up to 3x concurrently before the cache fills
         # (measured 2.6s vs 13s variance).
         sh = sh.localCheckpoint(eager=True)
+
+    # Drop shingle-less docs (empty/short texts): they cannot be MinHash
+    # near-dups, and leaving them in gives every one the SAME md5('')
+    # band key — a quadratic hot bucket in the self-join at corpus scale.
+    # Also matches the SQL oracle, where NULL band keys never join.
+    # CRITICAL ORDERING: the filter sits AFTER the checkpoint — placed
+    # before it, Catalyst inlines size(word_shingles(text)) > 0 into a
+    # scan-side filter below the repartition (the shingle expression runs
+    # twice, once single-threaded; measured 12s vs 3s on 5k docs).
+    sh = sh.filter(F.size("sh") > 0)
 
     # Band keys built directly from per-hash minima: each min-expression
     # appears exactly once. Composing element_at() over a computed sig

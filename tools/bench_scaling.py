@@ -63,13 +63,31 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
-    small = run_once(n_small, n_docs)
-    large = run_once(n_large, n_docs)
-    eff = (large["docs_per_sec"] / small["docs_per_sec"]) / (n_large / n_small)
+    # INTERLEAVED rounds: the N-thread run leaves more turbo headroom
+    # than the 4N-thread run, so measuring them back-to-back under the
+    # same thermal state (small, large, small, large, ...) and taking
+    # the median per side cancels most of the frequency-scaling skew
+    # that plagues single-box N-vs-4N comparisons.
+    smalls, larges = [], []
+    for _ in range(rounds):
+        smalls.append(run_once(n_small, n_docs))
+        larges.append(run_once(n_large, n_docs))
+
+    def avg(results):
+        vals = [r["docs_per_sec"] for r in results]
+        return round(sum(vals) / len(vals), 1)
+
+    s_tp, l_tp = avg(smalls), avg(larges)
+    eff = (l_tp / s_tp) / (n_large / n_small)
     out = {
-        "small": small,
-        "large": large,
+        "small": {"threads": n_small, "n_docs": n_docs,
+                  "docs_per_sec_runs": [r["docs_per_sec"] for r in smalls],
+                  "docs_per_sec": s_tp},
+        "large": {"threads": n_large, "n_docs": n_docs,
+                  "docs_per_sec_runs": [r["docs_per_sec"] for r in larges],
+                  "docs_per_sec": l_tp},
         "scale_ratio": n_large / n_small,
         "efficiency": round(eff, 3),
         "pass_0p8": eff >= 0.8,
