@@ -79,12 +79,13 @@ def test_extract_job_cli_end_to_end(spark):
         translated = out.filter(F.col("translated")).count()
         assert originals == 25
         assert translated > 0
-        # idempotent re-run: nothing added
+        # idempotent re-run, exercising the skew-rebalance flag path too
         J.main([
             "--input", base + "/in",
             "--output", base + "/out",
             "--run-id", "job-2",
             "--translate", "en",
+            "--rebalance-partitions", "8",
         ])
         again = spark.read.parquet(base + "/out")
         assert again.count() == originals + translated
