@@ -356,7 +356,9 @@ def _knn_ivf(spark, sf):
         knn_ivf,
     )
 
-    emb = _emb(spark, sf)
+    # materialize once: train (2 assignment passes + seeding) and search
+    # each re-read the table; eager barrier per CLAUDE.md lesson 7
+    emb = _emb(spark, sf).localCheckpoint(eager=True)
     cents = ivf_train(emb, n_centroids=16, iterations=2)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -493,7 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_components": _dedup_components,
         "knn_cosine": _knn_cosine,
-        "knn_lsh": _knn_lsh,                        # rows-only (approx)
+        "knn_lsh": _knn_lsh,                # oracle: deterministic planes
         "knn_ivf": _knn_ivf,                        # rows-only (approx)
         "embedding_neardup": _embedding_neardup,
         "multimodal_features": _multimodal_features,  # rows-only (mapInPandas)
@@ -530,6 +532,61 @@ _JACCARD = (
     "THEN 0.0 ELSE length(list_intersect(a.s, b.s)) * 1.0 "
     "/ length(list_distinct(list_concat(a.s, b.s))) END, 4)"
 )
+
+
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 4,
+                    k: int = 5) -> str:
+    """DuckDB replica of _knn_lsh: the hyperplanes are deterministic md5
+    literals, so bucket assignment is pure SQL. Projections are written
+    as explicit left-associated sums starting at 0.0 — bit-identical to
+    Spark's aggregate(zip_with(...), 0.0, acc + x) fold order."""
+    from navigator_document_parser_spark.operators.similarity import (
+        _hyperplane,
+    )
+
+    def proj(t: int, p: int) -> str:
+        plane = _hyperplane(dim, p, seed=42 + t)
+        terms = " + ".join(f"v[{d + 1}]*({plane[d]!r})" for d in range(dim))
+        return f"(0.0 + {terms})"
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {proj(t, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    bcols = ", ".join(f"({bucket(t)}) AS b{t}" for t in range(n_tables))
+    branches = "\n              UNION\n".join(
+        f"              SELECT e.vec_id, q.query_id, e.embedding, q.qvec\n"
+        f"              FROM b e JOIN q ON e.b{t} = q.b{t}"
+        f" AND e.vec_id <> q.query_id"
+        for t in range(n_tables)
+    )
+    qb = ", ".join(f"b{t}" for t in range(n_tables))
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), b AS (
+          SELECT vec_id, embedding, {bcols} FROM base
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qvec, {qb}
+          FROM b WHERE vec_id < 5
+        ), cand AS (
+{branches}
+        ), scored AS (
+          SELECT query_id, vec_id,
+                 round(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])), 4)
+                   AS sim
+          FROM cand
+        )
+        SELECT query_id, vec_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -703,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             WHERE {_JACCARD} >= 0.1
         """,
+        "knn_lsh": _lsh_oracle_sql(),
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings WHERE vec_id < 5),

@@ -223,16 +223,26 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """Min-label propagation over the duplicate-pair graph.
 
     Output (node, comp): comp = smallest id reachable from node. The
-    standard large-graph approach (hash-min): each iteration joins the
-    current labels across edges and takes the min — converges in
-    O(graph diameter) rounds; duplicate clusters are near-cliques from
-    LSH banding, so 3-5 rounds in practice. Per-round localCheckpoint
-    truncates the iterative lineage (mandatory for loops in Spark).
-    Early-exits when a round changes no label.
+    standard large-graph approach (hash-min + pointer jumping): each
+    round joins the current labels across edges and takes the min, then
+    compresses label chains (comp := comp(comp)) — O(log diameter)
+    rounds; duplicate clusters are near-cliques from LSH banding, so 1-2
+    rounds in practice.
+
+    Driver-action batching: the old shape ran one Spark job PER round
+    (checkpoint + convergence collect each round), which made job-launch
+    overhead the dominant cost on all but huge graphs. Now
+    ``check_every`` rounds are chained into ONE job before the
+    convergence collect; a no-change result in the LAST chained round is
+    a fixpoint (hash-min is monotone), so correctness is unaffected.
+    The edge table is eagerly checkpointed once (it is re-read by every
+    round — lazy barriers race under concurrent branch materialization,
+    CLAUDE.md lesson 7); label lineage is truncated at each collect.
     """
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"),
@@ -240,16 +250,15 @@ def connected_components(
     )
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=False)
     )
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         # hash-min step: candidate label for dst = min neighbor comp
         neighbor = (
             sym.join(labels, sym.src == labels.node)
@@ -271,23 +280,25 @@ def connected_components(
         l2 = stepped.select(
             F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
         )
-        new_labels = (
-            stepped.join(l2, stepped.comp == l2.jnode, "left")
-            .select(
-                "node",
-                F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
-                F.greatest(
-                    F.col("changed"),
-                    (F.coalesce(F.col("jcomp"), F.col("comp")) < F.col("comp"))
-                    .cast("int"),
-                ).alias("changed"),
-            )
-            .localCheckpoint(eager=False)
+        new_labels = stepped.join(l2, stepped.comp == l2.jnode, "left").select(
+            "node",
+            F.coalesce(F.col("jcomp"), F.col("comp")).alias("comp"),
+            F.greatest(
+                F.col("changed"),
+                (F.coalesce(F.col("jcomp"), F.col("comp")) < F.col("comp"))
+                .cast("int"),
+            ).alias("changed"),
         )
-        changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
-        labels = new_labels.select("node", "comp")
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0 or it == max_iterations - 1:
+            new_labels = new_labels.localCheckpoint(eager=False)
+            # one action materializes the whole chained batch; 'changed'
+            # counts only the LAST round — 0 there means fixpoint
+            changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+            labels = new_labels.select("node", "comp")
+            if changed == 0:
+                break
+        else:
+            labels = new_labels.select("node", "comp")
     return labels
 
 
@@ -458,8 +469,10 @@ def ngram_jaccard_pairs(
     # the scan — re-evaluating the whole (interpreted) shingle expression
     # per row on the unparallelized pre-shuffle side, per join branch
     # (measured 10x). localCheckpoint truncates lineage so shingles are
-    # computed exactly once, post-shuffle, in parallel.
-    base = base.localCheckpoint(eager=False)
+    # computed exactly once, post-shuffle, in parallel. EAGER: this table
+    # feeds BOTH sides of the self-join, and lazy barriers race under
+    # concurrent branch materialization (CLAUDE.md lesson 7).
+    base = base.localCheckpoint(eager=True)
 
     inv = base.select(
         "id", "lg", "lb", "n_sh", F.explode("sh").alias("s")

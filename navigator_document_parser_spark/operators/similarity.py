@@ -131,44 +131,52 @@ def knn_lsh(
     amplifier: miss probability decays as miss_one^n_tables). Recall <
     1.0 by construction; the bruteforce path is the oracle.
 
-    Plan shape: queries are broadcast, so the OR-of-buckets predicate is
-    evaluated as a broadcast nested-loop against the tiny query side. If
-    the query side ever outgrows broadcast, rewrite as a union of
-    per-table equi-joins on bucket id (each over ~N/2^planes rows).
+    Plan shape: a UNION of per-table broadcast-hash EQUI-joins on bucket
+    id — every branch is a hash join against the (tiny, broadcast) query
+    side, so candidate generation is O(sum of bucket collision sizes),
+    never the O(N*Q) nested-loop an OR-of-buckets predicate forces. Each
+    branch computes only its own table's bucket expression; duplicate
+    candidates (pairs colliding in several tables) are deduped on the
+    narrow (query_id, vec_id, sim) rows after the union. At 10^9 vectors
+    the corpus side would be bucketed once into a materialized index
+    table; here each branch re-derives its bucket inline, which is the
+    same total bucket-hash work.
     """
     from pyspark.sql.window import Window
 
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("evec"),
-        *[
-            lsh_bucket(F.col(vec_col), dim, n_planes, seed=42 + t).alias(
-                f"bucket{t}"
-            )
-            for t in range(n_tables)
-        ],
+    q_base = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            *[
-                lsh_bucket(F.col(vec_col), dim, n_planes, seed=42 + t).alias(
-                    f"bucket{t}"
-                )
-                for t in range(n_tables)
-            ],
-        )
-    )
-    any_bucket = None
+    cand = None
     for t in range(n_tables):
-        c = F.col(f"e.bucket{t}") == F.col(f"q.bucket{t}")
-        any_bucket = c if any_bucket is None else (any_bucket | c)
-    scored = e.alias("e").join(q.alias("q"), any_bucket).select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("evec"), F.col("qvec")).alias("sim"),
-    ).filter(F.col("vec_id") != F.col("query_id"))
+        e_t = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("evec"),
+            lsh_bucket(F.col(vec_col), dim, n_planes, seed=42 + t).alias("bkt"),
+        )
+        q_t = F.broadcast(
+            q_base.select(
+                "query_id",
+                "qvec",
+                lsh_bucket(F.col("qvec"), dim, n_planes, seed=42 + t).alias(
+                    "bkt"
+                ),
+            )
+        )
+        j = (
+            e_t.join(q_t, "bkt")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                cosine(F.col("evec"), F.col("qvec")).alias("sim"),
+            )
+        )
+        cand = j if cand is None else cand.unionByName(j)
+
+    # a pair that collides in m tables appears m times with an identical
+    # sim value — dedup the narrow candidate rows, vectors never shuffle
+    scored = cand.dropDuplicates(["query_id", "vec_id"])
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
@@ -180,26 +188,117 @@ def knn_lsh(
     )
 
 
-def _seed_centroids(embeddings: DataFrame, n_centroids: int,
-                    id_col: str, vec_col: str) -> DataFrame:
-    """Deterministic centroid seeding: the n vectors whose md5(id) is
-    smallest — a uniform pseudo-random sample with no RNG state."""
-    from pyspark.sql.window import Window
+def _unit(vec: list[float]) -> list[float]:
+    """Driver-side L2 normalization (zero vectors stay zero)."""
+    import math
 
-    return (
-        embeddings.select(
-            F.col(id_col).alias("cid_seed"), F.col(vec_col).alias("centroid")
-        )
-        .orderBy(F.md5(F.col("cid_seed").cast("string")))
-        .limit(n_centroids)
-        .withColumn(
-            "cid",
-            F.row_number().over(
-                Window.orderBy(F.md5(F.col("cid_seed").cast("string")))
-            ),
-        )
-        .select("cid", "centroid")
+    n = math.sqrt(sum(x * x for x in vec))
+    if n == 0:
+        return [0.0] * len(vec)
+    return [x / n for x in vec]
+
+
+def _probe_udf(unit_cents: list[list[float]], n_probe: int):
+    """Vectorized nearest-cell assignment: one Arrow-batched numpy matmul.
+
+    The assignment score is dot(v, ĉ) against PRE-NORMALIZED centroids:
+    |v| is a positive per-row constant, so argmax over ĉ equals argmax
+    cosine. Dense (batch × dim) @ (dim × C) scoring is exactly what BLAS
+    is for — a JVM-side formulation is either a crossJoin + window
+    (shuffles N*C rows) or an interpreted higher-order-function tree
+    (~1024 literal nodes; no codegen, second-scale plan-compile cost per
+    job), both measured slower at every scale. ZERO shuffle: the UDF is
+    a pure projection. ``n_probe=1`` returns [nearest]; ties break
+    toward the smallest cid (np.argsort stable, matching struct-max
+    tie-break semantics). cids are 1-based.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mat = [list(c) for c in unit_cents]  # plain lists: cheap to pickle
+    n = int(n_probe)
+
+    def probe(v):
+        import numpy as np
+        import pandas as pd
+
+        m = np.asarray(mat, dtype=np.float64).T  # dim x C
+        x = np.stack(v.to_numpy()).astype(np.float64)  # batch x dim
+        s = x @ m  # batch x C
+        order = np.argsort(-s, axis=1, kind="stable")[:, :n] + 1
+        return pd.Series(list(order.astype("int32")))
+
+    return pandas_udf(probe, "array<int>")
+
+
+def _collect_centroids(centroids: DataFrame) -> list[list[float]]:
+    """(cid, centroid) DataFrame -> cid-ordered driver list (cid = idx+1)."""
+    rows = centroids.select("cid", "centroid").collect()
+    return [list(r["centroid"]) for r in sorted(rows, key=lambda r: r["cid"])]
+
+
+def _seed_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    oversample: int = 2,
+) -> list[list[float]]:
+    """Deterministic kmeans||-style seeding (no RNG state anywhere).
+
+    Round 1 picks the md5(id)-minimal vector (a uniform pseudo-random
+    draw). Round 2 oversamples: ONE distributed pass scores every vector
+    against the first seed and keeps the ``oversample * n_centroids``
+    least-similar (cosine asc, id asc) — the kmeans|| trick of grabbing
+    many far candidates per pass instead of one-at-a-time k-means++.
+    The candidate pool is then reduced on the driver by exact maximin
+    (farthest-first) to n_centroids seeds. Two Spark jobs total,
+    independent of n_centroids.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
+    first = (
+        e.orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
+        .limit(1)
+        .collect()[0]
+    )
+    seed0 = list(first["v"])
+
+    pool_rows = (
+        e.select(
+            "vid",
+            "v",
+            cosine(F.col("v"), F.array(*[F.lit(x) for x in seed0])).alias("c"),
+        )
+        .orderBy(F.col("c").asc(), F.col("vid").asc())
+        .limit(max(0, oversample * n_centroids - 1))
+        .collect()
+    )
+    pool = [(r["vid"], list(r["v"])) for r in pool_rows]
+
+    # driver-side farthest-first reduction over the tiny candidate pool
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return 0.0 if da == 0 or db == 0 else num / (da * db)
+
+    chosen = [seed0]
+    remaining = list(pool)
+    while len(chosen) < n_centroids and remaining:
+        best_idx, best_key = 0, None
+        for i, (vid, v) in enumerate(remaining):
+            nearest = max(cos(v, c) for c in chosen)
+            key = (nearest, vid)  # least similar to its nearest seed wins
+            if best_key is None or key < best_key:
+                best_idx, best_key = i, key
+        chosen.append(remaining.pop(best_idx)[1])
+    while len(chosen) < n_centroids:
+        chosen.append(list(chosen[len(chosen) % max(1, len(chosen))]))
+    return chosen
 
 
 def ivf_train(
@@ -208,55 +307,66 @@ def ivf_train(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float = 1e-7,
 ) -> DataFrame:
-    """IVF coarse quantizer: Lloyd's k-means entirely in DataFrame ops.
+    """IVF coarse quantizer: Lloyd's k-means with shuffle-free assignment.
 
-    Assignment = argmax cosine vs broadcast centroids (one narrow
-    crossJoin per iteration — centroids are tiny); update = per-cluster
-    elementwise mean via posexplode + groupBy. Deterministic: seeding by
-    md5(id) order, fixed iteration count, 4dp-rounded ranking with id
-    tie-breaks. Returns (cid, centroid array<double>).
+    Per iteration: (1) assignment is a pure projection — one vectorized
+    numpy-matmul Arrow batch per task (see _probe_udf; the old
+    crossJoin + row_number window shuffled N*C scored rows per
+    iteration); (2) update = per-(cid, dim) mean via posexplode +
+    groupBy — map-side partial aggregation reduces every task's output
+    to <= C*dim partial rows before the shuffle, so the update's shuffle
+    volume is O(tasks * C * dim), independent of N; (3) the C*dim means
+    are collected (tiny) to re-literalize centroids and check movement:
+    the loop EARLY-STOPS when no coordinate moved more than ``tol``.
+    Seeding is deterministic kmeans||-style (_seed_centroids).
+    Deterministic given a fixed partitioning; returns (cid,
+    centroid array<double>) with cid in [1, n_centroids].
     """
-    from pyspark.sql.window import Window
-
-    cents = _seed_centroids(embeddings, n_centroids, id_col, vec_col).select(
-        "cid", F.col("centroid").cast("array<double>").alias("centroid")
-    )
-
+    cents = _seed_centroids(embeddings, n_centroids, id_col, vec_col)
     e = embeddings.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
+
     for _ in range(iterations):
-        scored = e.crossJoin(F.broadcast(cents)).select(
-            "vid", "v", "cid", cosine(F.col("v"), F.col("centroid")).alias("sim")
+        unit = [_unit(c) for c in cents]
+        nearest = _probe_udf(unit, 1)
+        assigned = e.select(
+            F.element_at(nearest(F.col("v")), 1).alias("cid"), "v"
         )
-        w = Window.partitionBy("vid").orderBy(
-            F.col("sim").desc(), F.col("cid").asc()
-        )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vid", "v", "cid")
-        )
-        # elementwise mean per cluster: explode dims, groupBy (cid, dim)
-        dims = assigned.select(
-            "cid", F.posexplode("v").alias("dim", "x")
-        )
-        cents = (
-            dims.groupBy("cid", "dim")
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
             .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim", "m"))
-                ).alias("pairs")
-            )
-            .select(
-                "cid",
-                F.transform(F.col("pairs"), lambda p: p["m"]).alias("centroid"),
-            )
+            .collect()
         )
-    return cents
+        new_cents = [list(c) for c in cents]  # empty clusters keep position
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        for cid, dims in by_cid.items():
+            new_cents[cid - 1] = [
+                dims[d] for d in range(len(cents[cid - 1]))
+            ]
+        moved = max(
+            (
+                abs(a - b)
+                for old, new in zip(cents, new_cents)
+                for a, b in zip(old, new)
+            ),
+            default=0.0,
+        )
+        cents = new_cents
+        if moved <= tol:
+            break
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, c) for i, c in enumerate(cents)],
+        schema="cid int, centroid array<double>",
+    )
 
 
 def knn_ivf(
@@ -270,47 +380,40 @@ def knn_ivf(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """IVF search: score only vectors in the query's n_probe nearest
-    cells. At corpus scale the candidate set shrinks by
-    ~n_probe/n_centroids; the cell join is an equi-join on cid.
+    cells. Cell assignment on BOTH sides is a shuffle-free vectorized
+    projection (_probe_udf numpy matmul); the cell match is a
+    broadcast-hash EQUI-join on cid (queries are tiny). The only shuffle
+    in the whole plan is the final per-query top-k window over the
+    narrow candidate rows. Each corpus vector lives in exactly one cell
+    and probe cids are distinct, so no dedup pass is needed. At corpus
+    scale the candidate set shrinks by ~n_probe/n_centroids.
     """
     from pyspark.sql.window import Window
 
-    cents = F.broadcast(centroids)
+    unit = [_unit(c) for c in _collect_centroids(centroids)]
+    nearest = _probe_udf(unit, 1)
+    prober = _probe_udf(unit, n_probe)
 
-    def assign(df, idc, vc, top_n, out_prefix):
-        scored = df.crossJoin(cents).select(
-            F.col(idc), F.col(vc),
-            "cid", cosine(F.col(vc), F.col("centroid")).alias("csim"),
-        )
-        w = Window.partitionBy(idc).orderBy(
-            F.col("csim").desc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= top_n)
-            .select(F.col(idc), F.col(vc), F.col("cid").alias(f"{out_prefix}cid"))
-        )
-
-    e_cells = assign(
-        embeddings.select(F.col(id_col).alias("vec_id"),
-                          F.col(vec_col).alias("evec")),
-        "vec_id", "evec", 1, "e",
+    e_cells = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("evec"),
+        F.element_at(nearest(F.col(vec_col)), 1).alias("cid"),
     )
     q_cells = F.broadcast(
-        assign(
-            queries.select(F.col(query_id_col).alias("query_id"),
-                           F.col(vec_col).alias("qvec")),
-            "query_id", "qvec", n_probe, "q",
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(prober(F.col(vec_col))).alias("cid"),
         )
     )
     scored = (
-        e_cells.join(q_cells, e_cells.ecid == q_cells.qcid)
+        e_cells.join(q_cells, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
-            "query_id", "vec_id",
+            "query_id",
+            "vec_id",
             cosine(F.col("evec"), F.col("qvec")).alias("sim"),
         )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()

@@ -261,6 +261,45 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall unreasonably low: {recall}"
 
 
+def test_knn_lsh_plan_is_hash_joins_not_nested_loop(spark):
+    """Candidate generation must be a union of per-table EQUI-joins: an
+    OR-of-buckets predicate degrades to BroadcastNestedLoopJoin, which is
+    O(N*Q) predicate evaluations — brute force in disguise."""
+    from navigator_document_parser_spark.operators.similarity import knn_lsh
+
+    emb = load(spark, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = knn_lsh(emb, queries, dim=dim, k=3, n_planes=4, n_tables=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 3  # one equi-join per table
+
+
+def test_knn_ivf_assignment_is_shuffle_free(spark):
+    """Cell assignment must be a pure projection (vectorized matmul), not
+    a crossJoin + window: the only exchanges in the search plan are the
+    final top-k window (and AQE reads), never an N*C ranking shuffle."""
+    from navigator_document_parser_spark.operators.similarity import (
+        ivf_train,
+        knn_ivf,
+    )
+
+    emb = load(spark, "embeddings")
+    cents = ivf_train(emb, n_centroids=4, iterations=1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = knn_ivf(emb, queries, cents, k=3, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one hash-partitioned exchange: the per-query top-k window
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
 def test_embedding_neardup_blocked(spark):
     from navigator_document_parser_spark.operators.similarity import (
         embedding_neardup_pairs,
