@@ -48,18 +48,32 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     otherwise hit ModuleNotFoundError inside pandas UDFs. Equivalent to
     spark-submit --py-files on a cluster.
     """
+    import hashlib
     import os
     import zipfile
 
     if not _PKG_ZIP:
-        path = os.path.join("/tmp", "ndps_pkg.zip")
         pkg_root = os.path.join(_REPO_DIR, "navigator_document_parser_spark")
-        with zipfile.ZipFile(path, "w") as z:
-            for dirpath, _dirs, files in os.walk(pkg_root):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        z.write(full, os.path.relpath(full, _REPO_DIR))
+        sources = []
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    sources.append(os.path.join(dirpath, fn))
+        # content-hash the zip name: addPyFile never overwrites an
+        # already-added path, so a fixed /tmp name could ship STALE code
+        # from an older process/version to the Python workers
+        h = hashlib.md5()
+        for full in sorted(sources):
+            h.update(full.encode())
+            with open(full, "rb") as f:
+                h.update(f.read())
+        path = os.path.join("/tmp", f"ndps_pkg-{h.hexdigest()[:12]}.zip")
+        if not os.path.exists(path):
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with zipfile.ZipFile(tmp, "w") as z:
+                for full in sorted(sources):
+                    z.write(full, os.path.relpath(full, _REPO_DIR))
+            os.replace(tmp, path)  # atomic: concurrent drivers race safely
         _PKG_ZIP.append(path)
     try:
         spark.sparkContext.addPyFile(_PKG_ZIP[0])

@@ -32,6 +32,7 @@ def _empty_result(parser: str = "none", error: str | None = None) -> dict:
     return {
         "text": "",
         "detected_title": "",
+        "detected_date": None,
         "has_valid_text": False,
         "text_blocks": [],
         "pdf_blocks": None,
@@ -57,6 +58,7 @@ def _extract_one(blob, route: str) -> dict:
             return {
                 "text": ext.content,
                 "detected_title": "",
+                "detected_date": None,
                 "has_valid_text": len(ext.blocks) > 0,
                 "text_blocks": [],
                 "pdf_blocks": [
@@ -107,6 +109,7 @@ def _extract_one(blob, route: str) -> dict:
         return {
             "text": r.text,
             "detected_title": r.detected_title,
+            "detected_date": None,  # reference always None (base.py:56)
             "has_valid_text": r.has_valid_text,
             "text_blocks": [
                 {
@@ -214,3 +217,39 @@ def make_translate_pdf_blocks_udf():
             yield pd.Series(out)
 
     return translate_pdf_blocks_udf
+
+
+def make_translate_meta_udf():
+    """UDF translating the optional doc_meta map (M14 residue).
+
+    The reference translates document_name and document_description with
+    the same per-string worthiness skip as block text
+    (src/translator/translate.py:90-96 via translate_text:45-52); the
+    table model's analog is a map<string,string> column whose VALUES are
+    translated and keys kept."""
+
+    from pyspark.sql.types import MapType, StringType
+
+    @pandas_udf(MapType(StringType(), StringType()))
+    def translate_meta_udf(
+        it: Iterator[Tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        for meta_col, lang_col in it:
+            out = []
+            for meta, lang in zip(meta_col.tolist(), lang_col.tolist()):
+                if meta is None:
+                    out.append(None)
+                    continue
+                out.append(
+                    {
+                        k: (
+                            translate_texts([v], lang)[0]
+                            if v is not None
+                            else None
+                        )
+                        for k, v in meta.items()
+                    }
+                )
+            yield pd.Series(out)
+
+    return translate_meta_udf

@@ -329,15 +329,49 @@ def dedup_corpus(
 SIMHASH_BITS = 16
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash per document.
+def _token_hash_bit(b: int) -> Column:
+    """Bit b (LSB-first) of the token's 64-bit md5-prefix hash.
 
-    Each distinct token hashes to 16 bits (first 4 hex chars of md5);
-    bit b of the signature is set when sum over tokens of (+1 if token
-    bit b else -1) >= 0. One explode + one groupBy; portable to SQL.
-    Empty-token docs get signature 0xFFFF (all ties -> >=0 -> set)?  No:
-    docs with no tokens produce no rows and are re-attached with sig 0.
+    The 64-bit value is the first 16 hex chars of md5(tok), assembled as
+    two 32-bit halves because conv() of 16 hex chars overflows a signed
+    long: HI = chars 1-8, LO = chars 9-16, value = HI*2^32 + LO.
     """
+    if b < 32:
+        h = F.conv(F.substring(F.md5(F.col("tok")), 9, 8), 16, 10).cast("long")
+        return F.shiftright(h, b).bitwiseAND(F.lit(1))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    return F.shiftright(h, b - 32).bitwiseAND(F.lit(1))
+
+
+def _bit_value(b: int) -> Column:
+    """Literal 2^b as a signed long (bit 63 = long min, two's complement)."""
+    if b == 63:
+        return F.lit(-(1 << 63))
+    return F.lit(1 << b)
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """``bits``-wide SimHash per document (16 or 64).
+
+    Bit b of the signature is set when sum over distinct tokens of
+    (+1 if token-hash bit b else -1) >= 0. One explode + one groupBy;
+    portable to SQL. Docs with no tokens produce no rows and are
+    re-attached with sig 0.
+
+    Width guidance: 16-bit (the oracle-checked default) saturates around
+    10^5 docs — 2^16 buckets birthday-collide — so REAL corpora should
+    use bits=64 (the Manku et al. production width); the near-pair
+    blocking in simhash_near_pairs widens with it. The 16-bit hash is
+    the first 4 hex chars of md5 (unchanged, oracle-stable); 64-bit uses
+    the first 16 hex chars via two 32-bit halves.
+    """
+    if bits not in (16, 64):
+        raise ValueError("simhash supports bits=16 or bits=64")
     tokens = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -345,23 +379,30 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         ).alias("tok"),
     ).filter(F.length("tok") > 0)
 
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    if bits == 16:
+        h16 = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        bit = [
+            F.shiftright(h16, b).bitwiseAND(F.lit(1)) for b in range(16)
+        ]
+    else:
+        bit = [_token_hash_bit(b) for b in range(64)]
+
     with_bits = tokens.select(
         "id",
         *[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{b}")
-            for b in range(SIMHASH_BITS)
+            F.when(bit[b] == 1, 1).otherwise(-1).alias(f"b{b}")
+            for b in range(bits)
         ],
     )
     agg = with_bits.groupBy("id").agg(
-        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(SIMHASH_BITS)]
+        *[F.sum(f"b{b}").alias(f"s{b}") for b in range(bits)]
     )
     sig = sum(
         (
-            F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-            for b in range(SIMHASH_BITS)
+            F.when(F.col(f"s{b}") >= 0, _bit_value(b)).otherwise(F.lit(0))
+            for b in range(bits)
         ),
         start=F.lit(0),
     )
@@ -382,19 +423,21 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 2,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance — EXACT recall.
 
-    Pigeonhole blocking: the 16-bit signature is split into
+    Pigeonhole blocking: the ``bits``-wide signature is split into
     (max_hamming + 1) blocks; two signatures within max_hamming bits
     must agree exactly on at least one block, so the union of per-block
     equi-joins finds every qualifying pair while each join stays an
     equi-join on a short bit-slice (the standard Manku/Jain/Sarma
-    multi-table split).
+    multi-table split). Slices use unsigned shifts so the 64-bit width
+    (top bit = sign bit of the long) blocks correctly.
     """
     n_blocks = max_hamming + 1
-    width = SIMHASH_BITS // n_blocks
-    s = simhash(df, id_col, text_col)
+    width = bits // n_blocks
+    s = simhash(df, id_col, text_col, bits=bits)
 
     def slices(prefix: str):
         cols = [
@@ -403,13 +446,11 @@ def simhash_near_pairs(
         ]
         for blk in range(n_blocks):
             lo = blk * width
-            hi = SIMHASH_BITS if blk == n_blocks - 1 else lo + width
-            mask = ((1 << hi) - 1) ^ ((1 << lo) - 1)
-            cols.append(
-                F.shiftright(
-                    F.col("simhash").bitwiseAND(F.lit(mask)), lo
-                ).alias(f"blk{blk}_{prefix}")
-            )
+            w = (bits if blk == n_blocks - 1 else lo + width) - lo
+            sliced = F.shiftrightunsigned(F.col("simhash"), lo)
+            if lo + w < 64:  # w==64-lo needs no mask: shift cleared the rest
+                sliced = sliced.bitwiseAND(F.lit((1 << w) - 1))
+            cols.append(sliced.alias(f"blk{blk}_{prefix}"))
         return s.select(*cols)
 
     a, b = slices("a"), slices("b")

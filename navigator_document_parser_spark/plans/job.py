@@ -16,12 +16,14 @@ from pyspark.sql import functions as F
 from ..functions.udfs import (
     extract_udf,
     make_translate_blocks_udf,
+    make_translate_meta_udf,
     make_translate_pdf_blocks_udf,
 )
 from ..extraction.translate import stub_translate  # noqa: F401 (public surface)
 
 OUTPUT_COLUMNS = [
-    "url", "warc_ts", "text", "detected_title", "has_valid_text",
+    "url", "warc_ts", "text", "detected_title", "detected_date",
+    "has_valid_text",
     "text_blocks", "pdf_blocks", "pdf_tables", "page_metadata", "md5sum",
     "languages", "parser", "error", "translated", "translated_to",
     "pipeline_metadata", "run_id",
@@ -97,6 +99,7 @@ def run_extraction(
         "warc_ts",
         F.col("x.text").alias("text"),
         F.col("x.detected_title").alias("detected_title"),
+        F.col("x.detected_date").alias("detected_date"),
         F.col("x.has_valid_text").alias("has_valid_text"),
         F.col("x.text_blocks").alias("text_blocks"),
         F.col("x.pdf_blocks").alias("pdf_blocks"),
@@ -146,7 +149,8 @@ def raw_parse_artifacts(extracted: DataFrame) -> DataFrame:
         "run_id",
         F.to_json(
             F.struct(
-                "parser", "detected_title", "has_valid_text",
+                "parser", "detected_title", "detected_date",
+                "has_valid_text",
                 "text_blocks", "pdf_blocks", "pdf_tables", "page_metadata",
                 "md5sum", "languages", "error",
             )
@@ -238,6 +242,17 @@ def run_translation(
         "pdf_blocks",
         translate_pdf_blocks(F.col("pdf_blocks"), F.col("target_language")),
     )
+    # M14 residue: the reference also translates document_name and
+    # document_description (src/translator/translate.py:90-96). The table
+    # model's analog is an OPTIONAL doc_meta map<string,string> column —
+    # when present, its values go through the same per-string gating.
+    has_meta = "doc_meta" in extracted.columns
+    if has_meta:
+        translate_meta = make_translate_meta_udf()
+        translated = translated.withColumn(
+            "doc_meta",
+            translate_meta(F.col("doc_meta"), F.col("target_language")),
+        )
 
     # rebuild text from translated block lines (html: flattened block
     # lines; pdf: block texts), set language metadata
@@ -264,5 +279,5 @@ def run_translation(
             F.lit(run_id) if run_id is not None else F.col("run_id"),
         )
         .drop("target_language")
-        .select(*OUTPUT_COLUMNS)
+        .select(*(OUTPUT_COLUMNS + (["doc_meta"] if has_meta else [])))
     )

@@ -102,18 +102,21 @@ class ParquetMergeSink:
 
         committed = self.committed_keys(spark)
         if committed is not None:
-            committed = committed.withColumn(
-                "translated_to", F.coalesce(F.col("translated_to"), F.lit(""))
-            )
+            # NULL-SAFE key equality throughout (<=>), matching both the
+            # iceberg_merge_sql ON clause and the within-batch dedup
+            # (dropDuplicates treats nulls as equal): a null key part must
+            # anti-join against its committed twin, or re-running would
+            # re-insert it every time and break run-twice-adds-0-rows.
             deduped = (
                 deduped.alias("b")
                 .join(
                     F.broadcast(committed).alias("c"),
                     on=[
-                        F.col("b.url") == F.col("c.url"),
-                        F.col("b.warc_ts") == F.col("c.warc_ts"),
-                        F.coalesce(F.col("b.translated_to"), F.lit(""))
-                        == F.col("c.translated_to"),
+                        F.col("b.url").eqNullSafe(F.col("c.url")),
+                        F.col("b.warc_ts").eqNullSafe(F.col("c.warc_ts")),
+                        F.col("b.translated_to").eqNullSafe(
+                            F.col("c.translated_to")
+                        ),
                     ],
                     how="left_anti",
                 )
@@ -130,15 +133,22 @@ class ParquetMergeSink:
         import uuid
 
         merge_id = f"{run_id}-{uuid.uuid4().hex[:8]}"
-        to_write = deduped.withColumn(
-            "part_id", F.spark_partition_id()
-        ).withColumn("merge_id", F.lit(merge_id))
-        to_write.write.mode("append").parquet(self.path)
+        # each merge commits into its own hive-style partition directory:
+        # readers of self.path recover merge_id via partition discovery,
+        # and the lineage recount below scans ONLY this merge's files —
+        # the old flat layout footer-opened every file ever written on
+        # every merge (O(total table history) bookkeeping per run).
+        to_write = deduped.withColumn("part_id", F.spark_partition_id())
+        merge_dir = f"{self.path}/merge_id={merge_id}"
+        to_write.write.mode("append").parquet(merge_dir)
 
-        # lineage from the committed files only (column-pruned re-scan)
-        written = spark.read.parquet(self.path).filter(
-            F.col("merge_id") == merge_id
-        )
+        # lineage from the just-committed files only (column-pruned scan
+        # of the per-merge directory, never the whole table)
+        try:
+            written = spark.read.parquet(merge_dir)
+        except AnalysisException:
+            # empty batch: parquet write emitted no data files
+            return {"inserted": 0, "partitions": 0}
         lineage = written.groupBy("part_id").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(

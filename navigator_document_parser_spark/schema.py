@@ -82,6 +82,11 @@ PAGE_META = StructType([
 EXTRACTION_RESULT = StructType([
     StructField("text", StringType(), True),
     StructField("detected_title", StringType(), True),
+    # ParserOutput schema parity: reference HTMLData carries detected_date
+    # (src/base.py:56, src/html_parser/readability.py:115) but every code
+    # path sets it None today — a nullable always-null column keeps the
+    # output contract byte-compatible for consumers that select it.
+    StructField("detected_date", TimestampType(), True),
     StructField("has_valid_text", BooleanType(), True),
     StructField("text_blocks", ArrayType(HTML_TEXT_BLOCK), True),
     StructField("pdf_blocks", ArrayType(PDF_BLOCK), True),

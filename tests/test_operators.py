@@ -261,6 +261,70 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall unreasonably low: {recall}"
 
 
+def test_simhash64_single_token_matches_md5_prefix(spark):
+    """A one-token doc's 64-bit signature IS the token's 64-bit hash
+    (every bit vote is +1/-1 from a single token), pinning the two-half
+    conv() assembly against Python's md5."""
+    import hashlib
+
+    from navigator_document_parser_spark.operators.dedup import simhash
+
+    data = spark.createDataFrame(
+        [(1, "alpha"), (2, "zebra")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+        for r in simhash(data, bits=64).collect()
+    }
+    for doc_id, tok in [(1, "alpha"), (2, "zebra")]:
+        expect = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        assert got[doc_id] == expect, (doc_id, hex(got[doc_id]), hex(expect))
+
+
+def test_simhash64_near_pairs_exact_recall_and_precision(spark):
+    """64-bit pigeonhole blocking finds EXACTLY the pairs within
+    max_hamming (recall by the pigeonhole theorem, precision by the true
+    bit_count filter) — verified against a driver-side brute force."""
+    from navigator_document_parser_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    base = (
+        "climate adaptation funding requires coordinated national policy "
+        "and local implementation across sectors with measurable targets"
+    )
+    rows = []
+    for i in range(30):
+        words = base.split()
+        # perturb a couple of words deterministically: clusters of docs
+        # a few bits apart plus unrelated far docs
+        if i % 3 == 1:
+            words[i % len(words)] = f"var{i}"
+        if i % 3 == 2:
+            words = [f"w{i}x{j}" for j in range(12)]
+        rows.append((i, " ".join(words)))
+    data = spark.createDataFrame(rows, "doc_id long, text string")
+
+    max_h = 3
+    sigs = {
+        r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+        for r in simhash(data, bits=64).collect()
+    }
+    expect = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(data, max_hamming=max_h, bits=64).collect()
+    }
+    assert expect, "fixture must contain at least one near pair"
+    assert got == expect, (sorted(got), sorted(expect))
+
+
 def test_knn_lsh_plan_is_hash_joins_not_nested_loop(spark):
     """Candidate generation must be a union of per-table EQUI-joins: an
     OR-of-buckets predicate degrades to BroadcastNestedLoopJoin, which is

@@ -129,6 +129,45 @@ def test_translation_stage(spark, extracted):
     assert translated.count() == extracted.count() - en_docs
 
 
+def test_translation_doc_meta(spark, extracted):
+    """M14 residue — mirrors src/translator/test/test_translate.py:19-94:
+    document_name/document_description analogs (doc_meta map values) are
+    translated through the same per-string gating; untranslatable values
+    (digits/punct-only) and keys pass through untouched; rows without the
+    optional column are unaffected (run_translation stays schema-driven).
+    """
+    with_meta = extracted.withColumn(
+        "doc_meta",
+        F.create_map(
+            F.lit("document_name"),
+            F.concat(F.lit("Name of "), F.col("url")),
+            F.lit("document_description"),
+            F.lit("A policy document."),
+            F.lit("document_slug"),
+            F.lit("123-456"),  # worthiness-gated: all digits/punct
+        ),
+    )
+    out = run_translation(with_meta, ["en"])
+    rows = out.filter(F.col("parser").isin("newsplease", "readability")).limit(
+        5
+    ).collect()
+    assert rows
+    for r in rows:
+        meta = r["doc_meta"]
+        assert meta["document_name"] == f"translated to en: Name of {r['url']}"
+        assert (
+            meta["document_description"]
+            == "translated to en: A policy document."
+        )
+        # P8 skip: untranslatable strings pass through byte-identical
+        assert meta["document_slug"] == "123-456"
+        assert r["translated"] is True and r["translated_to"] == "en"
+
+    # without the optional column the output schema is unchanged
+    plain = run_translation(extracted, ["en"])
+    assert "doc_meta" not in plain.columns
+
+
 class TestMergeSink:
     def setup_method(self, m):
         self.dir = tempfile.mkdtemp(prefix="ndps-sink-")
