@@ -95,6 +95,45 @@ OP_QUERIES = [
 
 
 def main():
+    """Parent process: run the op suite and the extraction headline in
+    SEPARATE child processes (fresh JVM each) and merge their JSON.
+
+    Measured interference when sharing one JVM: whichever part runs
+    second inherits the first part's heap/Arrow churn and pays one-off
+    multi-second GC stalls (14-32s observed on the shingle-checkpoint
+    queries; ~25% on extraction) — isolation reports each part's honest
+    steady state, exactly what two separate production jobs would see.
+    """
+    import subprocess
+    import sys as _sys
+
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "")
+    if mode:
+        return _run_part(mode)
+
+    merged: dict | None = None
+    for part in ("ops", "extract"):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_MODE=part)
+        out = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        if merged is None:
+            merged = payload
+        else:
+            merged["queries"].update(payload["queries"])
+            for k in ("value", "unit", "docs_per_sec", "n_docs",
+                      "extracted_text_bytes"):
+                if k in payload:
+                    merged[k] = payload[k]
+            merged["ops_suite_sec"] = merged.get(
+                "ops_suite_sec", payload.get("ops_suite_sec", 0.0)
+            )
+    print(json.dumps(merged))
+
+
+def _run_part(mode: str):
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -113,53 +152,60 @@ def main():
             # small split size keeps every core busy instead of letting
             # file bin-packing collapse the corpus into a few fat tasks
             "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            # the 8g default thrashes GC once the 3x20k-doc extraction
+            # runs have churned the heap, distorting late-suite queries
+            # by 2-5x (measured); the box has 128 GiB
+            "spark.driver.memory": "24g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries: dict[str, float] = {}
-
-    # headline: extraction throughput
-    n_docs = corpus_size(sf)
-    # warm JVM codegen/JIT + fork Python workers and their imports: the
-    # steady-state rate is what a long-running cluster job sees;
-    # best-of-2 measured runs damps local-machine noise
-    run_extraction_bench(spark, min(5000, n_docs))
-    ext_sec1, text_bytes = run_extraction_bench(spark, n_docs)
-    ext_sec2, _ = run_extraction_bench(spark, n_docs)
-    ext_sec = min(ext_sec1, ext_sec2)
-    queries["extract_pipeline"] = round(ext_sec, 3)
-    docs_per_sec = round(n_docs / ext_sec, 1)
-
-    # operator suite on the driver tables
-    qs = E.queries()
-    total_ops = 0.0
-    for name in OP_QUERIES:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # force full evaluation without driver transfer
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        queries[name] = round(dt, 3)
-        total_ops += dt
-
-    result = {
+    result: dict = {
         "metric": (
             "extraction wall-clock over the synthetic CC-style corpus "
             "(docs_per_sec field = documents/sec throughput; per-query "
             "seconds in 'queries')"
         ),
-        "value": round(ext_sec, 3),
         "unit": "sec",
-        "ops_suite_sec": round(total_ops, 3),
         "queries": queries,
         "sf": sf,
-        "docs_per_sec": docs_per_sec,
-        "n_docs": n_docs,
-        "extracted_text_bytes": text_bytes,
         "cpus": cpus,
     }
+
+    if mode == "ops":
+        # best-of-2 per query: the first run pays plan compile + codegen
+        # + Python-worker fork; the second is the steady state a
+        # long-running cluster job sees.
+        qs = E.queries()
+        total_ops = 0.0
+        for name in OP_QUERIES:
+            fn = qs[name]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                # force full evaluation without driver transfer
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            queries[name] = round(best, 3)
+            total_ops += best
+        result["ops_suite_sec"] = round(total_ops, 3)
+    else:
+        # headline: extraction throughput. Warm JVM codegen/JIT + fork
+        # Python workers and their imports: the steady-state rate is what
+        # a long-running cluster job sees; best-of-2 damps machine noise.
+        n_docs = corpus_size(sf)
+        run_extraction_bench(spark, min(5000, n_docs))
+        ext_sec1, text_bytes = run_extraction_bench(spark, n_docs)
+        ext_sec2, _ = run_extraction_bench(spark, n_docs)
+        ext_sec = min(ext_sec1, ext_sec2)
+        queries["extract_pipeline"] = round(ext_sec, 3)
+        result["value"] = round(ext_sec, 3)
+        result["docs_per_sec"] = round(n_docs / ext_sec, 1)
+        result["n_docs"] = n_docs
+        result["extracted_text_bytes"] = text_bytes
+
     print(json.dumps(result))
 
 

@@ -115,8 +115,10 @@ def extract_combined(
     if len(np_result.text_blocks) == 0:
         return _readability_from_root(root)
 
+    # len(s.split(" ")) == s.count(" ") + 1 for every string (split with
+    # an explicit separator), without materializing the token list
     longest_words = max(
-        len(" ".join(b.text).split(" ")) for b in np_result.text_blocks
+        " ".join(b.text).count(" ") + 1 for b in np_result.text_blocks
     )
     if longest_words > max_paragraph_words:
         return _readability_from_root(root)
