@@ -94,6 +94,60 @@ def run_extraction(
         "x", extract_udf(F.col("html"), F.col("route"))
     )
 
+    # M13 enrichment. New run-level parser metadata:
+    new_inner = F.create_map(
+        F.lit("engine_version"), F.lit(ENGINE_VERSION),
+        F.lit("parsing_date"), F.lit(parsing_date or "1970-01-01T00:00:00"),
+        F.lit("run_id"), F.lit(run_id),
+    )
+    if "pipeline_metadata" in docs.columns:
+        # merge-with-precedence parity for re-parse of already-enriched
+        # rows (cli/parse_pdfs.py:204-242 add_parser_metadata): when the
+        # existing map LACKS 'parser_metadata' the reference REPLACES the
+        # whole pipeline_metadata (quirk kept); when present, other
+        # top-level keys and non-conflicting inner keys survive and the
+        # new run's keys overwrite (the reference warns per overwrite —
+        # the pm_overwrites observe counter below is the batch analog).
+        old = F.col("pipeline_metadata")
+        has_pm = old.isNotNull() & F.map_contains_key(
+            old, F.lit("parser_metadata")
+        )
+        old_inner = F.element_at(old, F.lit("parser_metadata"))
+        merged_inner = F.map_concat(
+            F.map_filter(
+                old_inner,
+                lambda k, _: ~k.isin(
+                    "engine_version", "parsing_date", "run_id"
+                ),
+            ),
+            new_inner,
+        )
+        pm_col = F.when(
+            has_pm,
+            F.map_concat(
+                F.map_filter(old, lambda k, _: k != F.lit("parser_metadata")),
+                F.create_map(F.lit("parser_metadata"), merged_inner),
+            ),
+        ).otherwise(F.create_map(F.lit("parser_metadata"), new_inner))
+        pm_overwrote = has_pm & (
+            F.size(
+                F.map_filter(
+                    old_inner,
+                    lambda k, _: k.isin(
+                        "engine_version", "parsing_date", "run_id"
+                    ),
+                )
+            )
+            > 0
+        )
+        extracted = extracted.withColumn("_pm", pm_col).withColumn(
+            "_pm_overwrote", pm_overwrote.cast("int")
+        )
+    else:
+        extracted = extracted.withColumn(
+            "_pm", F.create_map(F.lit("parser_metadata"), new_inner)
+        ).withColumn("_pm_overwrote", F.lit(0))
+
     out = extracted.select(
         "url",
         "warc_ts",
@@ -112,15 +166,10 @@ def run_extraction(
         F.lit(False).alias("translated"),
         F.lit(None).cast("string").alias("translated_to"),
         # M13: parser-metadata enrichment under the 'parser_metadata' key
-        # (src/base.py:12, cli/parse_pdfs.py:204-242)
-        F.create_map(
-            F.lit("parser_metadata"),
-            F.create_map(
-                F.lit("engine_version"), F.lit(ENGINE_VERSION),
-                F.lit("parsing_date"), F.lit(parsing_date or "1970-01-01T00:00:00"),
-                F.lit("run_id"), F.lit(run_id),
-            ),
-        ).alias("pipeline_metadata"),
+        # (src/base.py:12, cli/parse_pdfs.py:204-242), merged with any
+        # pre-existing pipeline_metadata above
+        F.col("_pm").alias("pipeline_metadata"),
+        F.col("_pm_overwrote").alias("_pm_overwrote"),
         F.lit(run_id).alias("run_id"),
     )
     # run-level counters (X4): visible via QueryExecutionListener / UI
@@ -131,7 +180,10 @@ def run_extraction(
             "failures"
         ),
         F.sum(F.length(F.col("text"))).alias("bytes_text_out"),
-    )
+        # reference warns per overwritten parser_metadata key; the batch
+        # analog is a run-level count of re-enriched rows
+        F.sum(F.col("_pm_overwrote")).alias("pm_overwrites"),
+    ).drop("_pm_overwrote")
 
 
 def raw_parse_artifacts(extracted: DataFrame) -> DataFrame:

@@ -28,6 +28,52 @@ def test_pipeline_metadata_enrichment(spark):
     assert pm["engine_version"].startswith("spark-docparse/")
 
 
+def test_pipeline_metadata_merge_on_reparse(spark):
+    """Re-parse of already-enriched rows mirrors add_parser_metadata
+    (cli/parse_pdfs.py:204-242): existing parser_metadata keys the new
+    run writes are OVERWRITTEN, other inner keys and other top-level
+    keys survive; rows whose map lacks 'parser_metadata' get the whole
+    map replaced (reference quirk kept)."""
+    from pyspark.sql import functions as F
+
+    docs = synth_documents(spark, 6, 2)
+    enriched = docs.withColumn(
+        "pipeline_metadata",
+        F.when(
+            F.col("url").endswith("0"),
+            # no parser_metadata key -> whole-map replacement branch
+            F.create_map(
+                F.lit("ingest"), F.create_map(F.lit("src"), F.lit("warc"))
+            ),
+        ).otherwise(
+            F.create_map(
+                F.lit("ingest"),
+                F.create_map(F.lit("src"), F.lit("warc")),
+                F.lit("parser_metadata"),
+                F.create_map(
+                    F.lit("run_id"), F.lit("OLD-RUN"),
+                    F.lit("azure_model_id"), F.lit("prebuilt-document"),
+                ),
+            )
+        ),
+    )
+    out = run_extraction(enriched, run_id="new-run",
+                         parsing_date="2026-08-16T00:00:00")
+    rows = {r["url"]: r["pipeline_metadata"] for r in
+            out.select("url", "pipeline_metadata").collect()}
+    assert "_pm_overwrote" not in out.columns
+    for url, pm in rows.items():
+        inner = pm["parser_metadata"]
+        assert inner["run_id"] == "new-run"  # overwritten
+        assert inner["parsing_date"] == "2026-08-16T00:00:00"
+        if url.endswith("0"):
+            # replacement branch drops other top-level keys (quirk)
+            assert "ingest" not in pm
+        else:
+            assert pm["ingest"]["src"] == "warc"  # top-level survives
+            assert inner["azure_model_id"] == "prebuilt-document"
+
+
 def test_raw_parse_artifacts_side_table(spark):
     out = run_extraction(synth_documents(spark, 15, 2), run_id="raw")
     art = raw_parse_artifacts(out)

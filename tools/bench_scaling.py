@@ -20,14 +20,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_once(master_threads: int, n_docs: int) -> dict:
-    from pyspark.sql import SparkSession
+    """Run one measurement in a FRESH subprocess: stopping a SparkContext
+    keeps the (churned) JVM alive, and the accumulated heap/Arrow garbage
+    degrades the next in-process session by up to 3x (measured 6114 ->
+    1865 docs/s on round 2) — a fresh JVM per point is the only honest
+    protocol on one box."""
+    import subprocess
 
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--once",
+         str(master_threads), str(n_docs)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _run_once_inproc(master_threads: int, n_docs: int) -> dict:
     from navigator_document_parser_spark.config import build_spark
     from bench import run_extraction_bench
-
-    active = SparkSession.getActiveSession()
-    if active:
-        active.stop()
 
     spark = build_spark(
         "scaling-bench",
@@ -60,6 +70,9 @@ def run_once(master_threads: int, n_docs: int) -> dict:
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--once":
+        print(json.dumps(_run_once_inproc(int(sys.argv[2]), int(sys.argv[3]))))
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 32
