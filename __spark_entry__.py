@@ -332,6 +332,20 @@ def _dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf))
 
 
+def _dedup_simhash_pairs(spark, sf):
+    """Pigeonhole-blocked near-dup pairs on the 16-bit signature —
+    oracle-checked against a DuckDB all-pairs xor+bit_count (exact
+    recall by the pigeonhole theorem, so blocking must lose nothing)."""
+    from navigator_document_parser_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    out = simhash_near_pairs(_docs(spark, sf), max_hamming=2)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
 def _dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.1, length_band=64)
 
@@ -370,9 +384,11 @@ def _knn_ivf(spark, sf):
         knn_ivf,
     )
 
-    # materialize once: train (2 assignment passes + seeding) and search
-    # each re-read the table; eager barrier per CLAUDE.md lesson 7
-    emb = _emb(spark, sf).localCheckpoint(eager=True)
+    # deliberately NO checkpoint: each pass re-scans the (tiny, pruned)
+    # parquet — measured faster AND stabler than materializing blocks
+    # (8.5/5.3/2.9s ckpt vs 3.1/2.8/2.9s re-scan; block-manager reads
+    # beat only when the upstream is expensive, which a scan is not)
+    emb = _emb(spark, sf)
     cents = ivf_train(emb, n_centroids=16, iterations=2)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -506,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": _dedup_minhash_sig,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_components": _dedup_components,
         "knn_cosine": _knn_cosine,
@@ -763,6 +780,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(({sig16}), 0) AS simhash
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN agg USING (doc_id)
+        """,
+        "dedup_simhash_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct(
+                       string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id,
+                     CAST('0x' || substring(md5(tok), 1, 4) AS BIGINT) AS h
+              FROM toks WHERE length(tok) > 0
+            ), agg AS (
+              SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+            ), sigs AS (
+              SELECT d.doc_id, COALESCE(({sig16}), 0) AS simhash
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN agg USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                     AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
         "dedup_ngram_jaccard": f"""
             {_SHINGLE_CTE}
