@@ -350,6 +350,43 @@ def _dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.1, length_band=64)
 
 
+def _decontaminate(spark, sf):
+    """Benchmark decontamination: docs with doc_id % 37 == 0 act as the
+    synthetic holdout set; every other doc is checked for 3-gram overlap
+    against it (exact duplicates in the corpus guarantee hits)."""
+    d = _docs(spark, sf)
+    return T.decontaminate(
+        corpus=d.filter(F.col("doc_id") % 37 != 0),
+        benchmark=d.filter(F.col("doc_id") % 37 == 0),
+        ngram=3,
+        threshold=1,
+    )
+
+
+def _pii_scrub(spark, sf):
+    """PII redaction over text augmented with deterministic synthetic
+    emails/phones (the raw synth corpus contains none): docs with
+    doc_id % 7 == 0 gain one email + one phone, built identically in
+    the DuckDB oracle."""
+    d = _docs(spark, sf).withColumn(
+        "pii_text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" Contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.org or call +44 555 "),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                    F.lit(" now."),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return T.pii_scrub(d, text_col="pii_text")
+
+
 def _knn_cosine(spark, sf):
     emb = _emb(spark, sf)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -517,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": _fingerprint_winnow,  # rolling-hash winnowing
         "corpus_curation": _corpus_curation,        # composed curation
         "quality_by_lang": _quality_by_lang,        # exact percentiles
+        "decontaminate": _decontaminate,            # holdout n-gram overlap
+        "pii_scrub": _pii_scrub,                    # email/phone redaction
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_minhash_sig": _dedup_minhash_sig,
@@ -705,6 +744,43 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(q, 0.5), 4) AS q_median,
                    round(quantile_cont(q, 0.9), 4) AS q_p90
             FROM q GROUP BY lang
+        """,
+        "decontaminate": f"""
+            {_SHINGLE_CTE}
+            , bench AS (
+              SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0
+            ), corp AS (
+              SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0
+            ), hits AS (
+              SELECT doc_id, COUNT(*) AS n_hits
+              FROM corp JOIN bench USING (g) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        "pii_scrub": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0
+                       THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.org or call +44 555 '
+                            || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                            || ' now.'
+                       ELSE '' END AS pii_text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(pii_text,
+                     '{T.EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(pii_text,
+                     '{T.PHONE_RE}')) AS BIGINT) AS n_phones,
+                   regexp_replace(regexp_replace(pii_text,
+                     '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{T.PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+            FROM aug
         """,
         "dedup_exact": """
             SELECT md5(text) AS fp, COUNT(*) AS n_copies,

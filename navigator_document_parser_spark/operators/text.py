@@ -180,6 +180,98 @@ def oracle_winnow(k: int = 8, w: int = 4) -> str:
     """
 
 
+# ---- benchmark decontamination -------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: int = 1,
+    persist: bool = True,
+) -> DataFrame:
+    """Flag corpus docs sharing >= ``threshold`` distinct word n-grams
+    with ANY benchmark/holdout document (the standard training-data
+    decontamination pass; production uses 8-13-grams, GPT-3 appendix C).
+
+    Plan: benchmark n-grams are deduped and BROADCAST (holdout sets are
+    tiny vs the corpus); the corpus side explodes its distinct shingles
+    and hits are a broadcast-hash semi-join + one groupBy(doc) count —
+    no corpus self-join, no shuffle of text. The shingle table is
+    eagerly checkpointed (lineage barrier: InferFiltersFromGenerate +
+    pushdown would re-evaluate the shingle HOF at the scan, CLAUDE.md
+    lesson 3/7) and also serves as the output spine so shingle-less
+    docs report n_hits=0.
+    """
+    from .dedup import word_shingles
+
+    c_sh = corpus.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), ngram).alias("sh"),
+    )
+    if persist:
+        c_sh = c_sh.localCheckpoint(eager=True)
+    inv = c_sh.filter(F.size("sh") > 0).select(
+        "id", F.explode("sh").alias("g")
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), ngram)).alias("g")
+        ).distinct()
+    )
+    hits = (
+        inv.join(F.broadcast(b_sh), "g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        c_sh.select("id")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias(
+                "n_hits"
+            ),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# ---- PII scrubbing ---------------------------------------------------------
+
+# portable regexes (same semantics in Java regex and RE2/DuckDB)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,3} \d{3} \d{4}"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails and international-format phone numbers, with
+    per-document match counts. Pure codegen'd column expressions
+    (regexp_extract_all + regexp_replace) — no Python, no shuffle; the
+    pass is embarrassingly parallel at any corpus size. Patterns are
+    deliberately restricted to syntax with identical semantics in Java
+    regex and RE2 so the DuckDB oracle replays them 1:1.
+    """
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
 def with_text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

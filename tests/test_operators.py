@@ -261,6 +261,52 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall unreasonably low: {recall}"
 
 
+def test_decontaminate_flags_known_overlap(spark):
+    from navigator_document_parser_spark.operators.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated sentence about maritime law"),
+            (3, "short"),  # no 3-grams at all
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday evening")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(corpus, bench, persist=False).collect()
+    }
+    # shared 3-grams: 'the quick brown', 'quick brown fox'
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)  # shingle-less docs stay in the spine
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from navigator_document_parser_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at jane.doe+x@sub.example.co.uk or +44 555 0199."),
+            (2, "no pii here, just text about emissions @ large"),
+            (3, "two mails: a@b.io c.d@e-f.org and +1 202 5550 extra"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert "<EMAIL>" in rows[1]["scrubbed"]
+    assert "<PHONE>" in rows[1]["scrubbed"]
+    assert "jane.doe" not in rows[1]["scrubbed"]
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[2]["scrubbed"].startswith("no pii here")
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_phones"] == 1
+
+
 def test_simhash64_single_token_matches_md5_prefix(spark):
     """A one-token doc's 64-bit signature IS the token's 64-bit hash
     (every bit vote is +1/-1 from a single token), pinning the two-half
