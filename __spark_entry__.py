@@ -350,6 +350,23 @@ def _dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.1, length_band=64)
 
 
+def _token_stats(spark, sf):
+    """Corpus token accounting: whitespace vs BPE-ish pre-token counts
+    per language + corpus totals (the 'how many training tokens' query
+    every dataset card reports)."""
+    d = _docs(spark, sf)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text")).cast("bigint")).alias("ws_tokens"),
+        F.sum(T.bpe_token_count(F.col("text"))).alias("bpe_tokens"),
+        F.round(
+            F.sum(T.bpe_token_count(F.col("text"))).cast("double")
+            / F.sum(F.length("text")).cast("double"),
+            4,
+        ).alias("tokens_per_char"),
+    )
+
+
 def _decontaminate(spark, sf):
     """Benchmark decontamination: docs with doc_id % 37 == 0 act as the
     synthetic holdout set; every other doc is checked for 3-gram overlap
@@ -554,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": _fingerprint_winnow,  # rolling-hash winnowing
         "corpus_curation": _corpus_curation,        # composed curation
         "quality_by_lang": _quality_by_lang,        # exact percentiles
+        "token_stats": _token_stats,                # ws + BPE-ish counting
         "decontaminate": _decontaminate,            # holdout n-gram overlap
         "pii_scrub": _pii_scrub,                    # email/phone redaction
         # training-data pipeline operators
@@ -744,6 +762,16 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(q, 0.5), 4) AS q_median,
                    round(quantile_cont(q, 0.9), 4) AS q_p90
             FROM q GROUP BY lang
+        """,
+        "token_stats": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM({T.oracle_token_count('text')}) AS BIGINT)
+                     AS ws_tokens,
+                   CAST(SUM({T.oracle_bpe_token_count('text')}) AS BIGINT)
+                     AS bpe_tokens,
+                   round(SUM({T.oracle_bpe_token_count('text')}) * 1.0
+                         / SUM(length(text)), 4) AS tokens_per_char
+            FROM documents GROUP BY lang
         """,
         "decontaminate": f"""
             {_SHINGLE_CTE}

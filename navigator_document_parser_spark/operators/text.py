@@ -180,6 +180,34 @@ def oracle_winnow(k: int = 8, w: int = 4) -> str:
     """
 
 
+# GPT-2-style pre-tokenizer, engine-portable: explicit Latin ranges
+# instead of \p{L} (Java and RE2 ship different Unicode table versions;
+# explicit classes are identical everywhere). Groups: common English
+# contractions, optionally-space-prefixed letter runs, digit runs,
+# punctuation runs, residual whitespace.
+BPE_SPLIT_RE = (
+    r"'(?:s|t|m|d|ll|ve|re)"
+    r"| ?[A-Za-zÀ-ÖØ-öø-ÿ]+"
+    r"| ?[0-9]+"
+    r"| ?[^ A-Za-zÀ-ÖØ-öø-ÿ0-9]+"
+)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Pre-token count under a BPE-ish split (the training-data 'how
+    many tokens is this corpus' estimator — whitespace counts undershoot
+    code/punctuation-heavy text badly). Pure codegen regexp; counts
+    pre-tokens, i.e. an upper bound on merged BPE tokens."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), F.lit(0))
+    ).cast("bigint")
+
+
+def oracle_bpe_token_count(col: str) -> str:
+    pat = BPE_SPLIT_RE.replace("'", "''")  # SQL string-literal escaping
+    return f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
+
+
 # ---- benchmark decontamination -------------------------------------------
 
 def decontaminate(

@@ -261,6 +261,39 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall unreasonably low: {recall}"
 
 
+def test_bpe_token_count_vs_whitespace(spark):
+    """BPE-ish pre-tokens exceed whitespace tokens on punctuated /
+    contracted / code-ish text (the reason the estimator exists)."""
+    from navigator_document_parser_spark.operators.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain words only here"),
+            (2, "it's a well-known fact: tokenizers don't split on spaces!"),
+            (3, "x=42; y+=3.14 // compute"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["ws"], r["bpe"])
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("ws"),
+            bpe_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert rows[1] == (4, 4)  # clean prose: identical
+    ws2, bpe2 = rows[2]
+    assert ws2 == 9 and bpe2 == 15  # contractions/punct split out
+    ws3, bpe3 = rows[3]
+    assert bpe3 > ws3  # code-ish text undershoots badly on whitespace
+    assert rows[4] == (0, 0)
+
+
 def test_decontaminate_flags_known_overlap(spark):
     from navigator_document_parser_spark.operators.text import decontaminate
 
