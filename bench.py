@@ -70,11 +70,17 @@ def run_extraction_bench(spark, n_docs: int) -> tuple[float, int]:
     return dt, int(total["b"])
 
 
+# NOTE: dedup_simhash_pairs is contract-checked at sf0.01 but excluded
+# here: the 16-bit signature saturates by design at 20k docs (the 64-bit
+# variant is the scale path; see operators/dedup.py simhash docstring).
 OP_QUERIES = [
     "text_metrics",
+    "token_stats",
     "fingerprint_winnow",
     "corpus_curation",
     "quality_by_lang",
+    "decontaminate",
+    "pii_scrub",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",
@@ -177,6 +183,8 @@ def _run_part(mode: str):
         # best-of-2 per query: the first run pays plan compile + codegen
         # + Python-worker fork; the second is the steady state a
         # long-running cluster job sees.
+        import gc
+
         qs = E.queries()
         total_ops = 0.0
         for name in OP_QUERIES:
@@ -188,6 +196,13 @@ def _run_part(mode: str):
                 # force full evaluation without driver transfer
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
+                # release this query's localCheckpoint blocks: they are
+                # freed only when the Python DataFrame refs die and the
+                # ContextCleaner runs — accumulated blocks from earlier
+                # queries measurably evict/slow later checkpoint-heavy
+                # ones (minhash 1.7s -> 11.7s observed late in suite)
+                del df
+                gc.collect()
             queries[name] = round(best, 3)
             total_ops += best
         result["ops_suite_sec"] = round(total_ops, 3)
@@ -197,9 +212,10 @@ def _run_part(mode: str):
         # a long-running cluster job sees; best-of-2 damps machine noise.
         n_docs = corpus_size(sf)
         run_extraction_bench(spark, min(5000, n_docs))
-        ext_sec1, text_bytes = run_extraction_bench(spark, n_docs)
-        ext_sec2, _ = run_extraction_bench(spark, n_docs)
-        ext_sec = min(ext_sec1, ext_sec2)
+        ext_sec, text_bytes = run_extraction_bench(spark, n_docs)
+        for _ in range(2):  # best-of-3: box noise is +-15-25% run to run
+            s, _ = run_extraction_bench(spark, n_docs)
+            ext_sec = min(ext_sec, s)
         queries["extract_pipeline"] = round(ext_sec, 3)
         result["value"] = round(ext_sec, 3)
         result["docs_per_sec"] = round(n_docs / ext_sec, 1)
