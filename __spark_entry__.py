@@ -367,6 +367,12 @@ def _token_stats(spark, sf):
     )
 
 
+def _quality_filters(spark, sf):
+    """Gopher-rule quality filtering (word count / mean word length /
+    symbol ratio / required-stopword bands)."""
+    return T.gopher_quality(_docs(spark, sf))
+
+
 def _decontaminate(spark, sf):
     """Benchmark decontamination: docs with doc_id % 37 == 0 act as the
     synthetic holdout set; every other doc is checked for 3-gram overlap
@@ -557,6 +563,21 @@ def _multimodal_features(spark, sf):
     )
 
 
+def _multimodal_frames(spark, sf):
+    """Video frame-sampling fan-out (rows-only: mapInPandas 1->N shape;
+    the raster decode is the documented stub boundary)."""
+    from navigator_document_parser_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_media,
+    )
+
+    _ensure_workers_can_import(spark)
+    media = synth_media(spark, 200, partitions=4)
+    return sample_video_frames(media, n_frames=4).select(
+        "media_id", "frame_idx", "frame_ts_ms", "content_hash"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction dataflow analogs (SURVEY §2.2/2.5)
@@ -572,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _corpus_curation,        # composed curation
         "quality_by_lang": _quality_by_lang,        # exact percentiles
         "token_stats": _token_stats,                # ws + BPE-ish counting
+        "quality_filters": _quality_filters,        # Gopher-rule bands
         "decontaminate": _decontaminate,            # holdout n-gram overlap
         "pii_scrub": _pii_scrub,                    # email/phone redaction
         # training-data pipeline operators
@@ -587,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _knn_ivf,                        # rows-only (approx)
         "embedding_neardup": _embedding_neardup,
         "multimodal_features": _multimodal_features,  # rows-only (mapInPandas)
+        "multimodal_frames": _multimodal_frames,      # rows-only (1->N fanout)
         # relational / windows (free on Spark; parity breadth)
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -763,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(q, 0.9), 4) AS q_p90
             FROM q GROUP BY lang
         """,
+        "quality_filters": T.oracle_gopher(),
         "token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM({T.oracle_token_count('text')}) AS BIGINT)

@@ -97,6 +97,101 @@ def extract_media_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", LongType(), False),
+    StructField("height", LongType(), False),
+    StructField("payload", BinaryType(), False),
+    StructField("content_hash", StringType(), False),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("frame_ts_ms", LongType(), False),
+    StructField("frame", BinaryType(), False),
+    StructField("content_hash", StringType(), False),
+])
+
+
+def _fake_raster(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a decoded+resized raster: md5-chained
+    bytes seeded by (payload, dims). STUB boundary — a real cluster
+    swaps this one function for PIL decode->resize->encode; the batch
+    shape, schema, and partitioning around it are the production path."""
+    need = width * height
+    out = bytearray()
+    h = hashlib.md5(payload + f":{width}x{height}".encode()).digest()
+    while len(out) < need:
+        out.extend(h)
+        h = hashlib.md5(h).digest()
+    return bytes(out[:need])
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize stage: kind filter pushed to the scan, one
+    mapInPandas pass, payload replaced by the (fake-decoded) raster.
+    Pure per-row map — shuffle-free at any scale; Arrow batch size
+    bounds worker memory under large images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                raster = _fake_raster(payload, width, height)
+                rows.append({
+                    "media_id": r["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": raster,
+                    "content_hash": hashlib.md5(raster).hexdigest(),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_video_frames(media: DataFrame, n_frames: int = 4,
+                        frame_px: int = 16) -> DataFrame:
+    """Frame sampling: each video row fans out to ``n_frames`` rows with
+    evenly spaced timestamps (meta_bytes stands in for duration — the
+    stub has no container parser). mapInPandas because real demuxers
+    emit a VARIABLE number of rows per input — the 1->N fan-out shape is
+    what matters; frame pixels use the same _fake_raster stub boundary.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                duration_ms = int(r["meta_bytes"] or 0) * 10  # stub proxy
+                for k in range(n_frames):
+                    ts = (duration_ms * (2 * k + 1)) // (2 * n_frames)
+                    frame = _fake_raster(
+                        payload + ts.to_bytes(8, "big"), frame_px, frame_px
+                    )
+                    rows.append({
+                        "media_id": r["media_id"],
+                        "frame_idx": k,
+                        "frame_ts_ms": ts,
+                        "frame": frame,
+                        "content_hash": hashlib.md5(frame).hexdigest(),
+                    })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )
+
+
 def synth_media(spark, n: int, partitions: int = 4) -> DataFrame:
     """Deterministic fake media table (payload bytes from row id)."""
 

@@ -208,6 +208,96 @@ def oracle_bpe_token_count(col: str) -> str:
     return f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
 
 
+# ---- Gopher-style quality filter rules ------------------------------------
+
+# the 8-word required-stopword list from Gopher (Rae et al. 2021 §A1.1):
+# a doc must contain >= 2 of these DISTINCT words to pass
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Gopher-rule document quality signals + pass flag.
+
+    Per doc: word count, mean word length, symbol-to-word ratio
+    ('#' + '...' occurrences), distinct required-stopword hits; passes =
+    50 <= words <= 100000 AND 3 <= mean_len <= 10 AND symbol_ratio < 0.1
+    AND stop_hits >= 2 (the Gopher repro-filter core). Pure codegen'd
+    column expressions, shuffle-free — embarrassingly parallel at any
+    corpus size; every expression has identical SQL semantics for the
+    DuckDB oracle.
+    """
+    c = F.col(text_col)
+    n_words = token_count(c).cast("bigint")
+    chars_no_ws = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_len = F.when(n_words > 0,
+                      F.round(chars_no_ws / n_words, 4)).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), F.lit(0)))
+    symbol_ratio = F.when(
+        n_words > 0, F.round((n_hash + n_ellipsis) / n_words, 4)
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.split(F.trim(F.lower(c)), r"\s+")),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        (
+            n_words.between(50, 100000)
+            & mean_len.between(3.0, 10.0)
+            & (symbol_ratio < 0.1)
+            & (stop_hits >= 2)
+        ).alias("passes"),
+    )
+
+
+def oracle_gopher(id_col: str = "doc_id", text_col: str = "text",
+                  table: str = "documents") -> str:
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    nw = oracle_token_count(text_col)
+    return f"""
+        WITH g AS (
+          SELECT {id_col},
+                 CAST({nw} AS BIGINT) AS n_words,
+                 length(regexp_replace({text_col}, '\\s', '', 'g'))
+                   AS chars_no_ws,
+                 length({text_col})
+                   - length(replace({text_col}, '#', '')) AS n_hash,
+                 len(regexp_extract_all({text_col}, '\\.\\.\\.'))
+                   AS n_ellipsis,
+                 CAST(length(list_intersect(
+                   list_distinct(string_split_regex(
+                     trim(lower({text_col})), '\\s+')),
+                   [{stops}])) AS BIGINT) AS stop_hits
+          FROM {table}
+        )
+        SELECT {id_col}, n_words,
+               CASE WHEN n_words > 0
+                 THEN round(chars_no_ws * 1.0 / n_words, 4)
+                 ELSE 0.0 END AS mean_word_len,
+               CASE WHEN n_words > 0
+                 THEN round((n_hash + n_ellipsis) * 1.0 / n_words, 4)
+                 ELSE 0.0 END AS symbol_ratio,
+               stop_hits,
+               (n_words BETWEEN 50 AND 100000)
+                 AND (CASE WHEN n_words > 0
+                      THEN round(chars_no_ws * 1.0 / n_words, 4)
+                      ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+                 AND (CASE WHEN n_words > 0
+                      THEN round((n_hash + n_ellipsis) * 1.0 / n_words, 4)
+                      ELSE 0.0 END < 0.1)
+                 AND stop_hits >= 2 AS passes
+        FROM g
+    """
+
+
 # ---- benchmark decontamination -------------------------------------------
 
 def decontaminate(

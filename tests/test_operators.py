@@ -294,6 +294,36 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert rows[4] == (0, 0)
 
 
+def test_gopher_quality_bands(spark):
+    from navigator_document_parser_spark.operators.text import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog and that is fine"] * 6
+    )  # 72 words, mean len ~3.9, 4+ required stopwords, no symbols
+    rows = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            spark.createDataFrame(
+                [
+                    (1, good),
+                    (2, "too short to pass the fifty word floor"),
+                    (3, " ".join(["supercalifragilistic"] * 80)),  # mean>10
+                    (4, good + " " + "#" * 1 + " ..." * 30),  # symbol ratio
+                    (5, " ".join(["word"] * 80)),  # no required stopwords
+                    (6, ""),
+                ],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert rows[1]["passes"] is True
+    assert rows[2]["passes"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["passes"] is False and rows[3]["mean_word_len"] > 10
+    assert rows[4]["passes"] is False and rows[4]["symbol_ratio"] >= 0.1
+    assert rows[5]["passes"] is False and rows[5]["stop_hits"] == 0
+    assert rows[6]["passes"] is False and rows[6]["n_words"] == 0
+
+
 def test_decontaminate_flags_known_overlap(spark):
     from navigator_document_parser_spark.operators.text import decontaminate
 
@@ -481,6 +511,50 @@ def test_multimodal_features_deterministic(spark):
         assert [round(x, 5) for x in r["features"]] == [
             round(x, 5) for x in expected
         ]
+
+
+def test_resize_images_shape_and_determinism(spark):
+    from navigator_document_parser_spark.operators.multimodal import (
+        _fake_raster,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30, partitions=3)
+    out = resize_images(media, width=8, height=4)
+    rows = {r["media_id"]: r for r in out.collect()}
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images and n_images > 0
+    payloads = {r["media_id"]: bytes(r["payload"])
+                for r in media.filter("kind = 'image'").collect()}
+    for mid, r in rows.items():
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(bytes(r["payload"])) == 8 * 4
+        assert bytes(r["payload"]) == _fake_raster(payloads[mid], 8, 4)
+
+
+def test_sample_video_frames_fanout(spark):
+    from navigator_document_parser_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30, partitions=3)
+    out = sample_video_frames(media, n_frames=5, frame_px=4)
+    n_videos = media.filter("kind = 'video'").count()
+    assert out.count() == 5 * n_videos  # exact 1->N fan-out
+    one = sorted(
+        (r["frame_idx"], r["frame_ts_ms"])
+        for r in out.filter("media_id = 2").collect()
+    )
+    # evenly spaced, strictly increasing timestamps, 4x4 frames
+    assert [i for i, _ in one] == [0, 1, 2, 3, 4]
+    ts = [t for _, t in one]
+    assert ts == sorted(ts) and len(set(ts)) == 5
+    assert all(
+        len(bytes(r["frame"])) == 16
+        for r in out.filter("media_id = 2").collect()
+    )
 
 
 def test_real_decoder_is_explicit_stub(spark):
