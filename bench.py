@@ -122,8 +122,15 @@ def main():
         env = dict(os.environ, SPARK_GRAFT_BENCH_MODE=part)
         out = subprocess.run(
             [_sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
         )
+        if out.returncode != 0:
+            # surface the child's Spark/Python traceback, not just the
+            # exit code — captured stderr is lost otherwise
+            _sys.stderr.write(out.stderr)
+            raise SystemExit(
+                f"bench part '{part}' failed (rc={out.returncode})"
+            )
         payload = json.loads(out.stdout.strip().splitlines()[-1])
         if merged is None:
             merged = payload

@@ -200,6 +200,12 @@ _CDATA_CLOSE = {
     elem: _re.compile(r"</\s*%s" % elem, _re.IGNORECASE)
     for elem in ("script", "style")
 }
+# markupbase.parse_marked_section grammar (html.parser delegates '<![')
+_MS_NAME = _re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MS_CLOSE = _re.compile(r"]\s*]\s*>")  # <![CDATA[ ... ]]>
+_MS_MSCLOSE = _re.compile(r"]\s*>")  # <![if ...]> / <![endif]>
+_MS_STD = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
+_MS_MSO = frozenset({"if", "else", "endif"})
 _ASCII_LETTERS = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
 )
@@ -386,11 +392,37 @@ def _feed_fast(rawdata: str, builder: "_TreeBuilder") -> None:
             i = m.end()  # comments dropped (no handler)
             continue
 
+        if c == "!" and rawdata.startswith("<![", i):
+            # marked section — html.parser delegates to markupbase
+            # parse_marked_section: CDATA-family sections close at ']]>',
+            # MS-Office conditionals (<![if/else/endif ...) at ']>';
+            # any other keyword makes html.parser raise out of feed()
+            # (ParserBase.error), which our stdlib wrapper absorbs as a
+            # tree-so-far — mirror that by raising into the fallback.
+            nm = _MS_NAME.match(rawdata, i + 3)
+            if nm is None or nm.end() == n:
+                if nm is None and i + 3 < n:
+                    raise ValueError("bad marked-section keyword")
+                i = flush_bogus(i)  # name truncated at EOF: -1 path
+                continue
+            sect = nm.group().strip().lower()
+            if sect in _MS_STD:
+                m = _MS_CLOSE.search(rawdata, i + 3)
+            elif sect in _MS_MSO:
+                m = _MS_MSCLOSE.search(rawdata, i + 3)
+            else:
+                raise ValueError("unknown marked-section keyword")
+            if m is None:
+                i = flush_bogus(i)
+                continue
+            i = m.end()  # unknown_decl is a no-op
+            continue
+
         if c == "?" or c == "!":
-            # PI / declaration / marked section: skipped to the next '>'
-            # (html.parser's markupbase handles exotic quoted '>' inside
-            # declarations; plain doctypes — the only real-world case —
-            # are identical)
+            # PI (parse_pi) and '<!doctype'/bogus declarations
+            # (HTMLParser.parse_html_declaration) all skip to the next
+            # '>' — html.parser does NOT do quote-aware declaration
+            # parsing; only '<![' (handled above) differs
             gt = find(">", i + 1)
             if gt < 0:
                 i = flush_bogus(i)

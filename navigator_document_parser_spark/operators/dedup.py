@@ -243,7 +243,15 @@ def connected_components(
     The edge table is eagerly checkpointed once (it is re-read by every
     round — lazy barriers race under concurrent branch materialization,
     CLAUDE.md lesson 7); label lineage is truncated at each collect.
+
+    COST BOUND: an unmaterialized round's labels feed ~3 places in the
+    next round's plan (neighbor join + stepped + the pointer-jump
+    self-join) and Spark does not dedupe common subplans — chained
+    rounds re-execute earlier ones ~3^(k-1) times, so ``check_every``
+    is clamped to <= 3 (2 is the measured sweet spot: job-launch
+    savings beat the single recompute level).
     """
+    check_every = max(1, min(int(check_every), 3))
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),

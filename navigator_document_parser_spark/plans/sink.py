@@ -43,6 +43,21 @@ class ParquetMergeSink:
         except AnalysisException:
             return None
 
+    def _has_flat_files(self, spark: SparkSession) -> bool:
+        """True when the table root holds data files directly (the
+        pre-partitioned legacy layout). Hadoop FS API — works for
+        file://, s3a://, hdfs:// alike."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                return True
+        return False
+
     def committed_keys(self, spark: SparkSession) -> DataFrame | None:
         existing = self.read(spark)
         if existing is None:
@@ -130,25 +145,42 @@ class ParquetMergeSink:
         # logical run_id: resuming a crashed run with the SAME run_id must
         # not re-count rows committed by the earlier attempt (lineage
         # would double-count and 'inserted' would over-report).
+        import re
         import uuid
 
-        merge_id = f"{run_id}-{uuid.uuid4().hex[:8]}"
-        # each merge commits into its own hive-style partition directory:
-        # readers of self.path recover merge_id via partition discovery,
-        # and the lineage recount below scans ONLY this merge's files —
-        # the old flat layout footer-opened every file ever written on
-        # every merge (O(total table history) bookkeeping per run).
+        merge_id = re.sub(
+            r"[^A-Za-z0-9._-]", "_", f"{run_id}-{uuid.uuid4().hex[:8]}"
+        )  # sanitized: merge_id becomes a hive partition directory name
         to_write = deduped.withColumn("part_id", F.spark_partition_id())
-        merge_dir = f"{self.path}/merge_id={merge_id}"
-        to_write.write.mode("append").parquet(merge_dir)
 
-        # lineage from the just-committed files only (column-pruned scan
-        # of the per-merge directory, never the whole table)
-        try:
-            written = spark.read.parquet(merge_dir)
-        except AnalysisException:
-            # empty batch: parquet write emitted no data files
-            return {"inserted": 0, "partitions": 0}
+        if self._has_flat_files(spark):
+            # LEGACY layout (tables written before the per-merge-dir
+            # change): flat part files with merge_id as a DATA column.
+            # Mixing directory depths breaks partition discovery and
+            # would silently disable the anti-join on the next run, so a
+            # legacy table keeps appending flat (and keeps the old
+            # O(history) recount) rather than corrupting itself.
+            to_write.withColumn("merge_id", F.lit(merge_id)).write.mode(
+                "append"
+            ).parquet(self.path)
+            written = spark.read.parquet(self.path).filter(
+                F.col("merge_id") == merge_id
+            )
+        else:
+            # each merge commits into its own hive-style partition dir:
+            # readers of self.path recover merge_id via partition
+            # discovery, and the lineage recount below scans ONLY this
+            # merge's files — the flat layout footer-opened every file
+            # ever written on every merge (O(total history) per run).
+            merge_dir = f"{self.path}/merge_id={merge_id}"
+            to_write.write.mode("append").parquet(merge_dir)
+            # lineage from the just-committed files only (column-pruned
+            # scan of the per-merge directory, never the whole table)
+            try:
+                written = spark.read.parquet(merge_dir)
+            except AnalysisException:
+                # empty batch: parquet write emitted no data files
+                return {"inserted": 0, "partitions": 0}
         lineage = written.groupBy("part_id").agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(

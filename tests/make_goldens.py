@@ -63,6 +63,18 @@ def main():
     (OUT / "manifest.json").write_text(json.dumps(manifest, indent=1))
     print(f"wrote {N + len(SPECIAL_IDS)} goldens to {OUT}")
 
+    # realistic-page fixture goldens (tests/test_realistic_fixtures.py)
+    # regenerate through the same deliberate command as the synth ones
+    html_dir = OUT.parent / "html"
+    for name in ("wiki_style", "news_site"):
+        src = html_dir / f"{name}.html"
+        if src.exists():
+            r = policy.extract_html(src.read_text())
+            (html_dir / f"{name}.golden.txt").write_bytes(
+                r.text.encode("utf-8")
+            )
+            print(f"wrote {name}.golden.txt")
+
 
 if __name__ == "__main__":
     main()

@@ -98,6 +98,17 @@ ADVERSARIAL = [
     "<?php echo '>'; ?>text",
     "<?pi never closed",
     "<! bare declaration >rest",
+    "<p>before <![CDATA[ x > y ]]> after</p>",
+    "<p><![endif]-->tail</p>",
+    "<![if !IE]>conditional<![endif]>done",
+    "<![CDATA[never closed at eof",
+    "<![cdata[lower ]]>x",
+    "<![INCLUDE[ z ]]>w",
+    "<![bogus keyword]>q",
+    "<![3]>numeric",
+    "<![",
+    "<![CDATA",
+    "<!doctype html PUBLIC \"quoted > gt\">after-doctype",
     "<p attr>novalue</p>",
     "<p a=1 b='2' c=\"3\">unquoted</p>",
     '<img src="x.png" alt="selfclose"/>',
@@ -132,7 +143,7 @@ def test_adversarial_trees_identical():
 
 _tag_soup = st.text(
     alphabet=(
-        "<>/&;=\"' abcdefgpqrstz0129!?-\n\t"
+        "<>/&;=\"' abcdefgpqrstz0129!?-[]\n\t"
         "é中"
     ),
     min_size=0,

@@ -175,6 +175,32 @@ class TestMergeSink:
     def teardown_method(self, m):
         shutil.rmtree(self.dir, ignore_errors=True)
 
+    def test_legacy_flat_layout_still_idempotent(self, spark):
+        """Tables written by the pre-partitioned sink (flat part files,
+        merge_id as a data column) must keep their insert-if-absent
+        semantics: the new code detects the layout and appends flat
+        instead of mixing directory depths (which would break partition
+        discovery and silently disable the anti-join)."""
+        docs = synth_documents(spark, 20, partitions=2)
+        ext = run_extraction(docs, run_id="old")
+        # simulate a legacy table exactly as the old sink laid it out
+        ext.withColumn("part_id", F.spark_partition_id()).withColumn(
+            "merge_id", F.lit("old-run-deadbeef")
+        ).write.parquet(self.dir + "/out")
+
+        sink = ParquetMergeSink(self.dir + "/out")
+        # run-twice on the legacy table: nothing re-inserted
+        r = sink.merge(spark, run_extraction(docs, run_id="re"), "re")
+        assert r["inserted"] == 0
+
+        # a superset batch adds only the new rows, table stays readable
+        more = synth_documents(spark, 30, partitions=2)
+        r2 = sink.merge(spark, run_extraction(more, run_id="r2"), "r2")
+        assert r2["inserted"] == 10
+        out = sink.read(spark)
+        assert out.count() == 30
+        assert out.select("url").distinct().count() == 30
+
     def test_idempotent_and_resumable(self, spark):
         docs = synth_documents(spark, 40, partitions=2)
         sink = ParquetMergeSink(self.dir + "/out")

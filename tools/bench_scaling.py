@@ -30,8 +30,11 @@ def run_once(master_threads: int, n_docs: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--once",
          str(master_threads), str(n_docs)],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr)  # keep the child's traceback
+        raise SystemExit(f"scaling run failed (rc={out.returncode})")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
