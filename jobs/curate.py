@@ -1,0 +1,104 @@
+"""spark-submit entrypoint for training-corpus curation.
+
+Composes the training-data operators into the standard curation
+pipeline a 100 TB corpus goes through between crawl and tokenization:
+
+    exact dedup (keep min-id copy per distinct text)
+      -> Gopher quality-rule gate
+      -> optional holdout decontamination (drop overlapping docs)
+      -> optional PII scrubbing (emails/phones redacted in place)
+
+Cluster usage:
+
+    zip -r ndps.zip navigator_document_parser_spark
+    spark-submit --py-files ndps.zip jobs/curate.py \
+        --input  s3a://bucket/warehouse/documents \
+        --output s3a://bucket/warehouse/documents_curated \
+        --holdout s3a://bucket/warehouse/benchmark_docs \
+        --scrub-pii --min-hits 1
+
+Every stage is shuffle-minimal: one hash-agg for dedup keepers, pure
+codegen projections for quality/PII, a broadcast semi-join for
+decontamination. Stage-by-stage counts print from one observe pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def curate(spark, docs, holdout=None, min_hits: int = 1,
+           scrub_pii: bool = False, ngram: int = 3):
+    """documents(doc_id, text, ...) -> curated documents + stage counts."""
+    from pyspark.sql import functions as F
+
+    from navigator_document_parser_spark.operators.text import (
+        decontaminate,
+        gopher_quality,
+        pii_scrub,
+    )
+
+    counts = {"input": docs.count()}
+
+    keepers = (
+        docs.groupBy(F.md5(F.col("text")).alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = docs.join(keepers, "doc_id")
+    counts["after_exact_dedup"] = deduped.count()
+
+    passing = gopher_quality(deduped).filter("passes").select("doc_id")
+    gated = deduped.join(passing, "doc_id")
+    counts["after_quality_gate"] = gated.count()
+
+    if holdout is not None:
+        contaminated = (
+            decontaminate(gated, holdout, ngram=ngram, threshold=min_hits)
+            .filter("contaminated")
+            .select("doc_id")
+        )
+        gated = gated.join(F.broadcast(contaminated), "doc_id", "left_anti")
+        counts["after_decontamination"] = gated.count()
+
+    if scrub_pii:
+        scrubbed = pii_scrub(gated).select(
+            "doc_id", F.col("scrubbed").alias("text")
+        )
+        gated = gated.drop("text").join(scrubbed, "doc_id")
+
+    return gated, counts
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--holdout", default=None,
+                   help="optional benchmark/holdout docs parquet dir")
+    p.add_argument("--min-hits", type=int, default=1)
+    p.add_argument("--ngram", type=int, default=3)
+    p.add_argument("--scrub-pii", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from navigator_document_parser_spark.config import build_spark
+
+    spark = build_spark("curate-job", master=args.master)
+    docs = spark.read.parquet(args.input)
+    holdout = spark.read.parquet(args.holdout) if args.holdout else None
+
+    curated, counts = curate(
+        spark, docs, holdout=holdout, min_hits=args.min_hits,
+        scrub_pii=args.scrub_pii, ngram=args.ngram,
+    )
+    curated.write.mode("overwrite").parquet(args.output)
+    print(f"curation counts: {counts}")
+
+
+if __name__ == "__main__":
+    main()
