@@ -495,6 +495,29 @@ def _events_sessionize(spark, sf):
     )
 
 
+def _events_asof_join(spark, sf):
+    """Backward as-of join: every click gains the latest view (<= its
+    ts) of the same user — matched against DuckDB's native ASOF JOIN."""
+    from navigator_document_parser_spark.operators.joins import asof_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")  # unique per (key, ts): deterministic
+        .agg(F.round(F.max("value"), 4).alias("view_value"))
+        .withColumn("view_ts", F.col("ts"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.round("value", 4).alias("click_value")
+    )
+    return asof_join(
+        clicks, views, on=["user_id"], ts_col="ts",
+        value_cols=["view_value", "view_ts"],
+    ).select(
+        "event_id", "user_id", "ts", "click_value", "view_ts", "view_value"
+    )
+
+
 def _events_topk_per_type(spark, sf):
     from pyspark.sql.window import Window
 
@@ -614,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
         "events_topk_per_type": _events_topk_per_type,
+        "events_asof_join": _events_asof_join,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_revenue_top10": _q3_revenue_top10,
     }
@@ -995,6 +1019,22 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts) AS session_start, MAX(ts) AS session_end,
                    round(SUM(value), 4) AS sum_value
             FROM s GROUP BY user_id, session_idx
+        """,
+        "events_asof_join": """
+            WITH views AS (
+              SELECT user_id, ts, ts AS view_ts,
+                     round(MAX(value), 4) AS view_value
+              FROM events WHERE event_type = 'view'
+              GROUP BY user_id, ts
+            ), clicks AS (
+              SELECT event_id, user_id, ts, round(value, 4) AS click_value
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, c.ts, c.click_value,
+                   v.view_ts, v.view_value
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         "events_topk_per_type": """
             SELECT event_type,

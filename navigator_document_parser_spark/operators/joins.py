@@ -42,3 +42,58 @@ def salted_join(
     )
     out = salted_fact.join(replicated_dim, on + ["_salt"], how)
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of LEFT join: each left row gains, for every
+    ``value_cols`` entry, the value from the LATEST right row with the
+    same ``on`` keys and right.ts <= left.ts (ties at equal ts match).
+
+    Spark has no ASOF JOIN operator; the range-condition join Catalyst
+    would plan is a per-key sort-merge with an inequality — quadratic
+    within hot keys. This is the linear formulation instead: UNION both
+    sides tagged, ONE per-key time sort, and a running last(ignorenulls)
+    window fill — every value column shares the single window, so the
+    whole join is one shuffle on ``on`` regardless of how many columns
+    ride along. Exactly the shape that survives 10^9-row event tables
+    (per-key partitions stay small; skewed keys split via AQE).
+
+    Requirements: right must be unique per (on..., ts) — pre-aggregate
+    duplicates first (ambiguous ties have no deterministic winner);
+    right value columns must not collide with left column names; a
+    right value that is genuinely NULL is treated as missing (the fill
+    reaches further back).
+    """
+    from pyspark.sql.window import Window
+
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in set(on) | {ts_col}
+        ]
+    collisions = set(value_cols) & set(left.columns)
+    if collisions:
+        raise ValueError(f"alias right value columns first: {collisions}")
+
+    l_side = left.withColumn("_side", F.lit(1))
+    r_side = right.select(*on, ts_col, *value_cols).withColumn(
+        "_side", F.lit(0)
+    )
+    u = l_side.unionByName(r_side, allowMissingColumns=True)
+
+    # right rows (_side=0) sort BEFORE left rows at equal ts, so an
+    # equal-timestamp right row is visible to the left row (ASOF >=)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u
+    for c in value_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled.filter(F.col("_side") == 1).drop("_side")

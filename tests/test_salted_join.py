@@ -34,3 +34,44 @@ def test_salted_left_join_preserves_unmatched(spark):
     rows = {r["fid"]: r["name"] for r in out.collect()}
     assert rows == {10: "a", 20: "b", 30: None}
     assert out.count() == 3
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right <= left ts per key; equal ts
+    matches; no prior right -> nulls; keys never bleed."""
+    from pyspark.sql import functions as F
+
+    from navigator_document_parser_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 50), (5, "c", 9)],
+        "event_id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 15, 2.0), ("b", 50, 3.0), ("b", 60, 4.0)],
+        "k string, ts long, rv double",
+    )
+    out = {
+        r["event_id"]: r["rv"]
+        for r in asof_join(left, right, on=["k"], ts_col="ts").collect()
+    }
+    assert out[1] == 1.0  # equal-ts right row matches
+    assert out[2] == 2.0  # latest of the two priors
+    assert out[3] is None  # nothing at or before ts=5
+    assert out[4] == 3.0  # equal ts on key b; ts=60 is in the future
+    assert out[5] is None  # key c has no right rows at all
+
+    # exactly one hash-partitioned exchange: the per-key window
+    plan = (
+        asof_join(left, right, on=["k"], ts_col="ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:1500]
+
+    # column collision is an explicit error, not silent clobbering
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(
+            left.withColumn("rv", F.lit(0.0)), right, on=["k"], ts_col="ts"
+        )
