@@ -518,6 +518,27 @@ def _events_asof_join(spark, sf):
     )
 
 
+def _events_range_join(spark, sf):
+    """Keyless interval-containment join: every click is attributed to
+    each purchase's 30-minute window containing it — bucketed equi-join
+    formulation (never the cartesian Catalyst would plan for a bare
+    inequality join)."""
+    from navigator_document_parser_spark.operators.joins import range_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    windows = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    return range_join(
+        clicks, windows, "click_ts", "w_start", "w_end", bucket=1800.0
+    ).select("click_id", "click_ts", "window_id")
+
+
 def _events_topk_per_type(spark, sf):
     from pyspark.sql.window import Window
 
@@ -638,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "events_topk_per_type": _events_topk_per_type,
         "events_asof_join": _events_asof_join,
+        "events_range_join": _events_range_join,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_revenue_top10": _q3_revenue_top10,
     }
@@ -1019,6 +1041,19 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts) AS session_start, MAX(ts) AS session_end,
                    round(SUM(value), 4) AS sum_value
             FROM s GROUP BY user_id, session_idx
+        """,
+        "events_range_join": """
+            WITH w AS (
+              SELECT event_id AS window_id, ts AS w_start,
+                     ts + INTERVAL 30 MINUTE AS w_end
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT event_id AS click_id, ts AS click_ts
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT c.click_id, c.click_ts, w.window_id
+            FROM c JOIN w
+              ON w.w_start <= c.click_ts AND c.click_ts <= w.w_end
         """,
         "events_asof_join": """
             WITH views AS (

@@ -97,3 +97,69 @@ def asof_join(
     for c in value_cols:
         filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return filled.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval containment join: point rows matched to every interval
+    with start <= point <= end (inclusive), WITHOUT a key column.
+
+    Catalyst plans a bare inequality join as BroadcastNestedLoopJoin /
+    cartesian — O(|points| x |intervals|). The bucketed formulation is
+    the linear-in-output shape: intervals explode into the fixed-width
+    ``bucket`` cells they overlap, points map to their single cell, the
+    match is an EQUI-join on cell id + a residual containment filter.
+    Each (point, interval) pair meets in exactly ONE cell (the point's),
+    so no dedup pass is needed. Cost scales with sum of interval spans /
+    bucket + matches; pick ``bucket`` near the typical interval length.
+    Works on numeric or timestamp columns (timestamps compare as
+    epoch seconds internally; emitted columns are untouched).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("range_join supports inner/left joins")
+
+    def numeric(df, c):
+        dt = dict(df.dtypes)[c]
+        col = F.col(c)
+        if dt.startswith("timestamp"):  # timestamp + timestamp_ntz
+            # NTZ casts through session-tz (pinned UTC) — only the
+            # monotone point<->interval consistency matters for cells
+            return (
+                F.unix_micros(col.cast("timestamp")).cast("double") / 1e6
+            )
+        return col.cast("double")
+
+    p = points.withColumn(
+        "_cell", F.floor(numeric(points, point_col) / F.lit(bucket))
+    )
+    iv = intervals.withColumn(
+        "_cell",
+        F.explode(
+            F.sequence(
+                F.floor(numeric(intervals, start_col) / F.lit(bucket)),
+                F.floor(numeric(intervals, end_col) / F.lit(bucket)),
+            )
+        ),
+    )
+    joined = p.join(iv, "_cell", "inner").filter(
+        (F.col(start_col) <= F.col(point_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    if how == "inner":
+        return joined.drop("_cell")
+    # left join: re-attach point rows with no containing interval
+    matched_keys = joined.select(*points.columns)
+    unmatched = points.join(
+        matched_keys.dropDuplicates(points.columns), points.columns,
+        "left_anti",
+    )
+    return joined.drop("_cell").unionByName(
+        unmatched, allowMissingColumns=True
+    )

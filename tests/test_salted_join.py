@@ -75,3 +75,35 @@ def test_asof_join_semantics(spark):
         asof_join(
             left.withColumn("rv", F.lit(0.0)), right, on=["k"], ts_col="ts"
         )
+
+
+def test_range_join_semantics(spark):
+    """Inclusive containment, intervals spanning many buckets, exactly
+    one row per (point, interval) pair, left-join null padding, no
+    nested-loop/cartesian in the plan."""
+    from navigator_document_parser_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 25.0), (4, 99.0)],
+        "pid long, x double",
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 10.0, 30.0), (30, 4.0, 26.0)],
+        "iid long, lo double, hi double",
+    )
+    out = range_join(points, intervals, "x", "lo", "hi", bucket=7.0)
+    pairs = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert pairs == [
+        (1, 10), (1, 30),            # 5 in [0,10] and [4,26]
+        (2, 10), (2, 20), (2, 30),   # boundary 10 inclusive both ends
+        (3, 20), (3, 30),            # 25 in [10,30] and [4,26] (26 incl)
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    left = range_join(points, intervals, "x", "lo", "hi", bucket=7.0,
+                      how="left")
+    unmatched = [r for r in left.collect() if r["pid"] == 4]
+    assert len(unmatched) == 1 and unmatched[0]["iid"] is None
+    assert left.count() == len(pairs) + 1
