@@ -367,6 +367,15 @@ def _token_stats(spark, sf):
     )
 
 
+def _corpus_sample(spark, sf):
+    """Deterministic stratified subsample (data-mix construction):
+    default keep-25%, en upweighted to 50%, zh downweighted to 5%."""
+    return T.hash_sample(
+        _docs(spark, sf), fraction=0.25,
+        strata={"en": 0.5, "zh": 0.05},
+    ).select("doc_id", "lang")
+
+
 def _quality_filters(spark, sf):
     """Gopher-rule quality filtering (word count / mean word length /
     symbol ratio / required-stopword bands)."""
@@ -638,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_lang": _quality_by_lang,        # exact percentiles
         "token_stats": _token_stats,                # ws + BPE-ish counting
         "quality_filters": _quality_filters,        # Gopher-rule bands
+        "corpus_sample": _corpus_sample,            # stratified hash sample
         "decontaminate": _decontaminate,            # holdout n-gram overlap
         "pii_scrub": _pii_scrub,                    # email/phone redaction
         # training-data pipeline operators
@@ -833,6 +843,11 @@ def oracle_sql() -> dict[str, str]:
             FROM q GROUP BY lang
         """,
         "quality_filters": T.oracle_gopher(),
+        "corpus_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {T.oracle_hash_sample(0.25,
+                                        strata={'en': 0.5, 'zh': 0.05})}
+        """,
         "token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM({T.oracle_token_count('text')}) AS BIGINT)

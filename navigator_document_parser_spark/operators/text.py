@@ -208,6 +208,66 @@ def oracle_bpe_token_count(col: str) -> str:
     return f"CAST(len(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
 
 
+# ---- deterministic (stratified) corpus sampling ---------------------------
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    strata: dict[str, float] | None = None,
+    strata_col: str = "lang",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic subsample: keep a row iff the md5 of (salt, id)
+    falls under the stratum's fraction — the reproducible alternative to
+    RNG-based TABLESAMPLE for data-mix construction (re-running any
+    subset of the corpus re-selects exactly the same documents, and a
+    fraction increase is a SUPERSET of the smaller sample, so mixes can
+    be grown without resampling). Pure codegen'd filter: no shuffle, no
+    state, embarrassingly parallel; md5 keeps it replayable in any
+    engine. ``strata`` overrides the default fraction per strata_col
+    value (absent keys use ``fraction``).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"),
+                               F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    if strata:
+        frac = F.lit(float(fraction))
+        for key, f in sorted(strata.items()):
+            frac = F.when(
+                F.col(strata_col) == key, F.lit(float(f))
+            ).otherwise(frac)
+    else:
+        frac = F.lit(float(fraction))
+    return df.filter(u < frac)
+
+
+def oracle_hash_sample(fraction: float, id_col: str = "doc_id",
+                       strata: dict[str, float] | None = None,
+                       strata_col: str = "lang",
+                       salt: str = "sample") -> str:
+    u = (
+        f"(CAST('0x' || substring(md5('{salt}:' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+    )
+    frac = str(float(fraction))
+    if strata:
+        for key, f in sorted(strata.items()):
+            frac = (
+                f"CASE WHEN {strata_col} = '{key}' THEN {float(f)} "
+                f"ELSE {frac} END"
+            )
+    return f"{u} < ({frac})"
+
+
 # ---- Gopher-style quality filter rules ------------------------------------
 
 # the 8-word required-stopword list from Gopher (Rae et al. 2021 §A1.1):

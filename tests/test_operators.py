@@ -294,6 +294,33 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert rows[4] == (0, 0)
 
 
+def test_hash_sample_deterministic_superset_and_strata(spark):
+    from navigator_document_parser_spark.operators.text import hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    s_a = {r["doc_id"] for r in hash_sample(df, 0.2).collect()}
+    s_b = {r["doc_id"] for r in hash_sample(df, 0.2).collect()}
+    assert s_a == s_b  # re-running reselects the same docs
+    s_big = {r["doc_id"] for r in hash_sample(df, 0.6).collect()}
+    assert s_a <= s_big  # growing the fraction only ADDS docs
+    assert 0.15 < len(s_a) / 2000 < 0.25
+    # strata override: fr kept in full, en dropped entirely
+    strat = hash_sample(df, 0.5, strata={"fr": 1.0, "en": 0.0})
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in strat.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_lang == {"fr": 1000}
+    # a different salt draws an (almost surely) different sample
+    s_salt = {r["doc_id"] for r in hash_sample(df, 0.2, salt="v2").collect()}
+    assert s_salt != s_a
+
+
 def test_gopher_quality_bands(spark):
     from navigator_document_parser_spark.operators.text import gopher_quality
 
