@@ -79,6 +79,8 @@ def asof_join(
     collisions = set(value_cols) & set(left.columns)
     if collisions:
         raise ValueError(f"alias right value columns first: {collisions}")
+    if "_side" in left.columns or "_side" in right.columns:
+        raise ValueError("'_side' is reserved by asof_join")
 
     l_side = left.withColumn("_side", F.lit(1))
     r_side = right.select(*on, ts_col, *value_cols).withColumn(
@@ -139,6 +141,9 @@ def range_join(
     p = points.withColumn(
         "_cell", F.floor(numeric(points, point_col) / F.lit(bucket))
     )
+    # inverted intervals (end < start, bad upstream data) contain
+    # nothing — and would make F.sequence throw at runtime; drop them
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     iv = intervals.withColumn(
         "_cell",
         F.explode(

@@ -107,3 +107,15 @@ def test_range_join_semantics(spark):
     unmatched = [r for r in left.collect() if r["pid"] == 4]
     assert len(unmatched) == 1 and unmatched[0]["iid"] is None
     assert left.count() == len(pairs) + 1
+
+
+def test_range_join_tolerates_inverted_intervals(spark):
+    from navigator_document_parser_spark.operators.joins import range_join
+
+    points = spark.createDataFrame([(1, 5.0)], "pid long, x double")
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 30.0, 10.0)],  # second is inverted
+        "iid long, lo double, hi double",
+    )
+    out = range_join(points, intervals, "x", "lo", "hi", bucket=4.0)
+    assert [(r["pid"], r["iid"]) for r in out.collect()] == [(1, 10)]
