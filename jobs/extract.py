@@ -29,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=("parquet", "warc"),
+                   help="input format: parquet documents table, or raw "
+                        "Common-Crawl .warc/.warc.gz shards")
     p.add_argument("--output", required=True)
     p.add_argument("--run-id", required=True)
     p.add_argument("--parsing-date", default=None,
@@ -51,7 +55,12 @@ def main(argv=None):
     from navigator_document_parser_spark.schema import DOCUMENTS_SCHEMA
 
     spark = build_spark("extract-job", master=args.master)
-    docs = spark.read.schema(DOCUMENTS_SCHEMA).parquet(args.input)
+    if args.format == "warc":
+        from navigator_document_parser_spark.sources.warc import read_warc
+
+        docs = read_warc(spark, args.input)
+    else:
+        docs = spark.read.schema(DOCUMENTS_SCHEMA).parquet(args.input)
 
     sink = ParquetMergeSink(args.output)
     extracted = run_extraction(

@@ -68,6 +68,28 @@ def test_malformed_records_dropped_never_raise():
     assert len(_records_to_rows(good + b"WARC/1.0\r\nbroken")) == 1
 
 
+def test_extract_cli_warc_format(spark):
+    """jobs/extract.py --format warc drives shards through the whole
+    extract+merge pipeline."""
+    import jobs.extract as J
+
+    base = tempfile.mkdtemp(prefix="ndps-warc-cli-")
+    try:
+        with open(os.path.join(base, "s.warc.gz"), "wb") as f:
+            f.write(_archive(range(0, 12)))
+        J.main([
+            "--input", base + "/*.warc.gz",
+            "--format", "warc",
+            "--output", base + "/out",
+            "--run-id", "warc-cli",
+        ])
+        out = spark.read.parquet(base + "/out")
+        assert out.count() == 12
+        assert out.filter("error is null").count() == 12
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_warc_to_extraction_end_to_end(spark):
     from navigator_document_parser_spark.plans.job import run_extraction
 
