@@ -367,6 +367,11 @@ def _token_stats(spark, sf):
     )
 
 
+def _pack_sequences(spark, sf):
+    """Sharded greedy sequence packing (2048-token packs, 16 shards)."""
+    return T.pack_sequences(_docs(spark, sf), max_tokens=2048, n_shards=16)
+
+
 def _corpus_sample(spark, sf):
     """Deterministic stratified subsample (data-mix construction):
     default keep-25%, en upweighted to 50%, zh downweighted to 5%."""
@@ -648,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _token_stats,                # ws + BPE-ish counting
         "quality_filters": _quality_filters,        # Gopher-rule bands
         "corpus_sample": _corpus_sample,            # stratified hash sample
+        "pack_sequences": _pack_sequences,          # token-budget packing
         "decontaminate": _decontaminate,            # holdout n-gram overlap
         "pii_scrub": _pii_scrub,                    # email/phone redaction
         # training-data pipeline operators
@@ -843,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
             FROM q GROUP BY lang
         """,
         "quality_filters": T.oracle_gopher(),
+        "pack_sequences": T.oracle_pack_sequences(),
         "corpus_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE {T.oracle_hash_sample(0.25,

@@ -268,6 +268,88 @@ def oracle_hash_sample(fraction: float, id_col: str = "doc_id",
     return f"{u} < ({frac})"
 
 
+# ---- sequence packing (training-batch prep) --------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (the sequence-packing
+    step before tokenized training batches are written).
+
+    Greedy cumulative packing: within a shard, docs in id order go to
+    pack floor(tokens_before / max_tokens) — a pack can overrun by at
+    most one document (the standard streaming approximation; exact bin
+    packing is inherently sequential). Sharding makes it SCALE: a single
+    global running sum is one-partition work, so docs are first split
+    into ``n_shards`` deterministic md5 shards and each shard packs
+    independently in parallel — at 100 TB, shards map to writer tasks
+    and (shard, pack_id) is the output file key. Deterministic and
+    SQL-replayable (md5 shard + one window cumsum).
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = token_count(F.col(text_col)).cast("bigint")
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"),
+                               F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    base = df.select(
+        F.col(id_col), n_tok.alias("n_tokens"), shard.alias("shard")
+    )
+    return base.withColumn(
+        "tokens_before",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / F.lit(max_tokens))
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+def oracle_pack_sequences(max_tokens: int = 2048, n_shards: int = 16,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          salt: str = "pack",
+                          table: str = "documents") -> str:
+    nw = oracle_token_count(text_col)
+    return f"""
+        WITH base AS (
+          SELECT {id_col},
+                 CAST({nw} AS BIGINT) AS n_tokens,
+                 CAST(CAST('0x' || substring(md5('{salt}:' ||
+                      CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT)
+                      % {n_shards} AS INTEGER) AS shard
+          FROM {table}
+        )
+        SELECT {id_col}, shard, n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                      PARTITION BY shard ORDER BY {id_col} ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) * 1.0 / {max_tokens}) AS BIGINT) AS pack_id
+        FROM base
+    """
+
+
 # ---- Gopher-style quality filter rules ------------------------------------
 
 # the 8-word required-stopword list from Gopher (Rae et al. 2021 §A1.1):

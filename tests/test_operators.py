@@ -294,6 +294,26 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert rows[4] == (0, 0)
 
 
+def test_pack_sequences_budget_bound(spark):
+    """Greedy packing invariant: a pack never exceeds max_tokens by more
+    than one document (sum - max_doc < budget), ids stay unique, and
+    packing is deterministic."""
+    from navigator_document_parser_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + (i * 37) % 90))) for i in range(600)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(df, max_tokens=100, n_shards=4).toPandas()
+    assert len(out) == 600 and out.doc_id.nunique() == 600
+    assert out.shard.nunique() == 4
+    g = out.groupby(["shard", "pack_id"]).n_tokens.agg(["sum", "max"])
+    assert ((g["sum"] - g["max"]) < 100).all()
+    out2 = pack_sequences(df, max_tokens=100, n_shards=4).toPandas()
+    assert out.sort_values("doc_id").pack_id.tolist() == \
+        out2.sort_values("doc_id").pack_id.tolist()
+
+
 def test_hash_sample_deterministic_superset_and_strata(spark):
     from navigator_document_parser_spark.operators.text import hash_sample
 
