@@ -32,8 +32,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def curate(spark, docs, holdout=None, min_hits: int = 1,
-           scrub_pii: bool = False, ngram: int = 3):
-    """documents(doc_id, text, ...) -> curated documents + stage counts."""
+           scrub_pii: bool = False, ngram: int = 3,
+           with_counts: bool = True):
+    """documents(doc_id, text, ...) -> curated documents + stage counts.
+
+    ``with_counts=True`` reports per-stage survivor counts; to keep that
+    from re-executing the whole upstream chain once per stage, each
+    counted intermediate is persisted (MEMORY_AND_DISK) for the duration
+    of the build and unpersisted before returning — one pass per stage,
+    not one pass per (stage x downstream stages). with_counts=False
+    builds a single lazy plan with ZERO extra actions (the production
+    default when only the output matters)."""
     from pyspark.sql import functions as F
 
     from navigator_document_parser_spark.operators.text import (
@@ -42,19 +51,27 @@ def curate(spark, docs, holdout=None, min_hits: int = 1,
         pii_scrub,
     )
 
-    counts = {"input": docs.count()}
+    counts: dict[str, int] = {}
+    pinned = []
+
+    def stage(df, name):
+        if with_counts:
+            df = df.persist()
+            pinned.append(df)
+            counts[name] = df.count()
+        return df
+
+    docs = stage(docs, "input")
 
     keepers = (
         docs.groupBy(F.md5(F.col("text")).alias("_fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    deduped = docs.join(keepers, "doc_id")
-    counts["after_exact_dedup"] = deduped.count()
+    deduped = stage(docs.join(keepers, "doc_id"), "after_exact_dedup")
 
     passing = gopher_quality(deduped).filter("passes").select("doc_id")
-    gated = deduped.join(passing, "doc_id")
-    counts["after_quality_gate"] = gated.count()
+    gated = stage(deduped.join(passing, "doc_id"), "after_quality_gate")
 
     if holdout is not None:
         contaminated = (
@@ -62,8 +79,10 @@ def curate(spark, docs, holdout=None, min_hits: int = 1,
             .filter("contaminated")
             .select("doc_id")
         )
-        gated = gated.join(F.broadcast(contaminated), "doc_id", "left_anti")
-        counts["after_decontamination"] = gated.count()
+        gated = stage(
+            gated.join(F.broadcast(contaminated), "doc_id", "left_anti"),
+            "after_decontamination",
+        )
 
     if scrub_pii:
         scrubbed = pii_scrub(gated).select(
@@ -71,6 +90,12 @@ def curate(spark, docs, holdout=None, min_hits: int = 1,
         )
         gated = gated.drop("text").join(scrubbed, "doc_id")
 
+    if with_counts:
+        # materialize the final plan before releasing the pinned inputs
+        gated = gated.persist()
+        gated.count()
+        for df in pinned:
+            df.unpersist()
     return gated, counts
 
 
