@@ -439,6 +439,21 @@ def _embedding_neardup(spark, sf):
     return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)
 
 
+def _quantize_embeddings(spark, sf):
+    """Int8 symmetric quantization of the embeddings table (q serialized
+    to a csv string: the driver compare stringifies columns, and numpy
+    vs duckdb array reprs differ)."""
+    from navigator_document_parser_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    _ensure_workers_can_import(spark)
+    out = quantize_embeddings(_emb(spark, sf))
+    return out.select(
+        "vec_id", "scale", F.concat_ws(",", F.col("q")).alias("q_csv")
+    )
+
+
 def _knn_lsh(spark, sf):
     emb = _emb(spark, sf)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -668,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _knn_lsh,                # oracle: deterministic planes
         "knn_ivf": _knn_ivf,                        # rows-only (approx)
         "embedding_neardup": _embedding_neardup,
+        "quantize_embeddings": _quantize_embeddings,
         "multimodal_features": _multimodal_features,  # rows-only (mapInPandas)
         "multimodal_frames": _multimodal_frames,      # rows-only (1->N fanout)
         # relational / windows (free on Spark; parity breadth)
@@ -1026,6 +1042,23 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        "quantize_embeddings": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), m AS (
+              SELECT vec_id, v,
+                     list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                       / 127.0 AS scale
+              FROM base
+            )
+            SELECT vec_id, round(scale, 8) AS scale,
+                   array_to_string(list_transform(v, x ->
+                     CAST(CASE WHEN scale = 0 THEN 0
+                          ELSE sign(x) * floor(abs(x) / scale + 0.5)
+                          END AS INTEGER)), ',') AS q_csv
+            FROM m
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -520,6 +520,40 @@ def test_knn_ivf_assignment_is_shuffle_free(spark):
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
 
 
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """Dequantized vectors (q * scale) differ per coordinate by at most
+    scale/2; the max-|coordinate| quantizes to exactly ±127; zero
+    vectors get scale 0 and all-zero codes."""
+    from navigator_document_parser_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load(spark, "embeddings").select("vec_id", "embedding").limit(
+        50
+    ).unionByName(
+        spark.createDataFrame(
+            [(999999, [0.0] * 64)],
+            "vec_id long, embedding array<double>",
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        )
+    )
+    orig = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert rows[999999]["scale"] == 0.0
+    assert all(x == 0 for x in rows[999999]["q"])
+    for vid, r in rows.items():
+        if vid == 999999:
+            continue
+        scale, q = r["scale"], list(r["q"])
+        assert max(abs(x) for x in q) == 127
+        assert all(-127 <= x <= 127 for x in q)
+        for o, qq in zip(orig[vid], q):
+            assert abs(o - qq * scale) <= scale / 2 + 1e-9
+
+
 def test_embedding_neardup_blocked(spark):
     from navigator_document_parser_spark.operators.similarity import (
         embedding_neardup_pairs,
