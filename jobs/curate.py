@@ -42,7 +42,14 @@ def curate(spark, docs, holdout=None, min_hits: int = 1,
     of the build and unpersisted before returning — one pass per stage,
     not one pass per (stage x downstream stages). with_counts=False
     builds a single lazy plan with ZERO extra actions (the production
-    default when only the output matters)."""
+    default when only the output matters).
+
+    NOTE on ownership: with with_counts=True the RETURNED DataFrame is
+    persisted (the intermediates are released before returning, the
+    output is not — releasing it here would re-execute the whole chain
+    on the caller's first action). The caller owns the unpersist: call
+    ``result.unpersist()`` after consuming it, as main() does after the
+    write."""
     from pyspark.sql import functions as F
 
     from navigator_document_parser_spark.operators.text import (
@@ -122,6 +129,7 @@ def main(argv=None):
         scrub_pii=args.scrub_pii, ngram=args.ngram,
     )
     curated.write.mode("overwrite").parquet(args.output)
+    curated.unpersist()  # caller-owned persist (see curate() docstring)
     print(f"curation counts: {counts}")
 
 

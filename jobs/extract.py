@@ -63,8 +63,13 @@ def main(argv=None):
         docs = spark.read.schema(DOCUMENTS_SCHEMA).parquet(args.input)
 
     sink = ParquetMergeSink(args.output)
+    # resume prunes COMPUTE, not just writes: anti-join the raw input
+    # against committed (url, warc_ts) BEFORE the extraction UDF, so a
+    # resumed 90%-done run pays ~10% of the CPU (SURVEY §3.1: scan ->
+    # filter not-yet-done -> UDF; reference skip-if-exists before
+    # parsing, cli/parse_htmls.py:82-83, cli/parse_pdfs.py:315-317).
     extracted = run_extraction(
-        docs,
+        sink.prune_extraction_input(spark, docs),
         run_id=args.run_id,
         rebalance_partitions=args.rebalance_partitions or None,
         parsing_date=args.parsing_date,
@@ -78,10 +83,17 @@ def main(argv=None):
     targets = [t for t in args.translate.split(",") if t.strip()]
     if targets:
         translate_run = args.run_id + "-translate"
-        committed = spark.read.parquet(args.output).filter(
+        extraction_rows = spark.read.parquet(args.output).filter(
             "translated = false"
         )
-        translated = run_translation(committed, targets, run_id=translate_run)
+        # same below-the-UDF pruning for translation: finished
+        # (url, warc_ts, target) pairs never reach the translate UDFs
+        translated = run_translation(
+            extraction_rows,
+            targets,
+            run_id=translate_run,
+            committed=sink.committed_translation_keys(spark),
+        )
         tstats = sink.merge(spark, translated, translate_run)
         print(f"translation merged: {tstats}")
 

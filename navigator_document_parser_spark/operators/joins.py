@@ -159,11 +159,23 @@ def range_join(
     )
     if how == "inner":
         return joined.drop("_cell")
-    # left join: re-attach point rows with no containing interval
-    matched_keys = joined.select(*points.columns)
-    unmatched = points.join(
-        matched_keys.dropDuplicates(points.columns), points.columns,
-        "left_anti",
+    # left join: re-attach point rows with no containing interval.
+    # NULL-SAFE equality per column (<=>): a matched point row carrying a
+    # NULL in any column must still anti-join against its own joined copy
+    # — column-name equality would keep it and emit the row twice (once
+    # matched, once as a spurious all-null-interval row). Duplicate point
+    # rows are safe: identical rows map to identical cells, so either
+    # both match or neither does.
+    matched_keys = joined.select(*points.columns).dropDuplicates(
+        points.columns
+    )
+    unmatched = points.alias("p").join(
+        matched_keys.alias("m"),
+        on=[
+            F.col(f"p.{c}").eqNullSafe(F.col(f"m.{c}"))
+            for c in points.columns
+        ],
+        how="left_anti",
     )
     return joined.drop("_cell").unionByName(
         unmatched, allowMissingColumns=True

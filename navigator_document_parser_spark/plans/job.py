@@ -248,6 +248,7 @@ def run_translation(
     extracted: DataFrame,
     target_languages: list[str] | None = None,
     run_id: str | None = None,
+    committed: DataFrame | None = None,
 ) -> DataFrame:
     """Translation stage (P6-P8 + M14) over extracted outputs.
 
@@ -264,6 +265,14 @@ def run_translation(
     reference's env knob, src/config.py:13-15). ``run_id``, when given,
     restamps the output rows so sink lineage attributes them to the
     translation run, not the extraction run they derive from.
+
+    ``committed`` (optional): a (url, warc_ts, translated_to) DataFrame
+    of already-committed translations (sink.committed_translation_keys).
+    The exploded (candidate x target) set is anti-joined against it
+    BEFORE the translate UDFs, so a resumed run skips the translation
+    compute for finished pairs instead of re-translating and letting the
+    sink drop the duplicates after the fact (reference: skip-if-exists
+    before parsing, cli/parse_htmls.py:82-83).
     """
     if target_languages is None:
         from ..config import TARGET_LANGUAGES
@@ -284,6 +293,21 @@ def run_translation(
     exploded = candidates.select(
         "*", F.explode(F.col("to_langs")).alias("target_language")
     ).drop("to_langs")
+
+    if committed is not None:
+        # resume: prune finished (url, warc_ts, target) pairs BELOW the
+        # translate UDFs — null-safe on the document key (null url rows
+        # are filtered above, warc_ts may legally be null), plain
+        # equality on target (translated_to is non-null by construction)
+        exploded = exploded.alias("b").join(
+            committed.alias("c"),
+            on=[
+                F.col("b.url").eqNullSafe(F.col("c.url")),
+                F.col("b.warc_ts").eqNullSafe(F.col("c.warc_ts")),
+                F.col("b.target_language") == F.col("c.translated_to"),
+            ],
+            how="left_anti",
+        )
 
     translate_blocks = make_translate_blocks_udf()
     translate_pdf_blocks = make_translate_pdf_blocks_udf()

@@ -28,6 +28,14 @@ from pyspark.errors import AnalysisException
 
 KEYS = ["url", "warc_ts", "translated_to"]
 
+# Broadcasting the committed key set is right while it fits executor
+# memory (keys are ~100 B/row -> ~1 GB at the default cap). Past the cap
+# the hint is dropped and AQE picks a shuffle join — same semantics,
+# different physical plan. Per-session override:
+#   spark.conf.set("spark.docparse.sink.maxBroadcastKeys", n)
+MAX_BROADCAST_KEYS_CONF = "spark.docparse.sink.maxBroadcastKeys"
+DEFAULT_MAX_BROADCAST_KEYS = 10_000_000
+
 
 class ParquetMergeSink:
     def __init__(self, path: str, keys: list[str] | None = None):
@@ -64,6 +72,80 @@ class ParquetMergeSink:
             return None
         # column-pruned scan: only the key columns leave the parquet reader
         return existing.select(*self.keys).dropDuplicates(self.keys)
+
+    def _maybe_broadcast(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+        """Broadcast the committed key set only while it is small enough.
+
+        The count is one extra job over the column-pruned key scan —
+        cheap next to re-scanning the table per anti-join branch, and it
+        is what actually decides executor-memory safety (a size estimate
+        from file stats would include non-key columns). Past the cap the
+        plain DataFrame is returned and AQE picks a shuffle-hash join.
+        """
+        limit = int(
+            spark.conf.get(
+                MAX_BROADCAST_KEYS_CONF, str(DEFAULT_MAX_BROADCAST_KEYS)
+            )
+        )
+        if keys.count() <= limit:
+            return F.broadcast(keys)
+        return keys
+
+    @staticmethod
+    def _anti_join_keys(
+        batch: DataFrame, committed: DataFrame, pairs: list[tuple[str, str]]
+    ) -> DataFrame:
+        """left-anti on NULL-SAFE key equality (<=>), matching the
+        iceberg_merge_sql ON clause: a null key part must anti-join
+        against its committed twin or re-running re-inserts it forever.
+        ``pairs`` maps batch column -> committed column."""
+        cond = [
+            F.col(f"b.{bc}").eqNullSafe(F.col(f"c.{cc}")) for bc, cc in pairs
+        ]
+        return batch.alias("b").join(
+            committed.alias("c"), on=cond, how="left_anti"
+        )
+
+    # -- resume: prune work BEFORE compute (SURVEY §3.1 lifecycle:
+    #    scan -> filter not-yet-done -> UDF). The merge() anti-join prunes
+    #    WRITES; these prune the UDF INPUT so a resumed 90%-done run pays
+    #    ~10% of the extraction CPU, not 100%. Reference semantics are
+    #    skip-if-exists BEFORE parsing (cli/parse_htmls.py:82-83,
+    #    cli/parse_pdfs.py:315-317).
+
+    def committed_extraction_keys(self, spark: SparkSession) -> DataFrame | None:
+        """(url, warc_ts) of committed ORIGINAL-extraction rows
+        (translated_to IS NULL), broadcast-hinted while small."""
+        ck = self.committed_keys(spark)
+        if ck is None:
+            return None
+        keys = ck.filter(F.col("translated_to").isNull()).select(
+            "url", "warc_ts"
+        )
+        return self._maybe_broadcast(spark, keys)
+
+    def committed_translation_keys(self, spark: SparkSession) -> DataFrame | None:
+        """(url, warc_ts, translated_to) of committed TRANSLATED rows,
+        broadcast-hinted while small."""
+        ck = self.committed_keys(spark)
+        if ck is None:
+            return None
+        keys = ck.filter(F.col("translated_to").isNotNull())
+        return self._maybe_broadcast(spark, keys)
+
+    def prune_extraction_input(
+        self, spark: SparkSession, docs: DataFrame
+    ) -> DataFrame:
+        """Anti-join the RAW documents input against committed extraction
+        keys so the extraction UDF only ever sees un-committed rows —
+        the join sits BELOW the ArrowEvalPython stage by construction
+        (it filters the input plan, not the UDF output)."""
+        keys = self.committed_extraction_keys(spark)
+        if keys is None:
+            return docs
+        return self._anti_join_keys(
+            docs, keys, [("url", "url"), ("warc_ts", "warc_ts")]
+        )
 
     # -- production path -----------------------------------------------------
 
@@ -122,24 +204,14 @@ class ParquetMergeSink:
             # (dropDuplicates treats nulls as equal): a null key part must
             # anti-join against its committed twin, or re-running would
             # re-insert it every time and break run-twice-adds-0-rows.
-            deduped = (
-                deduped.alias("b")
-                .join(
-                    F.broadcast(committed).alias("c"),
-                    on=[
-                        F.col("b.url").eqNullSafe(F.col("c.url")),
-                        F.col("b.warc_ts").eqNullSafe(F.col("c.warc_ts")),
-                        F.col("b.translated_to").eqNullSafe(
-                            F.col("c.translated_to")
-                        ),
-                    ],
-                    how="left_anti",
-                )
+            # Broadcast only while the key set fits executor memory
+            # (spark.docparse.sink.maxBroadcastKeys) — past that AQE
+            # plans a shuffle join; the sink interface doesn't change.
+            deduped = self._anti_join_keys(
+                deduped,
+                self._maybe_broadcast(spark, committed),
+                [(k, k) for k in self.keys],
             )
-        # NOTE on scale: broadcast(committed keys) is right while the
-        # committed key set fits executor memory (keys are ~100 B/row).
-        # Past that, drop the broadcast hint and let AQE pick a
-        # shuffle-hash join; the sink interface doesn't change.
 
         # stats/lineage key on a UNIQUE per-invocation merge id, not the
         # logical run_id: resuming a crashed run with the SAME run_id must

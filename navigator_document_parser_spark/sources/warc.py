@@ -60,10 +60,16 @@ def _iter_warc_records(data: bytes):
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            # hostile/corrupt record: a negative length would move pos
+            # BACKWARD past body_start and re-yield prior records forever
+            return
         body_start = head_end + 4
         if body_start + length > n:
             return  # truncated archive: drop the tail record
         yield headers, data[body_start : body_start + length]
+        # forward progress is guaranteed: length >= 0 and
+        # body_start = head_end + 4 > pos, so pos strictly increases
         pos = body_start + length
 
 

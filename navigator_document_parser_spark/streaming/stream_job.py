@@ -41,8 +41,13 @@ def start_extraction_stream(
 
     def process_batch(batch_df, batch_id: int):
         run_id = f"{run_prefix}-{batch_id}"
+        spark_b = batch_df.sparkSession
+        # the checkpoint already prevents batch REPLAY; this prunes rows
+        # whose key is committed but that re-arrive in NEW files
+        # (duplicate data landing) before the extraction UDF runs
+        batch_df = sink.prune_extraction_input(spark_b, batch_df)
         extracted = run_extraction(batch_df, run_id=run_id)
-        sink.merge(batch_df.sparkSession, extracted, run_id)
+        sink.merge(spark_b, extracted, run_id)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

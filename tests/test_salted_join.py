@@ -109,6 +109,31 @@ def test_range_join_semantics(spark):
     assert left.count() == len(pairs) + 1
 
 
+def test_range_join_left_with_null_columns(spark):
+    """ADVICE r2: a matched point row carrying a NULL payload column must
+    NOT be re-emitted as a spurious all-null-interval row (the old
+    column-name anti-join used null-unsafe equality); an unmatched row
+    with a NULL still comes back exactly once."""
+    from navigator_document_parser_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0, None), (2, 99.0, None), (3, 6.0, "tagged")],
+        "pid long, x double, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0.0, 10.0)], "iid long, lo double, hi double"
+    )
+    out = range_join(points, intervals, "x", "lo", "hi", bucket=7.0,
+                     how="left")
+    rows = sorted(
+        ((r["pid"], r["iid"]) for r in out.collect()),
+        key=lambda t: (t[0], t[1] is None, t[1]),
+    )
+    # pid 1: matched ONCE (null tag, would have doubled before the fix);
+    # pid 2: unmatched once with null interval; pid 3: matched once
+    assert rows == [(1, 10), (2, None), (3, 10)]
+
+
 def test_range_join_tolerates_inverted_intervals(spark):
     from navigator_document_parser_spark.operators.joins import range_join
 

@@ -52,6 +52,23 @@ def test_record_parser_pure():
     assert rows[0]["warc_ts"].year == 2024
 
 
+def test_negative_content_length_terminates():
+    """ADVICE r2: a hostile 'Content-Length: -N' header must not move the
+    cursor backward onto a prior record boundary and re-yield the same
+    record forever — the parser stops cleanly instead."""
+    good = _archive([1], gz=False)
+    evil = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://example.org/evil\r\n"
+        "WARC-Date: 2024-02-01T00:00:00Z\r\n"
+        "Content-Length: -54\r\n\r\n"
+    ).encode()
+    recs = list(_iter_warc_records(good + evil))  # hung forever pre-fix
+    assert len(recs) == 1
+    rows = _records_to_rows(good + evil)
+    assert [r["url"] for r in rows] == ["https://example.org/p/1"]
+
+
 def test_malformed_records_dropped_never_raise():
     good = _archive([7], gz=False)
     cases = [
