@@ -6,8 +6,8 @@ entry(spark)   -> flagship: real extraction pipeline over the sf0.001
 queries()      -> one entry per implemented operator family from
                   SURVEY.md §2 + the training-data-pipeline operators.
 oracle_sql()   -> DuckDB-equivalent SQL for every SQL-expressible query;
-                  non-expressible ones (extraction itself, LSH ANN,
-                  multimodal mapInPandas) are rows-only by design.
+                  non-expressible ones (extraction itself, IVF ANN,
+                  the multimodal frame fan-out) are rows-only by design.
 
 Column names are aligned 1:1 between Spark and oracle (the driver's
 compare sorts columns by name before hashing).
@@ -631,8 +631,54 @@ def _multimodal_features(spark, sf):
 
     _ensure_workers_can_import(spark)
     media = synth_media(spark, 200, partitions=4)
+    # features ride as an int CSV: each fake feature is exactly
+    # (k - 10000)/10000 for an integer k, so round(x*10000) recovers the
+    # integer on any engine (float32 error is ~6e-4 after the multiply —
+    # far from the .5 boundary), sidestepping float-repr differences
     return extract_media_features(media, dim=8).select(
-        "media_id", "kind", "n_bytes", "content_hash"
+        "media_id",
+        "kind",
+        "n_bytes",
+        "content_hash",
+        F.expr(
+            "concat_ws(',', transform(features, "
+            "x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS INT)))"
+        ).alias("features_q"),
+    )
+
+
+def _multimodal_features_oracle_sql(n: int = 200, dim: int = 8) -> str:
+    """Independent pure-Python re-derivation of the deterministic fake
+    media pipeline (synth_media payload -> md5-chain features), embedded
+    as a VALUES literal: DuckDB's md5() is VARCHAR-only, so the
+    binary-payload hash cannot be derived in SQL. The derivation below
+    deliberately does NOT import the operator module — it restates the
+    spec (multimodal.py synth_media/fake_features) the way the golden
+    fixtures restate the extraction spec."""
+    import hashlib as _hl
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        size = 64 + (i * 37) % 512
+        payload = (
+            _hl.md5(f"media{i}".encode()).digest() * (size // 16 + 1)
+        )[:size]
+        h = payload
+        feats = []
+        for d in range(dim):
+            h = _hl.md5(h + bytes([d])).digest()
+            feats.append(int.from_bytes(h[:4], "big") % 20001 - 10000)
+        rows.append(
+            f"({i}, '{kinds[i % 3]}', {size}, "
+            f"'{_hl.md5(payload).hexdigest()}', "
+            f"'{','.join(str(f) for f in feats)}')"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, content_hash, features_q "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(media_id, kind, "
+        "n_bytes, content_hash, features_q)"
     )
 
 
@@ -684,7 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _knn_ivf,                        # rows-only (approx)
         "embedding_neardup": _embedding_neardup,
         "quantize_embeddings": _quantize_embeddings,
-        "multimodal_features": _multimodal_features,  # rows-only (mapInPandas)
+        "multimodal_features": _multimodal_features,  # oracle: python VALUES
         "multimodal_frames": _multimodal_frames,      # rows-only (1->N fanout)
         # relational / windows (free on Spark; parity breadth)
         "events_hourly": _events_hourly,
@@ -1026,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_JACCARD} >= 0.1
         """,
         "knn_lsh": _lsh_oracle_sql(),
+        "multimodal_features": _multimodal_features_oracle_sql(),
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings WHERE vec_id < 5),

@@ -79,15 +79,19 @@ def extract_media_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            # zip over columns, never iterrows (several-fold slower —
+            # same pattern as text.py winnow_fingerprints)
+            for media_id, kind, raw in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                payload = bytes(raw) if raw is not None else b""
                 if use_fake_decoder:
                     feats = fake_features(payload, dim)
                 else:
-                    feats = decode_media(payload, r["kind"])
+                    feats = decode_media(payload, kind)
                 rows.append({
-                    "media_id": r["media_id"],
-                    "kind": r["kind"],
+                    "media_id": media_id,
+                    "kind": kind,
                     "n_bytes": len(payload),
                     "content_hash": hashlib.md5(payload).hexdigest(),
                     "features": feats,
@@ -137,11 +141,11 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            for media_id, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw) if raw is not None else b""
                 raster = _fake_raster(payload, width, height)
                 rows.append({
-                    "media_id": r["media_id"],
+                    "media_id": media_id,
                     "width": width,
                     "height": height,
                     "payload": raster,
@@ -168,16 +172,18 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                duration_ms = int(r["meta_bytes"] or 0) * 10  # stub proxy
+            for media_id, raw, meta_bytes in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta_bytes"]
+            ):
+                payload = bytes(raw) if raw is not None else b""
+                duration_ms = int(meta_bytes or 0) * 10  # stub proxy
                 for k in range(n_frames):
                     ts = (duration_ms * (2 * k + 1)) // (2 * n_frames)
                     frame = _fake_raster(
                         payload + ts.to_bytes(8, "big"), frame_px, frame_px
                     )
                     rows.append({
-                        "media_id": r["media_id"],
+                        "media_id": media_id,
                         "frame_idx": k,
                         "frame_ts_ms": ts,
                         "frame": frame,

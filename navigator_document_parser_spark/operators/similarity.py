@@ -94,18 +94,41 @@ def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[float]:
     return vals
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Random-hyperplane sign bucket (int in [0, 2^n_planes))."""
+def _lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int, seed: int) -> str:
+    """The bucket expression as ONE SQL string. Semantically identical to
+    the Column construction below (same left-associated aggregate/
+    zip_with fold, same literal doubles: repr() round-trips exactly into
+    Java's Double.parseDouble), but the whole tree parses in a single
+    gateway call — building it node-by-node through py4j costs hundreds
+    of driver round-trips per bucket and dominated knn_lsh wall time
+    (execution is sub-second; construction was multi-second)."""
+    terms = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p, seed)
+        arr = "array(" + ",".join(f"{x!r}D" for x in plane) + ")"
+        proj = (
+            f"aggregate(zip_with(CAST({vec_sql} AS ARRAY<DOUBLE>), {arr}, "
+            f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_bucket(vec: Column | str, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane sign bucket (int in [0, 2^n_planes)).
+
+    Pass a column NAME (str) on hot paths: the expression then parses in
+    one gateway call (_lsh_bucket_sql). A Column is accepted for
+    composed expressions and builds the identical tree node-by-node.
+    """
+    if isinstance(vec, str):
+        return F.expr(_lsh_bucket_sql(vec, dim, n_planes, seed))
     v = vec.cast("array<double>")
     bucket = F.lit(0)
     for p in range(n_planes):
         plane = _hyperplane(dim, p, seed)
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(x) for x in plane]),
-                lambda x, y: x * y,
-            ),
+            F.zip_with(v, F.lit(plane), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -131,58 +154,80 @@ def knn_lsh(
     amplifier: miss probability decays as miss_one^n_tables). Recall <
     1.0 by construction; the bruteforce path is the oracle.
 
-    Plan shape: a UNION of per-table broadcast-hash EQUI-joins on bucket
-    id — every branch is a hash join against the (tiny, broadcast) query
-    side, so candidate generation is O(sum of bucket collision sizes),
-    never the O(N*Q) nested-loop an OR-of-buckets predicate forces. Each
-    branch computes only its own table's bucket expression; duplicate
-    candidates (pairs colliding in several tables) are deduped on the
-    narrow (query_id, vec_id, sim) rows after the union. At 10^9 vectors
-    the corpus side would be bucketed once into a materialized index
-    table; here each branch re-derives its bucket inline, which is the
-    same total bucket-hash work.
+    Plan shape — ONE corpus scan, ONE broadcast-hash EQUI-join, ONE job:
+    each side explodes a LITERAL [0..n_tables) table-id array (literal,
+    so InferFiltersFromGenerate's size>0 guard costs nothing — exploding
+    a COMPUTED bucket array re-evaluates every fold twice, finding 3)
+    and derives its bucket with a per-table CASE over ``tbl``, so each
+    exploded row evaluates exactly its own table's n_planes folds: total
+    fold work is identical to a materialized index table, with no
+    checkpoint I/O and no 4x scan fan-out (the r2 union-of-branches paid
+    4 corpus scans + 4 plans). Candidate generation stays O(sum of
+    bucket collision sizes) — never the O(N*Q) nested-loop an
+    OR-of-buckets predicate forces (finding 12). A pair colliding in m
+    tables appears m times with an identical sim; the narrow candidate
+    rows dedup + rank in ONE exchange on query_id (lag-based dedup
+    shares the window's partitioning, so there is no second shuffle).
+    The fold math is untouched: left-associated aggregate/zip_with, so
+    bucket ids stay bit-identical to the SQL oracle. At 10^9 vectors a
+    deployment serving many query batches would persist the exploded
+    (tbl, bkt, vec_id) index once and reuse it; for a single batch this
+    single-pass shape is strictly cheaper.
     """
     from pyspark.sql.window import Window
 
-    q_base = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    tbl_ids = F.array(*[F.lit(t) for t in range(n_tables)])
+
+    def bucket_case(vec_name: str) -> Column:
+        """bkt for this row's table id — CASE evaluates one branch per
+        row, so each exploded copy pays only its own table's folds. The
+        whole CASE parses in ONE gateway call (see _lsh_bucket_sql)."""
+        whens = " ".join(
+            f"WHEN {t} THEN {_lsh_bucket_sql(vec_name, dim, n_planes, 42 + t)}"
+            for t in range(n_tables)
+        )
+        return F.expr(f"CASE tbl {whens} END")
+
+    e_idx = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec")
+        )
+        .withColumn("tbl", F.explode(tbl_ids))
+        .withColumn("bkt", bucket_case("evec"))
     )
-    cand = None
-    for t in range(n_tables):
-        e_t = embeddings.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("evec"),
-            lsh_bucket(F.col(vec_col), dim, n_planes, seed=42 + t).alias("bkt"),
+    q_idx = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
         )
-        q_t = F.broadcast(
-            q_base.select(
-                "query_id",
-                "qvec",
-                lsh_bucket(F.col("qvec"), dim, n_planes, seed=42 + t).alias(
-                    "bkt"
-                ),
-            )
-        )
-        j = (
-            e_t.join(q_t, "bkt")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "vec_id",
-                cosine(F.col("evec"), F.col("qvec")).alias("sim"),
-            )
-        )
-        cand = j if cand is None else cand.unionByName(j)
+        .withColumn("tbl", F.explode(tbl_ids))
+        .withColumn("bkt", bucket_case("qvec"))
+    )
 
-    # a pair that collides in m tables appears m times with an identical
-    # sim value — dedup the narrow candidate rows, vectors never shuffle
-    scored = cand.dropDuplicates(["query_id", "vec_id"])
+    cand = (
+        e_idx.join(F.broadcast(q_idx), ["tbl", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("evec"), F.col("qvec")).alias("sim"),
+        )
+    )
 
+    # dedup multi-table collisions and rank in one exchange: both windows
+    # partition by query_id, so Catalyst plans a single shuffle with two
+    # in-partition sorts (dropDuplicates would add its own exchange on
+    # (query_id, vec_id) before the rank shuffle)
+    w_d = Window.partitionBy("query_id").orderBy(F.col("vec_id").asc())
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("vec_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn(
+            "_dup", F.col("vec_id") == F.lag("vec_id").over(w_d)
+        )
+        .filter(~F.coalesce(F.col("_dup"), F.lit(False)))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
@@ -490,7 +535,7 @@ def embedding_neardup_pairs(
             raise ValueError(
                 "block_col=None requires dim= for LSH-bucket blocking"
             )
-        blk = lsh_bucket(F.col(vec_col), dim, n_planes)
+        blk = lsh_bucket(vec_col, dim, n_planes)  # str: one-call parse
     else:
         blk = F.col(block_col)
     base = embeddings.select(

@@ -481,10 +481,13 @@ def test_simhash64_near_pairs_exact_recall_and_precision(spark):
     assert got == expect, (sorted(got), sorted(expect))
 
 
-def test_knn_lsh_plan_is_hash_joins_not_nested_loop(spark):
-    """Candidate generation must be a union of per-table EQUI-joins: an
-    OR-of-buckets predicate degrades to BroadcastNestedLoopJoin, which is
-    O(N*Q) predicate evaluations — brute force in disguise."""
+def test_knn_lsh_plan_is_one_scan_one_hash_join(spark):
+    """Candidate generation must be ONE broadcast-hash EQUI-join on
+    (tbl, bkt) over ONE corpus scan: an OR-of-buckets predicate degrades
+    to BroadcastNestedLoopJoin (O(N*Q) — brute force in disguise), and
+    the r2 union-of-branches shape paid one corpus scan + plan per
+    table. The exploded table-id array is a LITERAL, so the generate
+    guard never re-evaluates the bucket folds."""
     from navigator_document_parser_spark.operators.similarity import knn_lsh
 
     emb = load(spark, "embeddings")
@@ -495,7 +498,14 @@ def test_knn_lsh_plan_is_hash_joins_not_nested_loop(spark):
     df = knn_lsh(emb, queries, dim=dim, k=3, n_planes=4, n_tables=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
-    assert plan.count("BroadcastHashJoin") >= 3  # one equi-join per table
+    assert plan.count("BroadcastHashJoin") == 1
+    # one corpus-side parquet scan total (the query side here derives
+    # from the same table, hence <= 2 scans in the whole plan)
+    assert plan.count("FileScan parquet") <= 2
+    # dedup + rank share one exchange on query_id: no extra shuffle on
+    # (query_id, vec_id) from a dropDuplicates
+    assert "Exchange hashpartitioning(query_id" in plan
+    assert plan.count("Exchange hashpartitioning(query_id#") <= 1
 
 
 def test_knn_ivf_assignment_is_shuffle_free(spark):

@@ -6,6 +6,7 @@ keyed sink keeps everything exactly-once.
 """
 
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -66,4 +67,61 @@ def test_continuous_ingestion_picks_up_new_files(spark):
             docs.unpersist()
         except NameError:
             pass
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_dedup_extraction_stream_matches_batch(spark):
+    """The composed stream (content dedup -> extraction -> keyed merge,
+    jobs/extract_stream.py) produces the SAME extracted corpus as the
+    batch pipeline over a fixture with content duplicates: one survivor
+    per distinct blob, byte-identical text, and a restart adds nothing.
+    """
+    from navigator_document_parser_spark.plans.job import run_extraction
+    from navigator_document_parser_spark.streaming.stream_job import (
+        start_dedup_extraction_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="ndps-dstream-")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        docs = synth_documents(spark, 30, partitions=2).cache()
+        # same bytes under a second url = a re-crawled copy (mirror the
+        # HOST, not a suffix: the router keys pdf routing off '.pdf')
+        dups = docs.withColumn(
+            "url",
+            F.regexp_replace(F.col("url"), "^https://", "https://dup."),
+        )
+        docs.write.parquet(in_dir)
+        dups.write.mode("append").parquet(in_dir)
+
+        q = start_dedup_extraction_stream(spark, in_dir, out_dir, ckpt)
+        q.awaitTermination(180)
+
+        out = spark.read.parquet(out_dir)
+        # exactly one survivor per distinct content fingerprint
+        assert out.count() == 30
+        surviving = {
+            re.sub(r"^https://dup\.", "https://", r["url"])
+            for r in out.select("url").collect()
+        }
+        assert len(surviving) == 30  # one PER group, never two of a group
+
+        # byte-identical text per surviving document vs the batch plan
+        batch = {
+            r["url"]: r["text"]
+            for r in run_extraction(docs, run_id="b").select(
+                "url", "text"
+            ).collect()
+        }
+        for r in out.select("url", "text").collect():
+            assert batch[re.sub(r"^https://dup\.", "https://", r["url"])] == r["text"]
+
+        # restart over the same directory: checkpoint + sink -> no growth
+        q2 = start_dedup_extraction_stream(spark, in_dir, out_dir, ckpt)
+        q2.awaitTermination(180)
+        assert spark.read.parquet(out_dir).count() == 30
+    finally:
+        docs.unpersist()
         shutil.rmtree(base, ignore_errors=True)
