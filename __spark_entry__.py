@@ -387,6 +387,24 @@ def _quality_filters(spark, sf):
     return T.gopher_quality(_docs(spark, sf))
 
 
+def _repetition_filters(spark, sf):
+    """Gopher A1.3 repetition signals: per-doc top-2-gram and
+    duplicate-2-gram character fractions + pass flag."""
+    return T.repetition_signals(_docs(spark, sf))
+
+
+def _host_cap(spark, sf):
+    """Anti-domination cap: deterministic hash-ordered keep<=10 docs per
+    origin (source column = the host analog in the documents table)."""
+    return T.cap_per_group(_docs(spark, sf), group_col="source", k=10)
+
+
+def _tfidf_top_terms(spark, sf):
+    """Top-3 characteristic terms per doc by tf-idf (rational idf — see
+    operators/text.py tfidf_top_terms for the engine-portability why)."""
+    return T.tfidf_top_terms(_docs(spark, sf), k=3)
+
+
 def _decontaminate(spark, sf):
     """Benchmark decontamination: docs with doc_id % 37 == 0 act as the
     synthetic holdout set; every other doc is checked for 3-gram overlap
@@ -713,6 +731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_lang": _quality_by_lang,        # exact percentiles
         "token_stats": _token_stats,                # ws + BPE-ish counting
         "quality_filters": _quality_filters,        # Gopher-rule bands
+        "repetition_filters": _repetition_filters,  # Gopher A1.3 repetition
+        "host_cap": _host_cap,                      # per-origin cap
+        "tfidf_top_terms": _tfidf_top_terms,        # corpus analytics
         "corpus_sample": _corpus_sample,            # stratified hash sample
         "pack_sequences": _pack_sequences,          # token-budget packing
         "decontaminate": _decontaminate,            # holdout n-gram overlap
@@ -911,6 +932,9 @@ def oracle_sql() -> dict[str, str]:
             FROM q GROUP BY lang
         """,
         "quality_filters": T.oracle_gopher(),
+        "repetition_filters": T.oracle_repetition(),
+        "host_cap": T.oracle_cap_per_group(),
+        "tfidf_top_terms": T.oracle_tfidf(),
         "pack_sequences": T.oracle_pack_sequences(),
         "corpus_sample": f"""
             SELECT doc_id, lang FROM documents

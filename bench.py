@@ -81,6 +81,9 @@ OP_QUERIES = [
     "quality_by_lang",
     "decontaminate",
     "pii_scrub",
+    "repetition_filters",
+    "host_cap",
+    "tfidf_top_terms",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",

@@ -592,3 +592,309 @@ def oracle_lang_guess(col: str) -> str:
 
 def oracle_fingerprint(col: str) -> str:
     return f"md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"
+
+
+# ---- repetition signals (Gopher A1.3 analog) ------------------------------
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 2,
+    top_frac_max: float = 0.2,
+    dup_frac_max: float = 0.6,
+) -> DataFrame:
+    """Within-document repetition quality signals over word ``gram_n``-grams
+    (the Gopher A1.3 repetition filters, word-level):
+
+      top_gram_frac — characters in occurrences of the most frequent
+                      gram / characters in ALL gram occurrences
+                      (tie-break: count desc, gram asc)
+      dup_gram_frac — characters in grams occurring >1 time / characters
+                      in all gram occurrences
+      passes        — top_gram_frac <= top_frac_max AND
+                      dup_gram_frac <= dup_frac_max
+
+    Grams overlap, so the denominator is total gram characters (keeps
+    both fractions in [0, 1]) rather than document length.
+
+    Documents with fewer than ``gram_n`` words have no signal and are
+    dropped. Plan shape: ONE shuffle on doc_id (the lead() window);
+    the (doc_id, gram) count, both per-doc aggregates, and the final
+    join are all satisfied by that same hash partitioning (doc_id is a
+    prefix of every downstream key), so Catalyst inserts no further
+    exchanges — the whole operator is linear in total grams at any
+    corpus size. Grams are built with lead(), never slice-over-
+    computed-array HOFs (BENCH finding 9: those go O(n^2) after
+    CollapseProject).
+    """
+    from pyspark.sql.window import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word")] + [
+        F.lead("word", i).over(w) for i in range(1, gram_n)
+    ]
+    # gram and its completeness guard MUST live in the SAME projection:
+    # window functions evaluate over their input rows, so filtering on a
+    # lead() first and concat'ing another lead() after would re-evaluate
+    # the second window over the already-filtered frame and emit
+    # truncated grams at each document tail
+    grams = (
+        pos.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("word", gram_n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "gram")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # per-doc sums and the top gram come from WINDOW aggregates over the
+    # same doc_id partitioning, not a (sums JOIN top) of two aggregates —
+    # that shape re-computes the whole scan->explode->count subtree once
+    # per branch (measured: 2 scans, 2 Generates; this one: 1 of each)
+    w_top = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    w_doc = Window.partitionBy("doc_id")
+    per_doc = counts.select(
+        "doc_id",
+        F.col("gram").alias("top_gram"),
+        F.col("cnt").alias("top_gram_count"),
+        F.row_number().over(w_top).alias("_rn"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram"))
+            .otherwise(F.lit(0))
+        ).over(w_doc).alias("dup_chars"),
+        F.sum(F.col("cnt") * F.length("gram")).over(w_doc).alias(
+            "total_chars"
+        ),
+    ).filter(F.col("_rn") == 1)
+    top_frac = F.round(
+        F.col("top_gram_count") * F.length("top_gram")
+        / F.col("total_chars"),
+        4,
+    )
+    dup_frac = F.round(F.col("dup_chars") / F.col("total_chars"), 4)
+    return per_doc.select(
+        "doc_id",
+        "top_gram",
+        "top_gram_count",
+        top_frac.alias("top_gram_frac"),
+        dup_frac.alias("dup_gram_frac"),
+        (
+            (top_frac <= top_frac_max) & (dup_frac <= dup_frac_max)
+        ).alias("passes"),
+    )
+
+
+def oracle_repetition(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    gram_n: int = 2,
+    top_frac_max: float = 0.2,
+    dup_frac_max: float = 0.6,
+) -> str:
+    gram_sql = " || ' ' || ".join(
+        ["word"]
+        + [
+            f"lead(word, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+            for i in range(1, gram_n)
+        ]
+    )
+    return f"""
+        WITH w AS (
+          SELECT {id_col} AS doc_id, length({text_col}) AS tlen,
+                 unnest(string_split_regex(trim({text_col}), '\\s+')) AS word,
+                 generate_subscripts(
+                   string_split_regex(trim({text_col}), '\\s+'), 1) AS pos
+          FROM {table}
+        ), g AS (
+          SELECT doc_id, tlen, {gram_sql} AS gram FROM w
+        ), c AS (
+          SELECT doc_id, gram, count(*) AS cnt
+          FROM g WHERE gram IS NOT NULL GROUP BY doc_id, gram
+        ), s AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                          ELSE 0 END) AS BIGINT) AS dup_chars,
+                 CAST(sum(cnt * length(gram)) AS BIGINT) AS total_chars
+          FROM c GROUP BY doc_id
+        ), t AS (
+          SELECT doc_id, gram AS top_gram, cnt AS top_gram_count
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY cnt DESC, gram ASC) AS rn FROM c)
+          WHERE rn = 1
+        )
+        SELECT s.doc_id, t.top_gram,
+               CAST(t.top_gram_count AS BIGINT) AS top_gram_count,
+               round(t.top_gram_count * length(t.top_gram) * 1.0
+                     / s.total_chars, 4) AS top_gram_frac,
+               round(s.dup_chars * 1.0 / s.total_chars, 4)
+                 AS dup_gram_frac,
+               (round(t.top_gram_count * length(t.top_gram) * 1.0
+                      / s.total_chars, 4) <= {top_frac_max}
+                AND round(s.dup_chars * 1.0 / s.total_chars, 4)
+                    <= {dup_frac_max}) AS passes
+        FROM s JOIN t USING (doc_id)
+    """
+
+
+# ---- per-origin cap (anti-domination sampling) ----------------------------
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` documents per origin (host/source/domain) —
+    the anti-domination cap every crawl-scale corpus applies so one
+    prolific site cannot dominate training data.
+
+    Selection is a DETERMINISTIC hash order (md5 of the id), not
+    arrival order: re-running on a grown corpus keeps a stable,
+    unbiased per-origin sample. One shuffle on the group key; skewed
+    origins are bounded by k rows out per group, and AQE splits the
+    skewed window partitions on the way in.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_in_group") <= k)
+        .select(id_col, group_col, "rank_in_group")
+    )
+
+
+def oracle_cap_per_group(
+    group_col: str = "source",
+    k: int = 10,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    return f"""
+        SELECT {id_col}, {group_col},
+               CAST(rank_in_group AS BIGINT) AS rank_in_group
+        FROM (
+          SELECT {id_col}, {group_col},
+                 row_number() OVER (PARTITION BY {group_col}
+                   ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC,
+                            {id_col} ASC) AS rank_in_group
+          FROM {table}
+        ) WHERE rank_in_group <= {k}
+    """
+
+
+# ---- tf-idf top terms (corpus analytics) -----------------------------------
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf.
+
+    idf is the RATIONAL form (n_docs + 1) / (df + 1) rather than its
+    logarithm: IEEE +,-,*,/ are correctly rounded and therefore
+    bit-identical across engines, while ln() differs in the last ulp
+    between libm implementations — the rational form ranks identically
+    (log is monotone) and keeps the DuckDB oracle exact.
+
+    Plan shape: one shuffle for tf on (doc_id, word); document
+    frequencies aggregate map-side-partial over tf and come back as a
+    BROADCAST vocabulary join (vocabulary << corpus); n_docs rides in
+    as a broadcast 1-row cross join (no driver-side action, the whole
+    operator is one lazy plan); final top-k window shuffles narrow
+    (doc_id, term, score) rows only.
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    # tf feeds BOTH the vocabulary aggregate and the scored join; without
+    # a barrier each branch re-runs scan->explode->count (measured: 3
+    # scans). The eager checkpoint is the single-batch analog of the
+    # persisted term-frequency index a production corpus keeps anyway —
+    # and eager because lazy barriers race (BENCH finding 7).
+    tf = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct(F.col("doc_id")).alias("dfq")
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * (F.col("n_docs") + F.lit(1.0))
+                / (F.col("dfq") + F.lit(1.0)),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+def oracle_tfidf(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    k: int = 3,
+) -> str:
+    return f"""
+        WITH w AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(string_split_regex(
+                   trim(lower({text_col})), '\\s+')) AS term
+          FROM {table}
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM w WHERE length(term) > 0 GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(DISTINCT doc_id) AS dfq FROM tf GROUP BY term
+        ), n AS (
+          SELECT count(DISTINCT {id_col}) AS n_docs FROM {table}
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * (n.n_docs + 1.0) / (dfreq.dfq + 1.0), 4)
+                   AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, score, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term ASC) AS rank FROM scored)
+        WHERE rank <= {k}
+    """

@@ -686,3 +686,109 @@ def test_simhash_near_pairs_detects_near_identical_docs(spark):
         for r in simhash_near_pairs(data, max_hamming=2).collect()
     }
     assert (1, 2) in tight
+
+
+def test_repetition_signals_hand_computed(spark):
+    """'a b a b a b': grams 'a b'x3 + 'b a'x2, total gram chars 15 ->
+    top 9/15, dup 15/15; all-distinct docs score 0 dup; <gram_n-word
+    docs have no signal and are dropped."""
+    from navigator_document_parser_spark.operators.text import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "a b c d e f g"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2}  # doc 3: one word, no 2-gram
+    r1 = rows[1]
+    assert r1["top_gram"] == "a b" and r1["top_gram_count"] == 3
+    assert r1["top_gram_frac"] == 0.6      # 3*3 / 15
+    assert r1["dup_gram_frac"] == 1.0      # every gram repeats
+    assert r1["passes"] is False
+    r2 = rows[2]
+    assert r2["top_gram"] == "a b" and r2["top_gram_count"] == 1
+    assert r2["top_gram_frac"] == round(3 / 18, 4)
+    assert r2["dup_gram_frac"] == 0.0
+    assert r2["passes"] is True
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    from navigator_document_parser_spark.operators.text import cap_per_group
+
+    rows = [(i, "big") for i in range(12)]
+    rows += [(100 + i, "mid") for i in range(5)]
+    rows += [(200, "one")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = cap_per_group(docs, group_col="source", k=3)
+    got = [(r["doc_id"], r["source"], r["rank_in_group"])
+           for r in out.collect()]
+    by_group = {}
+    for d, s, rk in got:
+        by_group.setdefault(s, []).append((rk, d))
+    assert len(by_group["big"]) == 3
+    assert len(by_group["mid"]) == 3
+    assert len(by_group["one"]) == 1
+    for g in by_group.values():
+        assert sorted(rk for rk, _ in g) == list(range(1, len(g) + 1))
+
+    # deterministic: identical selection regardless of input partitioning
+    again = cap_per_group(docs.repartition(7), group_col="source", k=3)
+    assert sorted(got) == sorted(
+        (r["doc_id"], r["source"], r["rank_in_group"])
+        for r in again.collect()
+    )
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """2 docs: idf = (n_docs+1)/(df+1); apple only in d1 -> 2*(3/2)=3.0,
+    shared 'banana' -> 1.0, cherry only in d2 -> 1.5."""
+    from navigator_document_parser_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["term"]): (r["tf"], r["score"], r["rank"])
+           for r in tfidf_top_terms(docs, k=2).collect()}
+    assert out[(1, "apple")] == (2, 3.0, 1)
+    assert out[(1, "banana")] == (1, 1.0, 2)
+    assert out[(2, "cherry")] == (1, 1.5, 1)
+    assert out[(2, "banana")] == (1, 1.0, 2)
+
+
+def test_new_curation_ops_plan_shapes(spark):
+    """Pin the single-scan shapes: repetition_signals must not recompute
+    the explode->count subtree per aggregate branch (window formulation),
+    and tfidf's tf barrier keeps one scan; host_cap is one exchange."""
+    from navigator_document_parser_spark.operators.text import (
+        cap_per_group,
+        repetition_signals,
+        tfidf_top_terms,
+    )
+
+    docs = load(spark, "documents")
+
+    p1 = repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("FileScan parquet") == 1
+    assert p1.count("Generate") == 1  # one posexplode, not one per branch
+
+    df2 = tfidf_top_terms(docs)
+    p2 = df2._jdf.queryExecution().executedPlan().toString()
+    # tf is materialized once (checkpoint barrier); the only parquet scan
+    # left is the column-pruned n_docs subquery reading doc_id alone
+    assert p2.count("FileScan parquet") == 1
+    assert "ReadSchema: struct<doc_id:bigint>" in p2
+    assert df2.count() > 0
+
+    p3 = cap_per_group(docs)  # documents carries a real 'source' column
+    plan3 = p3._jdf.queryExecution().executedPlan().toString()
+    assert plan3.count("Exchange hashpartitioning") == 1
