@@ -405,6 +405,12 @@ def _tfidf_top_terms(spark, sf):
     return T.tfidf_top_terms(_docs(spark, sf), k=3)
 
 
+def _ml_quality_score(spark, sf):
+    """Hashed-linear-classifier quality scoring (fastText-filter shape;
+    integer weight sums keep the margin bit-identical cross-engine)."""
+    return T.ml_quality_score(_docs(spark, sf))
+
+
 def _decontaminate(spark, sf):
     """Benchmark decontamination: docs with doc_id % 37 == 0 act as the
     synthetic holdout set; every other doc is checked for 3-gram overlap
@@ -734,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": _repetition_filters,  # Gopher A1.3 repetition
         "host_cap": _host_cap,                      # per-origin cap
         "tfidf_top_terms": _tfidf_top_terms,        # corpus analytics
+        "ml_quality_score": _ml_quality_score,      # hashed linear filter
         "corpus_sample": _corpus_sample,            # stratified hash sample
         "pack_sequences": _pack_sequences,          # token-budget packing
         "decontaminate": _decontaminate,            # holdout n-gram overlap
@@ -935,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filters": T.oracle_repetition(),
         "host_cap": T.oracle_cap_per_group(),
         "tfidf_top_terms": T.oracle_tfidf(),
+        "ml_quality_score": T.oracle_ml_quality(),
         "pack_sequences": T.oracle_pack_sequences(),
         "corpus_sample": f"""
             SELECT doc_id, lang FROM documents

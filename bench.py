@@ -84,6 +84,7 @@ OP_QUERIES = [
     "repetition_filters",
     "host_cap",
     "tfidf_top_terms",
+    "ml_quality_score",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_simhash",

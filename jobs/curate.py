@@ -109,6 +109,10 @@ def curate(spark, docs, holdout=None, min_hits: int = 1,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True)
+    p.add_argument("--format", default="parquet",
+                   choices=("parquet", "wet"),
+                   help="parquet documents table, or Common-Crawl "
+                        "*.warc.wet(.gz) extracted-text shards")
     p.add_argument("--output", required=True)
     p.add_argument("--holdout", default=None,
                    help="optional benchmark/holdout docs parquet dir")
@@ -118,10 +122,22 @@ def main(argv=None):
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
+    from pyspark.sql import functions as F
+
     from navigator_document_parser_spark.config import build_spark
 
     spark = build_spark("curate-job", master=args.master)
-    docs = spark.read.parquet(args.input)
+    if args.format == "wet":
+        # WET shards carry extracted text already — exactly what the
+        # curation stages operate on; doc_id derives deterministically
+        # from the record identity
+        from navigator_document_parser_spark.sources.warc import read_wet
+
+        docs = read_wet(spark, args.input).select(
+            F.xxhash64("url", "warc_ts").alias("doc_id"), "text"
+        )
+    else:
+        docs = spark.read.parquet(args.input)
     holdout = spark.read.parquet(args.holdout) if args.holdout else None
 
     curated, counts = curate(

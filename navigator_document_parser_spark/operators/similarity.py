@@ -164,7 +164,7 @@ def knn_lsh(
     checkpoint I/O and no 4x scan fan-out (the r2 union-of-branches paid
     4 corpus scans + 4 plans). Candidate generation stays O(sum of
     bucket collision sizes) — never the O(N*Q) nested-loop an
-    OR-of-buckets predicate forces (finding 12). A pair colliding in m
+    OR-of-buckets predicate forces (finding 8). A pair colliding in m
     tables appears m times with an identical sim; the narrow candidate
     rows dedup + rank in ONE exchange on query_id (lag-based dedup
     shares the window's partitioning, so there is no second shuffle).

@@ -898,3 +898,98 @@ def oracle_tfidf(
                 ORDER BY score DESC, term ASC) AS rank FROM scored)
         WHERE rank <= {k}
     """
+
+
+# ---- model-based quality scoring (hashed linear classifier) ----------------
+
+def ml_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "q",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style document quality scoring: a linear classifier over
+    hashed token features — the model-based filter stage (e.g. CCNet /
+    LLaMA-pipeline "quality model") expressed as pure codegen.
+
+    Default weights are md5-derived integers in [-1000, 1000] (a
+    deterministic stand-in; production swaps in trained weights by
+    replacing the weight expression with a broadcast-map lookup — the
+    aggregation shape is identical). The per-doc margin is
+    mean(weight)/1000.
+
+    Engine-exactness: weights stay INTEGERS and sum as BIGINT — integer
+    addition is order-independent, unlike a float sum whose partial-
+    aggregation order differs between Spark and the oracle — and the
+    single final division is IEEE-exact on both engines. One shuffle
+    (the per-doc aggregate, map-side partial); embarrassingly parallel
+    at any corpus size.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    w_int = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col("tok"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    agg = toks.groupBy("doc_id").agg(
+        F.sum(w_int).alias("sw"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    # engine-portable 4dp rounding: sign*floor(abs+.5), all IEEE ops on
+    # an IEEE-identical quotient (same trick as quantize_embeddings) —
+    # engines' round() disagree when the quotient lands exactly on a
+    # .00005 boundary, which integer weight sums hit regularly
+    x = F.col("sw") / (F.col("n_tokens") * F.lit(1000.0))
+    margin = (
+        F.signum(x) * F.floor(F.abs(x) * F.lit(10000.0) + F.lit(0.5))
+        / F.lit(10000.0)
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        margin.alias("margin"),
+        (margin > threshold).alias("keep"),
+    )
+
+
+def oracle_ml_quality(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    seed: str = "q",
+    threshold: float = 0.0,
+) -> str:
+    return f"""
+        WITH t AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(string_split_regex(
+                   trim(lower({text_col})), '\\s+')) AS tok
+          FROM {table}
+        ), w AS (
+          SELECT doc_id,
+                 CAST('0x' || substring(md5('{seed}:' || tok), 1, 8)
+                      AS BIGINT) % 2001 - 1000 AS wi
+          FROM t WHERE length(tok) > 0
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               sign(CAST(sum(wi) AS BIGINT) / (count(*) * 1000.0))
+                 * floor(abs(CAST(sum(wi) AS BIGINT)
+                             / (count(*) * 1000.0)) * 10000.0 + 0.5)
+                 / 10000.0 AS margin,
+               sign(CAST(sum(wi) AS BIGINT) / (count(*) * 1000.0))
+                 * floor(abs(CAST(sum(wi) AS BIGINT)
+                             / (count(*) * 1000.0)) * 10000.0 + 0.5)
+                 / 10000.0 > {threshold} AS keep
+        FROM w GROUP BY doc_id
+    """

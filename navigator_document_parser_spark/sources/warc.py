@@ -122,8 +122,43 @@ def _records_to_rows(blob: bytes) -> list[dict]:
     return rows
 
 
-def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
-    """*.warc / *.warc.gz files -> documents DataFrame."""
+def _wet_records_to_rows(blob: bytes) -> list[dict]:
+    """One WET archive file -> documents rows.
+
+    WET is Common Crawl's extracted-text companion format: the same WARC
+    framing, but 'conversion' records whose payload is the page's
+    UTF-8 plain text (no HTTP message). Rows land with text filled and
+    html NULL — the extraction router sends them down the no-blob path,
+    so WET corpora skip straight to the curation operators.
+    """
+    if blob[:2] == b"\x1f\x8b":
+        try:
+            blob = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+        except Exception:
+            return []
+    rows = []
+    for headers, payload in _iter_warc_records(blob):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = _parse_warc_date(headers.get("warc-date", ""))
+        if not url.startswith(("http://", "https://")) or ts is None:
+            continue
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": None,
+                "text": payload.decode("utf-8", "replace"),
+                "lang": None,
+            }
+        )
+    return rows
+
+
+def _read_archives(
+    spark: SparkSession, path_glob: str, to_rows
+) -> DataFrame:
     files = spark.read.format("binaryFile").load(path_glob).select("content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -131,10 +166,22 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
         for pdf in batches:
             rows: list[dict] = []
             for blob in pdf["content"]:
-                rows.extend(_records_to_rows(bytes(blob)))
+                rows.extend(to_rows(bytes(blob)))
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, schema=DOCUMENTS_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """*.warc / *.warc.gz files -> documents DataFrame (response records,
+    html = HTTP body bytes)."""
+    return _read_archives(spark, path_glob, _records_to_rows)
+
+
+def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """*.warc.wet / *.warc.wet.gz files -> documents DataFrame
+    (conversion records, text = extracted plain text, html NULL)."""
+    return _read_archives(spark, path_glob, _wet_records_to_rows)
 
 
 def write_warc(rows: list[tuple[str, str, bytes]], gzip_members: bool = True) -> bytes:
@@ -154,5 +201,24 @@ def write_warc(rows: list[tuple[str, str, bytes]], gzip_members: bool = True) ->
             f"Content-Type: application/http; msgtype=response\r\n"
         ).encode()
         rec = head + b"\r\n" + http + b"\r\n\r\n"
+        out += gzip.compress(rec) if gzip_members else rec
+    return out
+
+
+def write_wet(rows: list[tuple[str, str, str]], gzip_members: bool = True) -> bytes:
+    """Build WET bytes from (url, iso_date, text) triples — the test
+    fixture generator for read_wet (one gzip member per record)."""
+    out = b""
+    for url, date, text in rows:
+        body = text.encode("utf-8")
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"Content-Type: text/plain\r\n"
+        ).encode()
+        rec = head + b"\r\n" + body + b"\r\n\r\n"
         out += gzip.compress(rec) if gzip_members else rec
     return out

@@ -792,3 +792,34 @@ def test_new_curation_ops_plan_shapes(spark):
     p3 = cap_per_group(docs)  # documents carries a real 'source' column
     plan3 = p3._jdf.queryExecution().executedPlan().toString()
     assert plan3.count("Exchange hashpartitioning") == 1
+
+
+def test_ml_quality_score_exact_semantics(spark):
+    """Margin = mean md5-hashed integer weight / 1000; weights re-derived
+    in pure Python must agree exactly (the integer-sum design is what
+    keeps the oracle bit-identical)."""
+    import hashlib
+
+    from navigator_document_parser_spark.operators.text import (
+        ml_quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "Gamma  gamma")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ml_quality_score(docs).collect()}
+
+    def w(tok):
+        return int(hashlib.md5(f"q:{tok}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    def r4(x):  # the engine-portable sign*floor(abs+.5) rounding
+        import math
+        s = (x > 0) - (x < 0)
+        return s * math.floor(abs(x) * 10000.0 + 0.5) / 10000.0
+
+    m1 = r4((w("alpha") + 2 * w("beta")) / 3000.0)
+    m2 = r4(2 * w("gamma") / 2000.0)
+    assert got[1]["n_tokens"] == 3 and got[1]["margin"] == m1
+    assert got[2]["n_tokens"] == 2 and got[2]["margin"] == m2
+    assert got[1]["keep"] == (m1 > 0.0) and got[2]["keep"] == (m2 > 0.0)

@@ -135,3 +135,51 @@ def test_warc_to_extraction_end_to_end(spark):
             assert f"Paragraph one of page {i}" in r["text"]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_wet_reader_and_curate_e2e(spark):
+    """WET (Common Crawl extracted-text) shards: conversion records land
+    as text rows with html NULL; response records in the same archive
+    are ignored; the curate CLI consumes WET shards end to end."""
+    from navigator_document_parser_spark.sources.warc import (
+        read_wet,
+        write_wet,
+    )
+
+    base = tempfile.mkdtemp(prefix="ndps-wet-")
+    try:
+        texts = [
+            (
+                f"https://example.org/t/{i}",
+                f"2024-03-0{1 + i % 9}T08:00:00Z",
+                f"the quick document number {i} with plenty of words "
+                * 12,
+            )
+            for i in range(8)
+        ]
+        wet = write_wet(texts)
+        # a stray response record must be skipped by the WET reader
+        wet += _archive([99])
+        with open(os.path.join(base, "a.warc.wet.gz"), "wb") as f:
+            f.write(wet)
+
+        docs = read_wet(spark, base + "/*.warc.wet.gz")
+        rows = {r["url"]: r for r in docs.collect()}
+        assert len(rows) == 8
+        for url, date, text in texts:
+            assert rows[url]["text"] == text
+            assert rows[url]["html"] is None
+
+        # e2e: curate CLI straight off the WET shard
+        from jobs.curate import main as curate_main
+
+        curate_main([
+            "--input", base + "/*.warc.wet.gz",
+            "--format", "wet",
+            "--output", base + "/out",
+        ])
+        out = spark.read.parquet(base + "/out")
+        assert out.count() == 8  # distinct texts, all pass the gate
+        assert set(out.columns) >= {"doc_id", "text"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
