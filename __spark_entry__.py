@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from navigator_document_parser_spark.operators import text as T
 from navigator_document_parser_spark.operators.dedup import (
+    duplicated_spans,
     exact_dup_groups,
     minhash_dedup_pairs,
     minhash_signature,
@@ -348,6 +349,13 @@ def _dedup_simhash_pairs(spark, sf):
 
 def _dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.1, length_band=64)
+
+
+def _dedup_substring(spark, sf):
+    """Exact-substring (duplicated span) detection, the distributed
+    analog of Lee et al. 2022 suffix-array dedup: maximal token spans
+    >= 8 tokens shared verbatim across >= 2 documents."""
+    return duplicated_spans(_docs(spark, sf), min_tokens=8)
 
 
 def _token_stats(spark, sf):
@@ -752,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_substring": _dedup_substring,
         "dedup_components": _dedup_components,
         "knn_cosine": _knn_cosine,
         "knn_lsh": _knn_lsh,                # oracle: deterministic planes
@@ -1102,6 +1111,39 @@ def oracle_sql() -> dict[str, str]:
              AND (length(a.text) // 64) = (length(b.text) // 64)
              AND a.doc_id < b.doc_id
             WHERE {_JACCARD} >= 0.1
+        """,
+        "dedup_substring": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(
+                       1, greatest(0, length(t) - 7))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(t[i:i+7], ' ')) AS h
+              FROM pos
+            ), marked AS (
+              SELECT doc_id, pos,
+                     min(doc_id) OVER (PARTITION BY h) AS lo,
+                     max(doc_id) OVER (PARTITION BY h) AS hi
+              FROM sh
+            ), hits AS (
+              SELECT doc_id, pos FROM marked WHERE lo <> hi
+            ), isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM hits
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens
+            FROM isl GROUP BY doc_id, grp
         """,
         "knn_lsh": _lsh_oracle_sql(),
         "multimodal_features": _multimodal_features_oracle_sql(),

@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -550,4 +550,88 @@ def ngram_jaccard_pairs(
     return (
         inter.select("id_a", "id_b", sim.alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# exact substring (duplicated span) detection
+# --------------------------------------------------------------------------
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the distributed analog
+    of suffix-array "exact substring" dedup (Lee et al. 2022): find, per
+    document, every maximal token span of length >= ``min_tokens`` that
+    also appears verbatim in at least one OTHER document.
+
+    Shape: hash every ``min_tokens``-gram (stride 1) with its position,
+    mark grams whose hash occurs in >= 2 distinct docs, then merge
+    per-doc runs of adjacent duplicated positions (gaps-and-islands) into
+    maximal spans. A span of L >= min_tokens shared tokens produces
+    L - min_tokens + 1 adjacent duplicated grams, so islands reconstruct
+    the full span exactly — same output a suffix array would give for
+    matches >= min_tokens, without any global sort.
+
+    100 TB notes: the only wide exchanges are (1) gram-hash aggregation
+    (map-side partial min/max combine, so a boilerplate gram in millions
+    of docs still ships ONE row per map task) + an equi-join back on the
+    hash (AQE skew-split applies, unlike a window over the hash), and
+    (2) one hash(id) exchange that both the island window and the span
+    aggregation reuse (HashPartitioning(id) satisfies the (id, grp)
+    clustering). Token arrays are localCheckpoint'ed before the gram
+    transform so CollapseProject cannot re-inline split() per
+    element_at (CLAUDE.md lessons 2/3); grams stay md5 so the DuckDB
+    oracle reproduces them bit-for-bit.
+
+    Returns (doc_id, span_start, span_end, span_tokens), positions
+    0-based token offsets, span_end inclusive.
+    """
+    n = int(min_tokens)
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), tokens.alias("t"))
+    # Lineage barrier: `t` must be a materialized column, not the split()
+    # expression, when the gram transform reads it n times per element.
+    base = base.localCheckpoint(eager=True)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at("t", (i + j + 1).cast("int"))
+                    for j in range(n)
+                ],
+            )
+        ),
+    )
+    sh = base.filter(F.size("t") >= n).select(
+        "id", F.posexplode(grams).alias("pos", "h")
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    hits = sh.join(dup, "h", "leftsemi")
+    w = Window.partitionBy("id").orderBy("pos")
+    isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end_gram"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("bigint").alias("span_start"),
+            (F.col("span_end_gram") + n - 1).cast("bigint").alias("span_end"),
+            (F.col("span_end_gram") - F.col("span_start") + n)
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
     )

@@ -823,3 +823,65 @@ def test_ml_quality_score_exact_semantics(spark):
     assert got[1]["n_tokens"] == 3 and got[1]["margin"] == m1
     assert got[2]["n_tokens"] == 2 and got[2]["margin"] == m2
     assert got[1]["keep"] == (m1 > 0.0) and got[2]["keep"] == (m2 > 0.0)
+
+
+def test_duplicated_spans_hand_computed(spark):
+    """Known shared 8-token run across two docs -> one maximal span each;
+    a unique doc and a too-short doc produce nothing; identical docs
+    report their full length."""
+    from navigator_document_parser_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        # span embedded at token offset 2 in doc 1, offset 0 in doc 2
+        (1, "pre one " + shared + " post"),
+        (2, shared + " trailing words here"),
+        (3, "completely unique text with enough tokens to shingle ok"),
+        (4, "short"),
+        (5, "same same same identical document body copy here x y z"),
+        (6, "same same same identical document body copy here x y z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = (
+        duplicated_spans(df, min_tokens=8)
+        .orderBy("doc_id", "span_start")
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.span_tokens)
+        )
+    assert by_doc[1] == [(2, 9, 8)]
+    assert by_doc[2] == [(0, 7, 8)]
+    assert 3 not in by_doc and 4 not in by_doc
+    # identical 11-token docs: one maximal span covering everything
+    assert by_doc[5] == [(0, 10, 11)]
+    assert by_doc[6] == [(0, 10, 11)]
+    # invariant: every span is at least min_tokens long
+    assert all(
+        s[2] == s[1] - s[0] + 1 and s[2] >= 8
+        for spans in by_doc.values()
+        for s in spans
+    )
+
+
+def test_duplicated_spans_merges_overlapping_grams(spark):
+    """A 12-token shared run must come back as ONE span of 12, not five
+    8-gram fragments (gaps-and-islands merge)."""
+    from navigator_document_parser_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    df = spark.createDataFrame(
+        [(1, "lead " + run), (2, run + " tail1 tail2")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, min_tokens=8).collect()
+    }
+    assert out == {1: (1, 12, 12), 2: (0, 11, 12)}
