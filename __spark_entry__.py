@@ -29,6 +29,10 @@ from navigator_document_parser_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from navigator_document_parser_spark.operators.selection import (
+    oracle_budget_select as _oracle_budget_select,
+    oracle_mix_rebalance as _oracle_mix_rebalance,
+)
 from navigator_document_parser_spark.operators.similarity import (
     embedding_neardup_pairs,
     knn_bruteforce,
@@ -387,6 +391,28 @@ def _corpus_sample(spark, sf):
         _docs(spark, sf), fraction=0.25,
         strata={"en": 0.5, "zh": 0.05},
     ).select("doc_id", "lang")
+
+
+def _budget_select(spark, sf):
+    """Per-language token-budget selection: fill ~1,500 BPE-ish tokens
+    per language with the highest-quality documents first (the
+    'best N tokens per language' mix-construction step)."""
+    from navigator_document_parser_spark.operators.selection import (
+        budget_select,
+    )
+
+    return budget_select(_docs(spark, sf), token_budget=1500)
+
+
+def _mix_rebalance(spark, sf):
+    """Uniform-language data mix: deterministically thin every language
+    to (about) the smallest language's size via the replayable
+    md5-threshold rule."""
+    from navigator_document_parser_spark.operators.selection import (
+        mix_rebalance,
+    )
+
+    return mix_rebalance(_docs(spark, sf))
 
 
 def _quality_filters(spark, sf):
@@ -750,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _tfidf_top_terms,        # corpus analytics
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
         "corpus_sample": _corpus_sample,            # stratified hash sample
+        "budget_select": _budget_select,            # per-lang token budget
+        "mix_rebalance": _mix_rebalance,            # uniform-lang data mix
         "pack_sequences": _pack_sequences,          # token-budget packing
         "decontaminate": _decontaminate,            # holdout n-gram overlap
         "pii_scrub": _pii_scrub,                    # email/phone redaction
@@ -958,6 +986,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE {T.oracle_hash_sample(0.25,
                                         strata={'en': 0.5, 'zh': 0.05})}
         """,
+        "budget_select": _oracle_budget_select(1500),
+        "mix_rebalance": _oracle_mix_rebalance(),
         "token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM({T.oracle_token_count('text')}) AS BIGINT)

@@ -885,3 +885,70 @@ def test_duplicated_spans_merges_overlapping_grams(spark):
         for r in duplicated_spans(df, min_tokens=8).collect()
     }
     assert out == {1: (1, 12, 12), 2: (0, 11, 12)}
+
+
+def test_budget_select_greedy_cut_semantics(spark):
+    """Kept iff tokens accumulated before the doc are under the budget:
+    best-quality docs first, overrun bounded by one document, non-empty
+    whenever the group is."""
+    from navigator_document_parser_spark.operators.selection import (
+        budget_select,
+    )
+    from navigator_document_parser_spark.operators.text import (
+        bpe_token_count,
+        quality_score,
+    )
+
+    rows = [
+        # lang A: three docs with strictly decreasing quality (longer
+        # text => higher quality here; no punctuation)
+        (1, " ".join(["w"] * 60), "A"),
+        (2, " ".join(["w"] * 40), "A"),
+        (3, " ".join(["w"] * 20), "A"),
+        # lang B: one tiny doc — budget must still keep it
+        (4, "solo doc", "B"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    # budget 70: doc1 (60 tokens, cum_before 0) kept; doc2 (cum_before
+    # 60 < 70) kept, overrunning to 100; doc3 (cum_before 100) dropped.
+    out = {
+        r.doc_id: r
+        for r in budget_select(df, token_budget=70).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1].cum_tokens == 60 and out[2].cum_tokens == 100
+    assert out[4].cum_tokens == 2
+    # quality/n_tokens columns agree with the shared primitives
+    prims = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("q"),
+            bpe_token_count(F.col("text")).alias("t"),
+        ).collect()
+    }
+    for i, r in out.items():
+        assert r.quality == prims[i].q and r.n_tokens == prims[i].t
+
+
+def test_mix_rebalance_uniform_mix_properties(spark):
+    """The smallest group survives whole (rate 1.0); larger groups thin
+    toward its size; the rule is replayable (two runs identical)."""
+    from navigator_document_parser_spark.operators.selection import (
+        mix_rebalance,
+    )
+
+    rows = [(i, f"text {i}", "big" if i < 80 else "small")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = mix_rebalance(df).toPandas()
+    small = out[out.lang == "small"]
+    big = out[out.lang == "big"]
+    # rate for the smallest group is exactly 1.0 -> all 20 rows kept
+    assert len(small) == 20 and (small.keep_rate == 1.0).all()
+    assert (big.keep_rate == 0.25).all()
+    # Bernoulli thinning: strictly fewer than the original 80, and the
+    # kept set is a deterministic function of doc_id (replayable)
+    assert 0 < len(big) < 80
+    again = mix_rebalance(df).toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
