@@ -333,6 +333,23 @@ def _dedup_components(spark, sf):
     )
 
 
+def _fuzzy_dedup_corpus(spark, sf):
+    """SlimPajama-style fuzzy dedup end-to-end: near-dup pairs (n-gram
+    Jaccard within blocks) -> connected components -> keep the min-id
+    representative per cluster -> filtered corpus. Complements
+    corpus_curation, whose dedup stage is exact-hash only."""
+    from navigator_document_parser_spark.operators.dedup import (
+        dedup_corpus,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1, length_band=64)
+    return dedup_corpus(
+        docs.select("doc_id", "lang", "n_chars"), pairs
+    )
+
+
 def _dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf))
 
@@ -790,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_substring": _dedup_substring,
         "dedup_components": _dedup_components,
+        "fuzzy_dedup_corpus": _fuzzy_dedup_corpus,
         "knn_cosine": _knn_cosine,
         "knn_lsh": _knn_lsh,                # oracle: deterministic planes
         "knn_ivf": _knn_ivf,                        # rows-only (approx)
@@ -1093,6 +1111,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(MIN(r) AS BIGINT) AS comp
             FROM reach GROUP BY node
+        """,
+        "fuzzy_dedup_corpus": f"""
+            {_SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)}
+            , pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b
+                ON a.lang = b.lang
+               AND (length(a.text) // 64) = (length(b.text) // 64)
+               AND a.doc_id < b.doc_id
+              WHERE {_JACCARD} >= 0.1
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM edges
+            ), reach AS (
+              SELECT node, node AS r FROM nodes
+              UNION
+              SELECT reach.node, e.dst AS r
+              FROM reach JOIN edges e ON reach.r = e.src
+            ), losers AS (
+              SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM losers)
         """,
         "dedup_simhash": f"""
             WITH toks AS (

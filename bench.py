@@ -85,11 +85,15 @@ OP_QUERIES = [
     "host_cap",
     "tfidf_top_terms",
     "ml_quality_score",
+    "budget_select",
+    "mix_rebalance",
     "dedup_exact",
+    "dedup_substring",
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "fuzzy_dedup_corpus",
     "knn_cosine",
     "knn_lsh",
     "knn_ivf",

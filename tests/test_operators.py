@@ -794,6 +794,49 @@ def test_new_curation_ops_plan_shapes(spark):
     assert plan3.count("Exchange hashpartitioning") == 1
 
 
+def test_selection_and_substring_plan_shapes(spark):
+    """Pin the scale shapes of the round-3 selection/substring ops:
+    budget_select is one exchange + one running-sum window;
+    mix_rebalance broadcasts its per-group rates (corpus side stays
+    shuffle-free); duplicated_spans reuses the hash(id) exchange for
+    both the island window and the span aggregation (2 wide exchanges
+    total: gram hash + id)."""
+    from navigator_document_parser_spark.operators.dedup import (
+        duplicated_spans,
+    )
+    from navigator_document_parser_spark.operators.selection import (
+        budget_select,
+        mix_rebalance,
+    )
+
+    docs = load(spark, "documents")
+
+    p1 = budget_select(docs, token_budget=1500)
+    plan1 = p1._jdf.queryExecution().executedPlan().toString()
+    assert plan1.count("Exchange hashpartitioning") == 1
+    assert plan1.count("Window") == 1
+
+    p2 = mix_rebalance(docs)
+    plan2 = p2._jdf.queryExecution().executedPlan().toString()
+    # the corpus row side never hash-shuffles; rates arrive broadcast.
+    # Both hash exchanges belong to the #groups-row counts aggregate
+    # (the subtree appears twice pre-AQE; ReuseExchange collapses it at
+    # runtime) — never to corpus rows.
+    assert "BroadcastHashJoin" in plan2
+    assert plan2.count("Exchange hashpartitioning") <= 2
+
+    p3 = duplicated_spans(docs)
+    plan3 = p3._jdf.queryExecution().executedPlan().toString()
+    # dup-hash detection is an aggregate + semi-join (AQE skew-eligible),
+    # never a window over the gram hash
+    assert "LeftSemi" in plan3
+    # exchanges: gram-hash agg/join (h) + one hash(id) reused by the
+    # window AND the final (id, grp) aggregate — no third wide exchange
+    n_exch = plan3.count("Exchange hashpartitioning")
+    assert n_exch <= 3, plan3
+    assert plan3.count("Window") == 1
+
+
 def test_ml_quality_score_exact_semantics(spark):
     """Margin = mean md5-hashed integer weight / 1000; weights re-derived
     in pure Python must agree exactly (the integer-sum design is what
