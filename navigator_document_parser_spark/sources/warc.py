@@ -222,3 +222,146 @@ def write_wet(rows: list[tuple[str, str, str]], gzip_members: bool = True) -> by
         rec = head + b"\r\n" + body + b"\r\n\r\n"
         out += gzip.compress(rec) if gzip_members else rec
     return out
+
+
+# --------------------------------------------------------------------------
+# WAT — Common Crawl's metadata companion format
+# --------------------------------------------------------------------------
+
+# WAT rows are link/metadata records, not documents: one row per page
+# with its outgoing links — the input for link-graph analytics (domain
+# quality scores, crawl prioritization).
+WAT_SCHEMA = "url string, warc_ts timestamp, title string, links array<string>"
+
+
+def _wat_records_to_rows(blob: bytes) -> list[dict]:
+    """One WAT archive file -> link-metadata rows.
+
+    WAT wraps a JSON envelope per crawled URI in the same WARC framing
+    ('metadata' records). Only the stable, useful subset is projected:
+    page title and outgoing link URLs from
+    Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.
+    Malformed JSON or missing sections degrade to empty values — one
+    hostile record never kills the shard task.
+    """
+    import json
+
+    if blob[:2] == b"\x1f\x8b":
+        try:
+            blob = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+        except Exception:
+            return []
+    rows = []
+    for headers, payload in _iter_warc_records(blob):
+        if headers.get("warc-type") != "metadata":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts = _parse_warc_date(headers.get("warc-date", ""))
+        if not url.startswith(("http://", "https://")) or ts is None:
+            continue
+        title, links = None, []
+        try:
+            env = json.loads(payload.decode("utf-8", "replace"))
+            html_meta = (
+                env.get("Envelope", {})
+                .get("Payload-Metadata", {})
+                .get("HTTP-Response-Metadata", {})
+                .get("HTML-Metadata", {})
+            )
+            head = html_meta.get("Head", {})
+            if isinstance(head, dict):
+                t = head.get("Title")
+                title = t if isinstance(t, str) else None
+            raw_links = html_meta.get("Links", [])
+            if isinstance(raw_links, list):
+                links = [
+                    l["url"]
+                    for l in raw_links
+                    if isinstance(l, dict) and isinstance(l.get("url"), str)
+                ]
+        except Exception:
+            pass  # keep the row: the URI + timestamp are still useful
+        rows.append({"url": url, "warc_ts": ts, "title": title,
+                     "links": links})
+    return rows
+
+
+def read_wat(spark: SparkSession, path_glob: str) -> DataFrame:
+    """*.warc.wat / *.warc.wat.gz files -> (url, warc_ts, title, links)
+    link-metadata DataFrame ('metadata' records, JSON envelopes)."""
+    files = spark.read.format("binaryFile").load(path_glob).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "title", "links"]
+        for pdf in batches:
+            rows: list[dict] = []
+            for blob in pdf["content"]:
+                rows.extend(_wat_records_to_rows(bytes(blob)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse, schema=WAT_SCHEMA)
+
+
+def host_link_graph(wat: DataFrame) -> DataFrame:
+    """Aggregate WAT link rows into host-level edges:
+    (src_host, dst_host, n_links). The standard first step toward
+    link-based domain quality (harmonic/PageRank-style scores) used to
+    weight crawl data. Pure built-ins: explode + parse_url-equivalent
+    regex + one hash aggregate (map-side combined)."""
+    from pyspark.sql import functions as F
+
+    host = lambda c: F.lower(  # noqa: E731  (scheme://HOST[/:?#...])
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    e = wat.select(
+        host(F.col("url")).alias("src_host"),
+        F.explode("links").alias("dst"),
+    ).select("src_host", host(F.col("dst")).alias("dst_host"))
+    return (
+        e.filter(
+            (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def write_wat(
+    rows: list[tuple[str, str, str | None, list[str]]],
+    gzip_members: bool = True,
+) -> bytes:
+    """Build WAT bytes from (url, iso_date, title, link_urls) — the test
+    fixture generator (one gzip member per 'metadata' record)."""
+    import json
+
+    out = b""
+    for url, date, title, link_urls in rows:
+        env = {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": title},
+                            "Links": [
+                                {"path": "A@/href", "url": u}
+                                for u in link_urls
+                            ],
+                        }
+                    }
+                }
+            }
+        }
+        body = json.dumps(env).encode("utf-8")
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: metadata\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {date}\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"Content-Type: application/json\r\n"
+        ).encode()
+        rec = head + b"\r\n" + body + b"\r\n\r\n"
+        out += gzip.compress(rec) if gzip_members else rec
+    return out

@@ -183,3 +183,60 @@ def test_wet_reader_and_curate_e2e(spark):
         assert set(out.columns) >= {"doc_id", "text"}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_wat_reader_and_host_link_graph(spark):
+    """WAT 'metadata' records parse into (url, ts, title, links) rows;
+    malformed JSON degrades to an empty-link row; host_link_graph
+    aggregates cross-host edges with counts."""
+    from navigator_document_parser_spark.sources.warc import (
+        host_link_graph,
+        read_wat,
+        write_wat,
+    )
+
+    base = tempfile.mkdtemp()
+    try:
+        wat = write_wat([
+            ("https://a.example.org/x", "2024-03-01T00:00:00Z", "Page X",
+             ["https://b.example.org/1", "https://b.example.org/2",
+              "https://a.example.org/self", "/relative/skipped"]),
+            ("https://a.example.org/y", "2024-03-01T00:00:01Z", None,
+             ["https://c.example.org/"]),
+        ])
+        # a hostile record: valid WARC framing, garbage JSON payload
+        body = b"{not json"
+        head = (
+            "WARC/1.0\r\nWARC-Type: metadata\r\n"
+            "WARC-Target-URI: https://bad.example.org/\r\n"
+            "WARC-Date: 2024-03-01T00:00:02Z\r\n"
+            f"Content-Length: {len(body)}\r\n"
+        ).encode()
+        wat += gzip.compress(head + b"\r\n" + body + b"\r\n\r\n")
+        # and a stray response record the WAT reader must skip
+        wat += _archive([99])
+        with open(os.path.join(base, "a.warc.wat.gz"), "wb") as f:
+            f.write(wat)
+
+        rows = {r["url"]: r for r in
+                read_wat(spark, base + "/*.warc.wat.gz").collect()}
+        assert len(rows) == 3
+        assert rows["https://a.example.org/x"]["title"] == "Page X"
+        assert len(rows["https://a.example.org/x"]["links"]) == 4
+        assert rows["https://a.example.org/y"]["title"] is None
+        # hostile JSON: row survives with empty links, task never dies
+        assert rows["https://bad.example.org/"]["links"] == []
+
+        edges = {
+            (r.src_host, r.dst_host): r.n_links
+            for r in host_link_graph(
+                read_wat(spark, base + "/*.warc.wat.gz")
+            ).collect()
+        }
+        # self-host and relative (host-less) links are excluded
+        assert edges == {
+            ("a.example.org", "b.example.org"): 2,
+            ("a.example.org", "c.example.org"): 1,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
