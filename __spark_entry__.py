@@ -29,6 +29,9 @@ from navigator_document_parser_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from navigator_document_parser_spark.operators.search import (
+    oracle_keyword_search as _oracle_keyword_search,
+)
 from navigator_document_parser_spark.operators.selection import (
     oracle_budget_select as _oracle_budget_select,
     oracle_mix_rebalance as _oracle_mix_rebalance,
@@ -456,6 +459,22 @@ def _tfidf_top_terms(spark, sf):
     return T.tfidf_top_terms(_docs(spark, sf), k=3)
 
 
+_SEARCH_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["window", "agg", "stream"]),
+    (2, ["slow", "query"]),
+    (3, ["dup"]),
+]
+
+
+def _keyword_search(spark, sf):
+    """Inverted-index conjunctive search: top-10 docs per query, ranked
+    by an integer idf-weighted score (engine-exact — operators/search.py)."""
+    from navigator_document_parser_spark.operators.search import keyword_search
+
+    return keyword_search(_docs(spark, sf), _SEARCH_QUERIES, k=10)
+
+
 def _ml_quality_score(spark, sf):
     """Hashed-linear-classifier quality scoring (fastText-filter shape;
     integer weight sums keep the margin bit-identical cross-engine)."""
@@ -791,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filters": _repetition_filters,  # Gopher A1.3 repetition
         "host_cap": _host_cap,                      # per-origin cap
         "tfidf_top_terms": _tfidf_top_terms,        # corpus analytics
+        "keyword_search": _keyword_search,          # inverted-index top-k
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
         "corpus_sample": _corpus_sample,            # stratified hash sample
         "budget_select": _budget_select,            # per-lang token budget
@@ -997,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filters": T.oracle_repetition(),
         "host_cap": T.oracle_cap_per_group(),
         "tfidf_top_terms": T.oracle_tfidf(),
+        "keyword_search": _oracle_keyword_search(_SEARCH_QUERIES),
         "ml_quality_score": T.oracle_ml_quality(),
         "pack_sequences": T.oracle_pack_sequences(),
         "corpus_sample": f"""

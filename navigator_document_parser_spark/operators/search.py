@@ -1,0 +1,179 @@
+"""Inverted-index keyword search over a document corpus.
+
+The reference pipeline feeds a downstream search product (extracted text
+is indexed by url — see /root/reference/README.md pipeline diagram); this
+module supplies the engine-side retrieval capability itself: build a
+postings table from the corpus and answer conjunctive multi-term queries
+with a deterministic, idf-weighted top-k ranking.
+
+Scoring is EXACT across engines on purpose: the per-term weight is the
+integer ``n_docs * 1000 div df(term)`` (a monotone rational idf analog —
+same design as tfidf_top_terms' rational idf) and the document score is
+``sum(tf * weight)``, all BIGINT arithmetic, so the DuckDB oracle
+hash-matches bit-for-bit. Logarithmic idf would rank identically but
+differ in the last ulp between libm implementations.
+
+100 TB shape: the corpus is scanned ONCE and filtered to the query
+vocabulary BEFORE the tf shuffle (predicate on the exploded term — the
+aggregate state is bounded by |query vocab| x n_docs, not corpus token
+count). Document frequencies and the query table are broadcast; the only
+wide exchange is the narrow (doc_id, term, tf) aggregate and the final
+per-query top-k window over candidate rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def term_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocabulary: Sequence[str] | None = None,
+) -> DataFrame:
+    """(term, doc_id, tf) postings; optionally restricted to a vocabulary.
+
+    The vocabulary filter sits below the aggregation so a 3-term query
+    over 100 TB shuffles only rows for those 3 terms.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    if vocabulary is not None:
+        words = words.filter(F.col("term").isin(list(vocabulary)))
+    return words.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def keyword_search(
+    df: DataFrame,
+    queries: Iterable[tuple[int, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Conjunctive (AND) multi-term search, top-``k`` docs per query.
+
+    ``queries`` is an iterable of (query_id, terms). A document matches
+    iff every distinct query term occurs in it; matches are ranked by
+    the integer idf-weighted score described in the module docstring,
+    ties broken by ascending doc_id (fully deterministic).
+
+    Returns (query_id, rank, doc_id, score, sum_tf).
+    """
+    spark = df.sparkSession
+    qrows = []
+    vocab: set[str] = set()
+    for qid, terms in queries:
+        distinct = sorted(set(terms))
+        vocab.update(distinct)
+        for t in distinct:
+            qrows.append((int(qid), t, len(distinct)))
+    qdf = spark.createDataFrame(
+        qrows, "query_id bigint, term string, n_terms int"
+    )
+
+    # tf feeds both the document-frequency aggregate and the scored join;
+    # the barrier stops each branch from re-running scan->explode->agg
+    # (CLAUDE.md lesson 3; eager per lesson 7). Post-filter it is tiny:
+    # |vocab| x n_docs rows at most.
+    tf = term_postings(df, id_col, text_col, vocabulary=sorted(vocab))
+    tf = tf.localCheckpoint(eager=True)
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("dfq")
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("query_id", "doc_id", "n_terms")
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(
+                F.col("tf") * F.expr("n_docs * 1000 div dfq")
+            ).alias("score"),
+            F.sum("tf").alias("sum_tf"),
+        )
+        .filter(F.col("n_matched") == F.col("n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("sum_tf").cast("bigint").alias("sum_tf"),
+        )
+    )
+
+
+def oracle_keyword_search(
+    queries: Iterable[tuple[int, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    k: int = 10,
+) -> str:
+    """DuckDB SQL computing exactly keyword_search() (integer math only)."""
+    vals = []
+    for qid, terms in queries:
+        distinct = sorted(set(terms))
+        for t in distinct:
+            vals.append(f"({int(qid)}, '{t}', {len(distinct)})")
+    values = ", ".join(vals)
+    return f"""
+        WITH q(query_id, term, n_terms) AS (VALUES {values}),
+        w AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(string_split_regex(
+                   trim(lower({text_col})), '\\s+')) AS term
+          FROM {table}
+        ), tf AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM w
+          WHERE length(term) > 0
+            AND term IN (SELECT DISTINCT term FROM q)
+          GROUP BY term, doc_id
+        ), dfreq AS (
+          SELECT term, count(DISTINCT doc_id) AS dfq FROM tf GROUP BY term
+        ), n AS (
+          SELECT count(DISTINCT {id_col}) AS n_docs FROM {table}
+        ), scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 count(*) AS n_matched, max(q.n_terms) AS n_terms,
+                 sum(tf.tf * (n.n_docs * 1000 // dfreq.dfq)) AS score,
+                 sum(tf.tf) AS sum_tf
+          FROM tf
+          JOIN q USING (term)
+          JOIN dfreq USING (term)
+          CROSS JOIN n
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rank AS BIGINT) AS rank,
+               doc_id,
+               CAST(score AS BIGINT) AS score,
+               CAST(sum_tf AS BIGINT) AS sum_tf
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scored WHERE n_matched = n_terms
+        )
+        WHERE rank <= {k}
+    """

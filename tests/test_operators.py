@@ -995,3 +995,40 @@ def test_mix_rebalance_uniform_mix_properties(spark):
     assert 0 < len(big) < 80
     again = mix_rebalance(df).toPandas()
     assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
+def test_keyword_search_conjunctive_ranking(spark):
+    """AND semantics: a doc matches only if EVERY distinct query term
+    occurs; ranking = integer idf-weighted tf sum, doc_id tie-break."""
+    from navigator_document_parser_spark.operators.search import (
+        keyword_search,
+    )
+
+    rows = [
+        (0, "hash join hash join hash"),   # hash tf=3, join tf=2
+        (1, "hash join"),                  # both tf=1
+        (2, "hash hash hash hash"),        # missing 'join' -> no match
+        (3, "join scan filter"),           # missing 'hash' -> no match
+        (4, "scan scan"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = keyword_search(df, [(7, ["hash", "join"])], k=10).toPandas()
+    assert list(out.query_id.unique()) == [7]
+    assert list(out.doc_id) == [0, 1]          # ranked by score desc
+    assert list(out["rank"]) == [1, 2]
+    # weights: n_docs=5; df(hash)=3 -> w=1666, df(join)=3 -> w=1666
+    assert list(out.score) == [5 * 1666, 2 * 1666]
+    assert list(out.sum_tf) == [5, 2]
+
+
+def test_keyword_search_topk_and_tiebreak(spark):
+    from navigator_document_parser_spark.operators.search import (
+        keyword_search,
+    )
+
+    # 6 docs all with tf=1 for 'scan': ranking falls back to doc_id asc
+    rows = [(i, "scan other words") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = keyword_search(df, [(1, ["scan"])], k=4).toPandas()
+    assert list(out.doc_id) == [0, 1, 2, 3]
+    assert list(out["rank"]) == [1, 2, 3, 4]
