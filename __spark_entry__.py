@@ -29,6 +29,9 @@ from navigator_document_parser_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from navigator_document_parser_spark.operators.dedup import (
+    oracle_paragraph_dedup as _oracle_paragraph_dedup,
+)
 from navigator_document_parser_spark.operators.search import (
     oracle_keyword_search as _oracle_keyword_search,
 )
@@ -373,6 +376,15 @@ def _dedup_simhash_pairs(spark, sf):
 
 def _dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.1, length_band=64)
+
+
+def _dedup_paragraphs(spark, sf):
+    """CCNet-style paragraph dedup: repeated 12-token chunks are dropped
+    corpus-wide (first occurrence wins) and docs are rebuilt from their
+    kept chunks (operators/dedup.py paragraph_dedup)."""
+    from navigator_document_parser_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(spark, sf), chunk_tokens=12)
 
 
 def _dedup_substring(spark, sf):
@@ -825,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_paragraphs": _dedup_paragraphs,
         "dedup_substring": _dedup_substring,
         "dedup_components": _dedup_components,
         "fuzzy_dedup_corpus": _fuzzy_dedup_corpus,
@@ -1208,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             WHERE {_JACCARD} >= 0.1
         """,
+        "dedup_paragraphs": _oracle_paragraph_dedup(),
         "dedup_substring": """
             WITH toks AS (
               SELECT doc_id,

@@ -635,3 +635,114 @@ def duplicated_spans(
             .alias("span_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style)
+# --------------------------------------------------------------------------
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 12,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: drop every repeated paragraph
+    occurrence corpus-wide, keeping only its FIRST occurrence (ordered by
+    (doc_id, paragraph index)), and rebuild each document from its kept
+    paragraphs.
+
+    CCNet (Wenzek et al. 2020) hashes paragraphs and discards duplicate
+    hashes so boilerplate (cookie banners, nav text) repeated across a
+    crawl disappears while one canonical copy survives. The corpus here
+    has no newline structure, so "paragraphs" are deterministic
+    ``chunk_tokens``-token chunks — the operator is the same for any
+    paragraph splitter.
+
+    100 TB shape: the first-occurrence rule is a groupBy(md5(para)) with
+    min(struct(doc_id, idx)) — an aggregate with MAP-SIDE partial
+    combine, deliberately NOT a window over the hash (a boilerplate
+    paragraph present in millions of docs would make one window
+    partition hot; the aggregate ships one row per map task). Join back
+    on the hash (AQE skew-split applies), then one groupBy(doc_id) to
+    rebuild. Token arrays are localCheckpoint'ed before the chunk
+    transform so CollapseProject cannot re-inline split() per slice
+    (CLAUDE.md lessons 3/9).
+
+    Returns (doc_id, n_paras, n_dropped, kept_text).
+    """
+    c = int(chunk_tokens)
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), tokens.alias("t"))
+    base = base.localCheckpoint(eager=True)
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size("t") - 1) / c).cast("int")
+        ),
+        lambda i: F.array_join(F.slice("t", i * c + 1, c), " "),
+    )
+    paras = base.filter(F.size("t") > 0).select(
+        "doc_id", F.posexplode(chunks).alias("idx", "para")
+    ).withColumn("h", F.md5("para"))
+    firsts = paras.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
+    marked = paras.join(firsts, "h").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("idx") == F.col("first.idx")),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("idx", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
+def oracle_paragraph_dedup(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    chunk_tokens: int = 12,
+) -> str:
+    """DuckDB SQL computing exactly paragraph_dedup()."""
+    c = int(chunk_tokens)
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS doc_id,
+                 string_split_regex(trim(lower({text_col})), '\\s+') AS t
+          FROM {table}
+        ), pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(0, (length(t) - 1) // {c})) AS i
+          FROM toks WHERE length(t) > 0
+        ), ch AS (
+          SELECT doc_id, i AS idx,
+                 array_to_string(t[i*{c}+1:i*{c}+{c}], ' ') AS para
+          FROM pos
+        ), f AS (
+          SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY para
+                                    ORDER BY doc_id, idx) AS rn
+          FROM ch
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(coalesce(count(*) FILTER (rn > 1), 0) AS BIGINT)
+                 AS n_dropped,
+               coalesce(string_agg(para, ' ' ORDER BY idx)
+                        FILTER (rn = 1), '') AS kept_text
+        FROM f GROUP BY doc_id
+    """

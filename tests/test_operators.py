@@ -1032,3 +1032,33 @@ def test_keyword_search_topk_and_tiebreak(spark):
     out = keyword_search(df, [(1, ["scan"])], k=4).toPandas()
     assert list(out.doc_id) == [0, 1, 2, 3]
     assert list(out["rank"]) == [1, 2, 3, 4]
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """A chunk repeated across docs survives only at its first
+    (doc_id, idx) occurrence; docs are rebuilt from kept chunks in
+    order."""
+    from navigator_document_parser_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    boiler = "a b c"                      # 3-token boilerplate chunk
+    rows = [
+        (0, f"{boiler} x y z"),           # chunks: [a b c][x y z]
+        (1, f"{boiler} p q r"),           # [a b c] dup -> dropped
+        (2, "p q r only once here"),      # [p q r] first seen at doc1!
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = (
+        paragraph_dedup(df, chunk_tokens=3)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0].kept_text == "a b c x y z"
+    assert out.loc[0].n_dropped == 0
+    # doc1 loses the boilerplate but keeps its own 'p q r' (first seen)
+    assert out.loc[1].kept_text == "p q r"
+    assert out.loc[1].n_dropped == 1
+    # doc2's 'p q r' is now a duplicate of doc1's
+    assert out.loc[2].kept_text == "only once here"
+    assert out.loc[2].n_dropped == 1
+    assert list(out.n_paras) == [2, 2, 2]
