@@ -35,6 +35,9 @@ from navigator_document_parser_spark.operators.dedup import (
 from navigator_document_parser_spark.operators.search import (
     oracle_keyword_search as _oracle_keyword_search,
 )
+from navigator_document_parser_spark.operators.urls import (
+    oracle_filter_urls as _oracle_filter_urls,
+)
 from navigator_document_parser_spark.operators.selection import (
     oracle_budget_select as _oracle_budget_select,
     oracle_mix_rebalance as _oracle_mix_rebalance,
@@ -471,6 +474,42 @@ def _tfidf_top_terms(spark, sf):
     return T.tfidf_top_terms(_docs(spark, sf), k=3)
 
 
+_URL_BLOCKLIST = ["site0.example.org", "site3.example.org"]
+
+_URL_SYNTH_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || "
+    "'://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.ORG' || "
+    "(CASE WHEN doc_id % 3 = 0 THEN "
+    "   (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) "
+    " WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) || "
+    "'/docs/' || CAST(doc_id AS VARCHAR) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) || "
+    "(CASE doc_id % 4 "
+    " WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) "
+    "   || '&utm_campaign=x' "
+    " WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc' "
+    "   || CAST(doc_id AS VARCHAR) "
+    " WHEN 2 THEN '?id=' || CAST(doc_id AS VARCHAR) ELSE '' END) || "
+    "(CASE WHEN doc_id % 5 = 0 THEN '#sec1' ELSE '' END)"
+)
+
+
+def _url_filter(spark, sf):
+    """URL canonicalization + UT1-style domain blocklist over messy
+    synthetic URLs (mixed-case hosts, default/odd ports, utm/fbclid
+    params, fragments, trailing slashes) built identically in the
+    oracle (operators/urls.py)."""
+    from navigator_document_parser_spark.operators.urls import filter_urls
+
+    # same synth expression as the oracle; Spark spells VARCHAR as STRING
+    d = _docs(spark, sf).withColumn(
+        "url", F.expr(_URL_SYNTH_SQL.replace("AS VARCHAR", "AS STRING"))
+    )
+    return filter_urls(d, _URL_BLOCKLIST).select(
+        "doc_id", "url_canonical", "domain", "blocked"
+    )
+
+
 _SEARCH_QUERIES = [
     (0, ["hash", "join"]),
     (1, ["window", "agg", "stream"]),
@@ -823,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": _host_cap,                      # per-origin cap
         "tfidf_top_terms": _tfidf_top_terms,        # corpus analytics
         "keyword_search": _keyword_search,          # inverted-index top-k
+        "url_filter": _url_filter,                  # canonicalize + blocklist
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
         "corpus_sample": _corpus_sample,            # stratified hash sample
         "budget_select": _budget_select,            # per-lang token budget
@@ -1031,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": T.oracle_cap_per_group(),
         "tfidf_top_terms": T.oracle_tfidf(),
         "keyword_search": _oracle_keyword_search(_SEARCH_QUERIES),
+        "url_filter": _oracle_filter_urls(_URL_BLOCKLIST, _URL_SYNTH_SQL),
         "ml_quality_score": T.oracle_ml_quality(),
         "pack_sequences": T.oracle_pack_sequences(),
         "corpus_sample": f"""

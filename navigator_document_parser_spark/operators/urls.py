@@ -1,0 +1,206 @@
+"""URL canonicalization and domain-blocklist filtering.
+
+Every crawl-scale corpus pipeline starts by normalizing URLs (casing,
+default ports, tracking parameters, fragments) so dedup keys and domain
+statistics are stable, then drops blocklisted domains (UT1-style list
+filtering). The reference keys its whole result store on `url`
+(/root/reference/cli/parse_htmls.py insert-if-absent on url), so a
+stable canonical form is the natural upstream of that sink.
+
+Canonical form produced here:
+  - scheme and host lowercased
+  - default ports stripped (http://…:80, https://…:443); others kept
+  - fragment removed
+  - tracking query parameters removed (utm_*, fbclid, gclid); a query
+    left empty loses its '?'
+  - trailing '/' runs stripped from the path
+
+Both the Spark side and the DuckDB oracle are pure projections built
+from the same split/regexp steps — no UDF, no shuffle; at 100 TB this
+is a map-only stage that fuses into whole-stage codegen above the scan.
+
+Limitation (documented, not hit by well-formed crawl URLs): the query
+string is taken as everything after the FIRST '?'; a literal '?' inside
+a query value is treated as part of the query.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid")
+
+
+def _keep_param(p: Column) -> Column:
+    keep = F.length(p) > 0
+    for pref in TRACKING_PREFIXES:
+        keep = keep & (
+            F.substring(p, 1, len(pref)) != F.lit(pref)
+        )
+    for name in TRACKING_PARAMS:
+        keep = keep & (
+            F.substring(p, 1, len(name) + 1) != F.lit(name + "=")
+        )
+    return keep
+
+
+def with_canonical_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_canonical"
+) -> DataFrame:
+    """Add ``out_col`` (canonical URL) and ``domain`` (host minus a
+    leading www.) columns."""
+    nofrag = F.element_at(F.split(F.col(url_col), "#", 2), 1)
+    d = df.withColumn("_nofrag", nofrag)
+    base = F.element_at(F.split(F.col("_nofrag"), r"\?", 2), 1)
+    qparts = F.split(F.col("_nofrag"), r"\?", 2)
+    qs = F.when(F.size(qparts) > 1, F.element_at(qparts, 2)).otherwise(
+        F.lit("")
+    )
+    d = d.withColumn("_base", base).withColumn("_qs", qs)
+    sparts = F.split(F.col("_base"), "://", 2)
+    scheme = F.lower(F.element_at(sparts, 1))
+    hostpath = F.when(
+        F.size(sparts) > 1, F.element_at(sparts, 2)
+    ).otherwise(F.lit(""))
+    d = d.withColumn("_scheme", scheme).withColumn("_hostpath", hostpath)
+    host = F.lower(F.regexp_extract(F.col("_hostpath"), "^[^/]*", 0))
+    path = F.expr("substring(_hostpath, length(regexp_extract(_hostpath, '^[^/]*', 0)) + 1)")
+    d = d.withColumn("_host", host).withColumn("_path", path)
+    host_np = (
+        F.when(
+            (F.col("_scheme") == "http") & F.col("_host").endswith(":80"),
+            F.expr("substring(_host, 1, length(_host) - 3)"),
+        )
+        .when(
+            (F.col("_scheme") == "https")
+            & F.col("_host").endswith(":443"),
+            F.expr("substring(_host, 1, length(_host) - 4)"),
+        )
+        .otherwise(F.col("_host"))
+    )
+    path_c = F.regexp_replace(F.col("_path"), "/+$", "")
+    kept_q = F.array_join(
+        F.filter(F.split(F.col("_qs"), "&"), _keep_param), "&"
+    )
+    d = (
+        d.withColumn("_host_c", host_np)
+        .withColumn("_path_c", path_c)
+        .withColumn("_kept_q", kept_q)
+    )
+    canonical = F.concat(
+        F.col("_scheme"),
+        F.lit("://"),
+        F.col("_host_c"),
+        F.col("_path_c"),
+        F.when(
+            F.length("_kept_q") > 0, F.concat(F.lit("?"), F.col("_kept_q"))
+        ).otherwise(F.lit("")),
+    )
+    domain = F.regexp_replace(
+        F.regexp_replace(F.col("_host_c"), "^www\\.", ""), ":[0-9]+$", ""
+    )
+    return d.withColumn(out_col, canonical).withColumn(
+        "domain", domain
+    ).drop(
+        "_nofrag", "_base", "_qs", "_scheme", "_hostpath", "_host",
+        "_path", "_host_c", "_path_c", "_kept_q",
+    )
+
+
+def filter_urls(
+    df: DataFrame,
+    blocklist: Sequence[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Canonicalize + flag blocklisted domains.
+
+    Adds url_canonical, domain, blocked. The blocklist is matched on the
+    canonical domain, exact or as a parent suffix (ads.example.com is
+    blocked by example.com) — the UT1/DNS-suffix semantics. The
+    blocklist is a literal IN/endswith predicate (broadcast-free, pure
+    codegen); for million-entry lists swap in a broadcast join on the
+    reversed-domain prefix.
+    """
+    d = with_canonical_url(df, url_col=url_col)
+    blocked = F.lit(False)
+    for b in blocklist:
+        blocked = (
+            blocked
+            | (F.col("domain") == b)
+            | F.col("domain").endswith("." + b)
+        )
+    return d.withColumn("blocked", blocked)
+
+
+def oracle_filter_urls(
+    blocklist: Sequence[str],
+    url_expr: str,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing exactly filter_urls() over ``url_expr``
+    (an SQL expression producing the raw url), returning
+    (doc_id, url_canonical, domain, blocked)."""
+    keep = "length(p) > 0 AND substring(p, 1, 4) <> 'utm_'"
+    for name in TRACKING_PARAMS:
+        keep += (
+            f" AND substring(p, 1, {len(name) + 1}) <> '{name}='"
+        )
+    blocked = "FALSE"
+    for b in blocklist:
+        blocked += f" OR domain = '{b}' OR suffix(domain, '.{b}')"
+    return f"""
+        WITH raw AS (
+          SELECT {id_col} AS doc_id, {url_expr} AS url FROM {table}
+        ), s1 AS (
+          SELECT doc_id, string_split(url, '#')[1] AS nofrag FROM raw
+        ), s2 AS (
+          SELECT doc_id,
+                 string_split(nofrag, '?')[1] AS base,
+                 CASE WHEN length(string_split(nofrag, '?')) > 1
+                      THEN array_to_string(
+                        string_split(nofrag, '?')[2:], '?')
+                      ELSE '' END AS qs
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id, qs,
+                 lower(string_split(base, '://')[1]) AS scheme,
+                 CASE WHEN length(string_split(base, '://')) > 1
+                      THEN string_split(base, '://')[2] ELSE '' END
+                   AS hostpath
+          FROM s2
+        ), s4 AS (
+          SELECT doc_id, qs, scheme,
+                 lower(regexp_extract(hostpath, '^[^/]*')) AS host,
+                 substring(hostpath,
+                           length(regexp_extract(hostpath, '^[^/]*')) + 1)
+                   AS path
+          FROM s3
+        ), s5 AS (
+          SELECT doc_id, scheme,
+                 CASE WHEN scheme = 'http' AND suffix(host, ':80')
+                        THEN substring(host, 1, length(host) - 3)
+                      WHEN scheme = 'https' AND suffix(host, ':443')
+                        THEN substring(host, 1, length(host) - 4)
+                      ELSE host END AS host_c,
+                 regexp_replace(path, '/+$', '') AS path_c,
+                 array_to_string(list_filter(string_split(qs, '&'),
+                   p -> {keep}), '&') AS kept_q
+          FROM s4
+        ), s6 AS (
+          SELECT doc_id,
+                 scheme || '://' || host_c || path_c ||
+                 CASE WHEN length(kept_q) > 0 THEN '?' || kept_q
+                      ELSE '' END AS url_canonical,
+                 regexp_replace(regexp_replace(host_c, '^www\\.', ''),
+                                ':[0-9]+$', '') AS domain
+          FROM s5
+        )
+        SELECT doc_id, url_canonical, domain,
+               ({blocked}) AS blocked
+        FROM s6
+    """

@@ -1062,3 +1062,35 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert out.loc[2].kept_text == "only once here"
     assert out.loc[2].n_dropped == 1
     assert list(out.n_paras) == [2, 2, 2]
+
+
+def test_url_canonicalize_and_blocklist(spark):
+    from navigator_document_parser_spark.operators.urls import filter_urls
+
+    rows = [
+        (0, "HTTP://WWW.Site1.Example.ORG:80/a/b/?utm_source=x&id=9#frag"),
+        (1, "https://api.site2.example.org:443/v1"),
+        (2, "https://ads.blocked.net:8080/x?fbclid=z&q=1"),
+        (3, "http://blocked.net/"),
+        (4, "https://sub.deep.blocked.net/y"),
+        (5, "https://notblocked.net/ok?gclid=1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = (
+        filter_urls(df, ["blocked.net"])
+        .select("doc_id", "url_canonical", "domain", "blocked")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # default port + trailing slash + fragment + utm_* all stripped
+    assert out.loc[0].url_canonical == "http://www.site1.example.org/a/b?id=9"
+    assert out.loc[0].domain == "site1.example.org"
+    # :443 stripped for https; www. only stripped from domain
+    assert out.loc[1].url_canonical == "https://api.site2.example.org/v1"
+    assert out.loc[1].domain == "api.site2.example.org"
+    # non-default port survives in the url but not the domain
+    assert out.loc[2].url_canonical == "https://ads.blocked.net:8080/x?q=1"
+    assert out.loc[2].domain == "ads.blocked.net"
+    # suffix semantics: exact, subdomain, deep subdomain all blocked
+    assert list(out.blocked) == [False, False, True, True, True, False]
+    # bare-host trailing slash: path collapses to empty
+    assert out.loc[3].url_canonical == "http://blocked.net"
