@@ -532,6 +532,12 @@ def _ml_quality_score(spark, sf):
     return T.ml_quality_score(_docs(spark, sf))
 
 
+def _lm_rarity(spark, sf):
+    """Bigram-LM rarity gate (KenLM-perplexity proxy): drop docs whose
+    bigrams the corpus itself rarely produces (operators/text.py)."""
+    return T.lm_rarity(_docs(spark, sf))
+
+
 def _decontaminate(spark, sf):
     """Benchmark decontamination: docs with doc_id % 37 == 0 act as the
     synthetic holdout set; every other doc is checked for 3-gram overlap
@@ -864,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": _keyword_search,          # inverted-index top-k
         "url_filter": _url_filter,                  # canonicalize + blocklist
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
+        "lm_rarity": _lm_rarity,                    # bigram-LM rarity gate
         "corpus_sample": _corpus_sample,            # stratified hash sample
         "budget_select": _budget_select,            # per-lang token budget
         "mix_rebalance": _mix_rebalance,            # uniform-lang data mix
@@ -1073,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": _oracle_keyword_search(_SEARCH_QUERIES),
         "url_filter": _oracle_filter_urls(_URL_BLOCKLIST, _URL_SYNTH_SQL),
         "ml_quality_score": T.oracle_ml_quality(),
+        "lm_rarity": T.oracle_lm_rarity(),
         "pack_sequences": T.oracle_pack_sequences(),
         "corpus_sample": f"""
             SELECT doc_id, lang FROM documents

@@ -993,3 +993,117 @@ def oracle_ml_quality(
                  / 10000.0 > {threshold} AS keep
         FROM w GROUP BY doc_id
     """
+
+
+# ---- n-gram LM rarity filter (perplexity-proxy quality gate) --------------
+
+def lm_rarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    max_rare_frac: float = 0.02,
+) -> DataFrame:
+    """Corpus-trained bigram "language model" rarity filter — the
+    integer-exact analog of a KenLM perplexity gate (CCNet trains an LM
+    on clean text and drops high-perplexity docs): a document full of
+    bigrams the corpus itself rarely produces is mis-encoded, mis-split,
+    machine-generated, or off-distribution.
+
+    A true perplexity is a float log-sum whose value differs in the last
+    ulp across engines; the rarity fraction (share of bigram instances
+    whose CORPUS frequency is below ``min_count``) ranks the same tail
+    and stays integer until one final rounded division, so the DuckDB
+    oracle hash-matches exactly.
+
+    100 TB shape: one scan -> positional bigram explode -> count
+    aggregate with map-side partial combine; the count table joins back
+    on the bigram key as a plain equi-join (AQE broadcasts it when the
+    vocabulary is small; web-scale bigram vocabularies are NOT
+    broadcastable, so no broadcast hint is forced). Token arrays are
+    checkpointed before the bigram transform (CLAUDE.md lessons 3/9).
+
+    Returns (doc_id, n_bigrams, n_rare, rare_frac, pass_lm).
+    """
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), tokens.alias("t"))
+    base = base.localCheckpoint(eager=True)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat(
+            F.element_at("t", (i + 1).cast("int")),
+            F.lit(" "),
+            F.element_at("t", (i + 2).cast("int")),
+        ),
+    )
+    bg = base.filter(F.size("t") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    per = (
+        bg.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("cnt") < min_count, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    out = base.select("doc_id").join(per, "doc_id", "left")
+    frac = F.when(
+        F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+        F.round(F.col("n_rare") * 1.0 / F.col("n_bigrams"), 4),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0))
+        .cast("bigint")
+        .alias("n_bigrams"),
+        F.coalesce(F.col("n_rare"), F.lit(0)).cast("bigint").alias("n_rare"),
+        frac.alias("rare_frac"),
+        (frac <= F.lit(max_rare_frac)).alias("pass_lm"),
+    )
+
+
+def oracle_lm_rarity(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    min_count: int = 5,
+    max_rare_frac: float = 0.02,
+) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS doc_id,
+                 string_split_regex(trim(lower({text_col})), '\\s+') AS t
+          FROM {table}
+        ), pos AS (
+          SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+          FROM toks WHERE length(t) >= 2
+        ), bg AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] AS bg FROM pos
+        ), cnt AS (
+          SELECT bg, count(*) AS cnt FROM bg GROUP BY bg
+        ), per AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+                 sum(CASE WHEN cnt < {min_count} THEN 1 ELSE 0 END)
+                   AS n_rare
+          FROM bg JOIN cnt USING (bg) GROUP BY doc_id
+        ), j AS (
+          SELECT t.doc_id,
+                 coalesce(p.n_bigrams, 0) AS n_bigrams,
+                 coalesce(p.n_rare, 0) AS n_rare
+          FROM toks t LEFT JOIN per p USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(n_rare AS BIGINT) AS n_rare,
+               CASE WHEN n_bigrams > 0
+                    THEN round(n_rare * 1.0 / n_bigrams, 4)
+                    ELSE 0.0 END AS rare_frac,
+               (CASE WHEN n_bigrams > 0
+                     THEN round(n_rare * 1.0 / n_bigrams, 4)
+                     ELSE 0.0 END) <= {max_rare_frac} AS pass_lm
+        FROM j
+    """

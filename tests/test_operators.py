@@ -1094,3 +1094,25 @@ def test_url_canonicalize_and_blocklist(spark):
     assert list(out.blocked) == [False, False, True, True, True, False]
     # bare-host trailing slash: path collapses to empty
     assert out.loc[3].url_canonical == "http://blocked.net"
+
+
+def test_lm_rarity_flags_offdistribution_doc(spark):
+    """A doc made of bigrams nothing else produces fails the gate; docs
+    sharing the corpus's common bigrams pass with rare_frac 0."""
+    from navigator_document_parser_spark.operators.text import lm_rarity
+
+    common = "the table has a hash join"
+    rows = [(i, common) for i in range(6)]
+    rows.append((6, "zq xv qqq zzz pp9 k3k"))   # all-unseen bigrams
+    rows.append((7, f"{common} zq xv"))         # partially rare
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = (
+        lm_rarity(df, min_count=3, max_rare_frac=0.5)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert (out.loc[0:5].rare_frac == 0.0).all()
+    assert bool(out.loc[0].pass_lm)
+    assert out.loc[6].rare_frac == 1.0 and not out.loc[6].pass_lm
+    # doc7: bigrams = 5 common + 'join zq','zq xv' rare -> 2/7
+    assert out.loc[7].n_bigrams == 7 and out.loc[7].n_rare == 2
+    assert bool(out.loc[7].pass_lm)
