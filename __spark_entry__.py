@@ -31,6 +31,7 @@ from navigator_document_parser_spark.operators.dedup import (
 )
 from navigator_document_parser_spark.operators.dedup import (
     oracle_paragraph_dedup as _oracle_paragraph_dedup,
+    oracle_snapshot_dedup as _oracle_snapshot_dedup,
 )
 from navigator_document_parser_spark.operators.search import (
     oracle_keyword_search as _oracle_keyword_search,
@@ -379,6 +380,30 @@ def _dedup_simhash_pairs(spark, sf):
 
 def _dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.1, length_band=64)
+
+
+_SNAPSHOT_NEW_TEXT_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN text "
+    "WHEN doc_id % 4 = 1 THEN text || "
+    "' plus an updated paragraph appended in the new crawl' "
+    "ELSE 'fresh snapshot document ' || CAST(doc_id AS VARCHAR) || "
+    "' with brand new unique content never seen before in this corpus' "
+    "END"
+)
+
+
+def _dedup_incremental(spark, sf):
+    """Monthly-snapshot dedup: a synthetic new crawl (1/4 re-crawled
+    identical, 1/4 updated near-dup, 1/2 fresh) deduped against the
+    committed corpus (operators/dedup.py snapshot_dedup)."""
+    from navigator_document_parser_spark.operators.dedup import snapshot_dedup
+
+    old = _docs(spark, sf)
+    new = old.withColumn(
+        "text",
+        F.expr(_SNAPSHOT_NEW_TEXT_SQL.replace("AS VARCHAR", "AS STRING")),
+    )
+    return snapshot_dedup(new, old)
 
 
 def _dedup_paragraphs(spark, sf):
@@ -884,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_incremental": _dedup_incremental,
         "dedup_paragraphs": _dedup_paragraphs,
         "dedup_substring": _dedup_substring,
         "dedup_components": _dedup_components,
@@ -1270,6 +1296,7 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             WHERE {_JACCARD} >= 0.1
         """,
+        "dedup_incremental": _oracle_snapshot_dedup(_SNAPSHOT_NEW_TEXT_SQL),
         "dedup_paragraphs": _oracle_paragraph_dedup(),
         "dedup_substring": """
             WITH toks AS (

@@ -746,3 +746,168 @@ def oracle_paragraph_dedup(
                         FILTER (rn = 1), '') AS kept_text
         FROM f GROUP BY doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# incremental snapshot dedup (new crawl vs committed corpus)
+# --------------------------------------------------------------------------
+
+def snapshot_dedup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """Dedup a NEW crawl snapshot against a committed OLD snapshot — the
+    monthly-Common-Crawl workflow: never re-pay storage/training cost for
+    a page that was already captured.
+
+    Two stages, both new-vs-old only (no old-vs-old work):
+      - exact_dup: md5(text) of the new doc exists in the old snapshot
+      - near_dup: the new doc shares a MinHash LSH band key with ANY old
+        doc (the recall stage of MinHash dedup; band construction
+        identical to minhash_dedup_pairs so the SQL oracle reproduces it
+        bit-for-bit)
+    keep = NOT exact_dup AND NOT near_dup.
+
+    100 TB shape: the old snapshot is hashed/banded once (in production
+    this is a materialized index, here a plan branch); both stages are
+    plain equi-joins shuffled on (hash) / (band, key) — no broadcast
+    assumption, because the committed side is the BIG side. Short docs
+    with no shingles get near_dup=false (and, as in minhash_dedup_pairs,
+    never produce the shared md5('') hot bucket).
+
+    Returns new snapshot rows as (doc_id, exact_dup, near_dup, keep).
+    """
+    rows_per_band = num_hashes // bands
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.md5(F.col(text_col)).alias("h"),
+        )
+
+    def banded(df: DataFrame) -> DataFrame:
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col)).alias("sh"),
+        ).filter(F.size("sh") > 0)
+
+        def min_hash(h: int) -> Column:
+            def hasher(prefix: str):
+                return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+            return F.array_min(F.transform(F.col("sh"), hasher(f"{h}:")))
+
+        sigs = sh.select(
+            "id",
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                min_hash(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            ).alias("band_keys"),
+        )
+        return sigs.select(
+            "id", F.posexplode("band_keys").alias("band", "key")
+        )
+
+    new_h = hashed(new_df)
+    old_h = hashed(old_df).select("h").dropDuplicates(["h"])
+    exact = (
+        new_h.join(old_h.withColumn("_e", F.lit(True)), "h", "left")
+        .select("id", F.coalesce("_e", F.lit(False)).alias("exact_dup"))
+    )
+    near_ids = (
+        banded(new_df)
+        .join(banded(old_df).select("band", "key"), ["band", "key"], "leftsemi")
+        .select("id")
+        .dropDuplicates(["id"])
+        .withColumn("_n", F.lit(True))
+    )
+    return (
+        exact.join(near_ids, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "exact_dup",
+            F.coalesce("_n", F.lit(False)).alias("near_dup"),
+            (
+                ~F.col("exact_dup")
+                & ~F.coalesce("_n", F.lit(False))
+            ).alias("keep"),
+        )
+    )
+
+
+def oracle_snapshot_dedup(
+    new_text_sql: str,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing exactly snapshot_dedup(num_hashes=4, bands=2)
+    where the new snapshot is ``SELECT doc_id, <new_text_sql> AS text``
+    over ``table`` and the old snapshot is ``table`` itself."""
+    shingle = (
+        "CASE WHEN length(t) < 3 THEN [] ELSE list_distinct("
+        "list_transform(generate_series(1, length(t) - 2), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END"
+    )
+
+    def sig_block(src: str) -> str:
+        return f"""
+          SELECT doc_id, s,
+                 md5(list_aggregate(list_transform(s, x -> md5('0:' || x)), 'min')
+                     || ',' ||
+                     list_aggregate(list_transform(s, x -> md5('1:' || x)), 'min'))
+                   AS band0,
+                 md5(list_aggregate(list_transform(s, x -> md5('2:' || x)), 'min')
+                     || ',' ||
+                     list_aggregate(list_transform(s, x -> md5('3:' || x)), 'min'))
+                   AS band1
+          FROM (
+            SELECT doc_id, {shingle} AS s FROM (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM {src}
+            )
+          ) WHERE length(s) > 0
+        """
+
+    return f"""
+        WITH newdoc AS (
+          SELECT {id_col} AS doc_id, {new_text_sql} AS text FROM {table}
+        ), olddoc AS (
+          SELECT {id_col} AS doc_id, text FROM {table}
+        ), oldh AS (
+          SELECT DISTINCT md5(text) AS h FROM olddoc
+        ), nsig AS ({sig_block('newdoc')}
+        ), osig AS ({sig_block('olddoc')}
+        ), nbands AS (
+          SELECT doc_id, 0 AS band, band0 AS key FROM nsig
+          UNION ALL
+          SELECT doc_id, 1 AS band, band1 AS key FROM nsig
+        ), obands AS (
+          SELECT 0 AS band, band0 AS key FROM osig
+          UNION ALL
+          SELECT 1 AS band, band1 AS key FROM osig
+        ), near AS (
+          SELECT DISTINCT n.doc_id FROM nbands n
+          JOIN obands o ON n.band = o.band AND n.key = o.key
+        )
+        SELECT nd.doc_id,
+               (md5(nd.text) IN (SELECT h FROM oldh)) AS exact_dup,
+               (nr.doc_id IS NOT NULL) AS near_dup,
+               (md5(nd.text) NOT IN (SELECT h FROM oldh)
+                AND nr.doc_id IS NULL) AS keep
+        FROM newdoc nd LEFT JOIN near nr USING (doc_id)
+    """

@@ -1116,3 +1116,39 @@ def test_lm_rarity_flags_offdistribution_doc(spark):
     # doc7: bigrams = 5 common + 'join zq','zq xv' rare -> 2/7
     assert out.loc[7].n_bigrams == 7 and out.loc[7].n_rare == 2
     assert bool(out.loc[7].pass_lm)
+
+
+def test_snapshot_dedup_new_vs_old_flags(spark):
+    """Exact re-crawls flag exact_dup, lightly-edited docs flag near_dup
+    only, genuinely fresh docs keep; old-vs-old pairs are never
+    consulted."""
+    from navigator_document_parser_spark.operators.dedup import (
+        snapshot_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    old = spark.createDataFrame(
+        [(0, base), (1, "completely different old text about spark "
+                        "shuffles and partitions at scale")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                       # exact re-crawl
+            (11, base + " with a small appended update"),  # near dup
+            (12, "entirely novel page content that shares nothing "
+                 "with the committed snapshot whatsoever today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = (
+        snapshot_dedup(new, old)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert bool(out.loc[10].exact_dup) and bool(out.loc[10].near_dup)
+    assert not out.loc[10].keep
+    assert not out.loc[11].exact_dup and bool(out.loc[11].near_dup)
+    assert not out.loc[11].keep
+    assert not out.loc[12].exact_dup and not out.loc[12].near_dup
+    assert bool(out.loc[12].keep)
