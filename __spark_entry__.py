@@ -41,6 +41,7 @@ from navigator_document_parser_spark.operators.urls import (
 )
 from navigator_document_parser_spark.operators.selection import (
     oracle_budget_select as _oracle_budget_select,
+    oracle_importance_select as _oracle_importance_select,
     oracle_mix_rebalance as _oracle_mix_rebalance,
 )
 from navigator_document_parser_spark.operators.similarity import (
@@ -563,6 +564,32 @@ def _lm_rarity(spark, sf):
     return T.lm_rarity(_docs(spark, sf))
 
 
+def _corpus_report(spark, sf):
+    """Multi-level corpus report via ROLLUP(lang, source): per-(lang,
+    source) stats plus per-lang and grand totals in one aggregation pass
+    (Spark computes all grouping sets in a single shuffle)."""
+    return (
+        _docs(spark, sf)
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def _importance_select(spark, sf):
+    """DSIR-style distribution-matching selection: score docs by token
+    mass leaning toward the English-language target distribution vs the
+    whole corpus (operators/selection.py importance_select)."""
+    from navigator_document_parser_spark.operators.selection import (
+        importance_select,
+    )
+
+    return importance_select(_docs(spark, sf), F.col("lang") == "en")
+
+
 def _decontaminate(spark, sf):
     """Benchmark decontamination: docs with doc_id % 37 == 0 act as the
     synthetic holdout set; every other doc is checked for 3-gram overlap
@@ -896,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _url_filter,                  # canonicalize + blocklist
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
         "lm_rarity": _lm_rarity,                    # bigram-LM rarity gate
+        "importance_select": _importance_select,    # DSIR-style selection
+        "corpus_report": _corpus_report,            # ROLLUP grouping sets
         "corpus_sample": _corpus_sample,            # stratified hash sample
         "budget_select": _budget_select,            # per-lang token budget
         "mix_rebalance": _mix_rebalance,            # uniform-lang data mix
@@ -1107,6 +1136,15 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _oracle_filter_urls(_URL_BLOCKLIST, _URL_SYNTH_SQL),
         "ml_quality_score": T.oracle_ml_quality(),
         "lm_rarity": T.oracle_lm_rarity(),
+        "importance_select": _oracle_importance_select("lang = 'en'"),
+        "corpus_report": """
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
+        """,
         "pack_sequences": T.oracle_pack_sequences(),
         "corpus_sample": f"""
             SELECT doc_id, lang FROM documents

@@ -85,9 +85,16 @@ OP_QUERIES = [
     "host_cap",
     "tfidf_top_terms",
     "ml_quality_score",
+    "lm_rarity",
+    "keyword_search",
+    "url_filter",
     "budget_select",
     "mix_rebalance",
+    "importance_select",
+    "corpus_report",
     "dedup_exact",
+    "dedup_incremental",
+    "dedup_paragraphs",
     "dedup_substring",
     "dedup_minhash_pairs",
     "dedup_simhash",

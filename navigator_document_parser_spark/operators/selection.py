@@ -28,7 +28,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from navigator_document_parser_spark.operators.text import (
@@ -193,4 +193,139 @@ def oracle_mix_rebalance(
                round(r.keep_rate, 6) AS keep_rate
         FROM {table} d JOIN rates r ON d.{group_col} = r.grp
         WHERE {u} < r.keep_rate
+    """
+
+
+# ---- DSIR-style distribution-matching selection ---------------------------
+
+def importance_select(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Distribution-matching data selection, DSIR-shaped (Xie et al.
+    2023): score each doc by how much its token mass leans toward a
+    TARGET distribution (rows where ``target_pred`` holds) versus the
+    full SOURCE corpus, and select docs above a threshold.
+
+    Production DSIR sums per-feature log-likelihood ratios — a float
+    whose last ulp differs across engines. Here each token leans target
+    iff target_count * source_total > source_count * target_total
+    (cross-multiplied counts — the same comparison as the ratio test,
+    exactly), and the doc score is (lean_target_mass - lean_source_mass)
+    / n_tokens: integers until one final rounded division, so the DuckDB
+    oracle hash-matches. The sign-aggregate ranks the same tail as the
+    log-ratio sum when per-token ratios are of comparable magnitude.
+
+    Cross-products are computed in DECIMAL(38,0): bigint*bigint
+    overflows once both factors pass ~3e9, which a 100 TB corpus's token
+    totals do.
+
+    100 TB shape: one scan -> (doc, term) tf aggregate (map-side
+    combine, checkpointed — it feeds both the vocabulary aggregate and
+    the per-doc join, CLAUDE.md lesson 3); the vocabulary table comes
+    back on a plain term equi-join (AQE broadcasts it when small); one
+    final groupBy(doc_id).
+
+    Returns (doc_id, n_tokens, lean_target, lean_source, score,
+    selected).
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("tgt"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = (
+        words.groupBy("doc_id", "tgt", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    counts = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("tgt"), F.col("tf")).otherwise(0)).alias("t_cnt"),
+        F.sum("tf").alias("s_cnt"),
+    )
+    totals = counts.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("s_cnt").alias("s_tot")
+    )
+    lean = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            F.col("t_cnt").cast("decimal(38,0)") * F.col("s_tot")
+            > F.col("s_cnt").cast("decimal(38,0)") * F.col("t_tot")
+        ).alias("lt"),
+        (
+            F.col("t_cnt").cast("decimal(38,0)") * F.col("s_tot")
+            < F.col("s_cnt").cast("decimal(38,0)") * F.col("t_tot")
+        ).alias("ls"),
+    )
+    per = (
+        tf.join(lean, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.when(F.col("lt"), F.col("tf")).otherwise(0)).alias("nt"),
+            F.sum(F.when(F.col("ls"), F.col("tf")).otherwise(0)).alias("ns"),
+        )
+    )
+    score = F.round(
+        (F.col("nt") - F.col("ns")) * 1.0 / F.col("n_tokens"), 4
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("nt").cast("bigint").alias("lean_target"),
+        F.col("ns").cast("bigint").alias("lean_source"),
+        score.alias("score"),
+        (score >= F.lit(threshold)).alias("selected"),
+    )
+
+
+def oracle_importance_select(
+    target_pred_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    threshold: float = 0.0,
+) -> str:
+    return f"""
+        WITH w AS (
+          SELECT {id_col} AS doc_id, ({target_pred_sql}) AS tgt,
+                 unnest(string_split_regex(
+                   trim(lower({text_col})), '\\s+')) AS term
+          FROM {table}
+        ), tf AS (
+          SELECT doc_id, tgt, term, count(*) AS tf
+          FROM w WHERE length(term) > 0 GROUP BY doc_id, tgt, term
+        ), cnt AS (
+          SELECT term,
+                 sum(CASE WHEN tgt THEN tf ELSE 0 END) AS t_cnt,
+                 sum(tf) AS s_cnt
+          FROM tf GROUP BY term
+        ), tot AS (
+          SELECT sum(t_cnt) AS t_tot, sum(s_cnt) AS s_tot FROM cnt
+        ), lean AS (
+          SELECT term,
+                 CAST(t_cnt AS HUGEINT) * s_tot
+                   > CAST(s_cnt AS HUGEINT) * t_tot AS lt,
+                 CAST(t_cnt AS HUGEINT) * s_tot
+                   < CAST(s_cnt AS HUGEINT) * t_tot AS ls
+          FROM cnt CROSS JOIN tot
+        ), per AS (
+          SELECT doc_id, sum(tf) AS n_tokens,
+                 sum(CASE WHEN lt THEN tf ELSE 0 END) AS nt,
+                 sum(CASE WHEN ls THEN tf ELSE 0 END) AS ns
+          FROM tf JOIN lean USING (term) GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(nt AS BIGINT) AS lean_target,
+               CAST(ns AS BIGINT) AS lean_source,
+               round((nt - ns) * 1.0 / n_tokens, 4) AS score,
+               round((nt - ns) * 1.0 / n_tokens, 4) >= {threshold}
+                 AS selected
+        FROM per
     """

@@ -1152,3 +1152,30 @@ def test_snapshot_dedup_new_vs_old_flags(spark):
     assert not out.loc[11].keep
     assert not out.loc[12].exact_dup and not out.loc[12].near_dup
     assert bool(out.loc[12].keep)
+
+
+def test_importance_select_sign_semantics(spark):
+    """Tokens lean by cross-multiplied count ratios; a token with equal
+    target/source share is neutral; scores are tf-weighted."""
+    from navigator_document_parser_spark.operators.selection import (
+        importance_select,
+    )
+
+    rows = [
+        (0, "gold gold gold", True),
+        (1, "gold gold mix", True),
+        (2, "spam spam mix", False),
+        (3, "spam spam spam", False),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_ref"])
+    out = (
+        importance_select(df, F.col("is_ref"))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # totals: t_tot=6, s_tot=12; gold t5/s5 -> leans target,
+    # spam t0/s5 -> leans source, mix t1/s2 -> exactly neutral
+    assert out.loc[0].score == 1.0 and bool(out.loc[0].selected)
+    assert out.loc[1].score == 0.6667
+    assert out.loc[2].score == -0.6667 and not out.loc[2].selected
+    assert out.loc[3].score == -1.0
+    assert out.loc[1].lean_target == 2 and out.loc[1].lean_source == 0
