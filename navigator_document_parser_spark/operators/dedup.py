@@ -783,17 +783,21 @@ def snapshot_dedup(
     """
     rows_per_band = num_hashes // bands
 
-    def hashed(df: DataFrame) -> DataFrame:
-        return df.select(
+    def prep(df: DataFrame) -> DataFrame:
+        # ONE corpus scan per side: content hash + shingles together.
+        # The eager checkpoint is the single-batch analog of the banded
+        # index a production store keeps for the committed snapshot —
+        # and it stops the exact and near branches from re-running the
+        # scan + shingle expression (CLAUDE.md lessons 3/7).
+        base = df.select(
             F.col(id_col).alias("id"),
             F.md5(F.col(text_col)).alias("h"),
-        )
-
-    def banded(df: DataFrame) -> DataFrame:
-        sh = df.select(
-            F.col(id_col).alias("id"),
             word_shingles(F.col(text_col)).alias("sh"),
-        ).filter(F.size("sh") > 0)
+        )
+        return base.localCheckpoint(eager=True)
+
+    def banded(prepped: DataFrame) -> DataFrame:
+        sh = prepped.filter(F.size("sh") > 0)
 
         def min_hash(h: int) -> Column:
             def hasher(prefix: str):
@@ -822,15 +826,17 @@ def snapshot_dedup(
             "id", F.posexplode("band_keys").alias("band", "key")
         )
 
-    new_h = hashed(new_df)
-    old_h = hashed(old_df).select("h").dropDuplicates(["h"])
+    new_p = prep(new_df)
+    old_p = prep(old_df)
+    new_h = new_p.select("id", "h")
+    old_h = old_p.select("h").dropDuplicates(["h"])
     exact = (
         new_h.join(old_h.withColumn("_e", F.lit(True)), "h", "left")
         .select("id", F.coalesce("_e", F.lit(False)).alias("exact_dup"))
     )
     near_ids = (
-        banded(new_df)
-        .join(banded(old_df).select("band", "key"), ["band", "key"], "leftsemi")
+        banded(new_p)
+        .join(banded(old_p).select("band", "key"), ["band", "key"], "leftsemi")
         .select("id")
         .dropDuplicates(["id"])
         .withColumn("_n", F.lit(True))

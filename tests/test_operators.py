@@ -1179,3 +1179,58 @@ def test_importance_select_sign_semantics(spark):
     assert out.loc[2].score == -0.6667 and not out.loc[2].selected
     assert out.loc[3].score == -1.0
     assert out.loc[1].lean_target == 2 and out.loc[1].lean_source == 0
+
+
+def test_session2_ops_plan_shapes(spark):
+    """Pin the scale shapes of the newest ops: keyword_search filters to
+    the query vocabulary BELOW its tf shuffle and never nested-loops the
+    corpus (the only BNLJ is the 1-row n_docs scalar attachment);
+    paragraph_dedup's first-occurrence rule is an aggregate (map-side
+    combinable), never a window over the paragraph hash; snapshot_dedup
+    reads each snapshot once (checkpoints), joins hash-to-hash; url
+    canonicalization is a shuffle-free projection."""
+    from navigator_document_parser_spark.operators.dedup import (
+        paragraph_dedup,
+        snapshot_dedup,
+    )
+    from navigator_document_parser_spark.operators.search import (
+        keyword_search,
+    )
+    from navigator_document_parser_spark.operators.urls import filter_urls
+    from navigator_document_parser_spark.operators.text import lm_rarity
+
+    docs = load(spark, "documents")
+
+    p = keyword_search(docs, [(0, ["hash", "join"])], k=5)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    # vocabulary predicate sits under the tf aggregate, not above it
+    assert "term#" in plan and plan.count("Window") >= 1
+    assert plan.count("BroadcastNestedLoop") <= 1  # 1-row n_docs only
+    assert "CartesianProduct" not in plan
+
+    p2 = paragraph_dedup(docs)
+    plan2 = p2._jdf.queryExecution().executedPlan().toString()
+    # no window at all: first-occurrence = min(struct) aggregate
+    assert plan2.count("Window") == 0
+    assert "partial_min" in plan2 or "HashAggregate" in plan2
+
+    p3 = snapshot_dedup(docs.limit(50), docs)
+    plan3 = p3._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan3
+    assert "BroadcastNestedLoop" not in plan3
+    # both sides come from checkpoints: no parquet re-scan per branch
+    assert plan3.count("FileScan parquet") == 0
+
+    p4 = filter_urls(
+        docs.withColumn("url", F.concat(F.lit("https://h/"), "doc_id")),
+        ["blocked.net"],
+    )
+    plan4 = p4._jdf.queryExecution().executedPlan().toString()
+    assert plan4.count("Exchange") == 0  # pure projection
+
+    p5 = lm_rarity(docs)
+    plan5 = p5._jdf.queryExecution().executedPlan().toString()
+    # count join-back is an equi-join with NO forced broadcast hint in
+    # the logical plan (AQE may still choose broadcast at runtime)
+    assert "CartesianProduct" not in plan5
+    assert plan5.count("Window") == 0
