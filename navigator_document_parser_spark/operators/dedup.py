@@ -752,6 +752,41 @@ def oracle_paragraph_dedup(
 # incremental snapshot dedup (new crawl vs committed corpus)
 # --------------------------------------------------------------------------
 
+def band_keys_from_shingles(
+    sh: Column, num_hashes: int = 4, bands: int = 2
+) -> Column:
+    """MinHash LSH band keys (array of ``bands`` md5 strings) from a
+    shingle-array column — the exact construction minhash_dedup_pairs
+    uses, factored out so batch snapshot dedup and the streaming
+    stream-static variant share one definition (and one SQL oracle).
+
+    On an EMPTY shingle array every band key degrades to md5('') —
+    callers must filter size(sh) > 0 first (see minhash_dedup_pairs'
+    hot-bucket note)."""
+    rows_per_band = num_hashes // bands
+
+    def min_hash(h: int) -> Column:
+        def hasher(prefix: str):
+            return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+        return F.array_min(F.transform(sh, hasher(f"{h}:")))
+
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        min_hash(b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def snapshot_dedup(
     new_df: DataFrame,
     old_df: DataFrame,
@@ -781,8 +816,6 @@ def snapshot_dedup(
 
     Returns new snapshot rows as (doc_id, exact_dup, near_dup, keep).
     """
-    rows_per_band = num_hashes // bands
-
     def prep(df: DataFrame) -> DataFrame:
         # ONE corpus scan per side: content hash + shingles together.
         # The eager checkpoint is the single-batch analog of the banded
@@ -798,28 +831,10 @@ def snapshot_dedup(
 
     def banded(prepped: DataFrame) -> DataFrame:
         sh = prepped.filter(F.size("sh") > 0)
-
-        def min_hash(h: int) -> Column:
-            def hasher(prefix: str):
-                return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-            return F.array_min(F.transform(F.col("sh"), hasher(f"{h}:")))
-
         sigs = sh.select(
             "id",
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                min_hash(b * rows_per_band + r)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
+            band_keys_from_shingles(
+                F.col("sh"), num_hashes, bands
             ).alias("band_keys"),
         )
         return sigs.select(

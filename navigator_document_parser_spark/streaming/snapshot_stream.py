@@ -1,0 +1,118 @@
+"""Streaming incremental snapshot dedup (stream-static joins).
+
+Batch `operators.dedup.snapshot_dedup` answers "which docs of this new
+snapshot are already in the committed corpus". When the new crawl
+arrives as a STREAM, the same question becomes a stream-static join:
+the committed snapshot is a static DataFrame (re-planned per
+micro-batch, so a snapshot refresh between batches is picked up), and
+each micro-batch of crawled pages is flagged statelessly — no watermark
+or state store needed, because all the "memory" lives in the committed
+side.
+
+Join shapes (all stateless, all supported stream-static forms):
+  - exact:  stream LEFT OUTER equi-join on md5(text) against the
+    committed distinct content hashes; matched rows flag exact_dup.
+  - near:   one LEFT OUTER equi-join PER LSH BAND on that band's key
+    column against the committed band-key set. Band keys are computed
+    column-wise (band_keys_from_shingles — the exact batch/oracle
+    construction), NOT via posexplode: exploding the stream side would
+    need a stateful per-doc re-aggregation to get back to one row per
+    page; per-band column joins stay 1-row-in/1-row-out.
+
+100 TB shape: the committed side is the big side; each per-band join is
+a plain equi-join the planner shuffles or broadcasts per micro-batch as
+its statistics dictate. Empty-shingle pages (too short) skip the near
+stage entirely (guard on size(sh) > 0 — md5('') hot-bucket rule,
+operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import band_keys_from_shingles, word_shingles
+from ..schema import DOCUMENTS_SCHEMA
+
+
+def flag_against_snapshot(
+    stream_df: DataFrame,
+    committed: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    num_hashes: int = 4,
+    bands: int = 2,
+) -> DataFrame:
+    """Attach (exact_dup, near_dup, keep) to each stream row by joining
+    against the committed static snapshot. Works identically on batch
+    DataFrames (used by the parity test)."""
+    old_p = committed.select(
+        F.md5(F.col(text_col)).alias("h"),
+        word_shingles(F.col(text_col)).alias("sh"),
+    )
+    old_h = old_p.select("h").dropDuplicates(["h"]).withColumn(
+        "_e", F.lit(True)
+    )
+    old_bk = old_p.filter(F.size("sh") > 0).select(
+        band_keys_from_shingles(F.col("sh"), num_hashes, bands).alias("bk")
+    )
+
+    s = stream_df.withColumn("_h", F.md5(F.col(text_col))).withColumn(
+        "_sh", word_shingles(F.col(text_col))
+    )
+    s = s.withColumn(
+        "_bk", band_keys_from_shingles(F.col("_sh"), num_hashes, bands)
+    )
+    s = s.join(old_h.withColumnRenamed("h", "_h"), "_h", "left")
+
+    near = F.lit(False)
+    for b in range(bands):
+        static_b = (
+            old_bk.select(F.col("bk")[b].alias(f"_k{b}"))
+            .dropDuplicates([f"_k{b}"])
+            .withColumn(f"_m{b}", F.lit(True))
+        )
+        s = s.join(
+            static_b,
+            F.col("_bk")[b] == F.col(f"_k{b}"),
+            "left",
+        )
+        near = near | F.coalesce(F.col(f"_m{b}"), F.lit(False))
+
+    exact = F.coalesce(F.col("_e"), F.lit(False))
+    near = (F.size("_sh") > 0) & near
+    out = s.select(
+        F.col(id_col),
+        exact.alias("exact_dup"),
+        near.alias("near_dup"),
+        (~exact & ~near).alias("keep"),
+    )
+    return out
+
+
+def start_snapshot_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    committed_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 4,
+    bands: int = 2,
+    available_now: bool = True,
+):
+    """readStream(new-crawl pages dir) -> flag vs committed snapshot ->
+    parquet (url, exact_dup, near_dup, keep)."""
+    committed = spark.read.parquet(committed_path)
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
+    flagged = flag_against_snapshot(
+        stream, committed, num_hashes=num_hashes, bands=bands
+    )
+    writer = (
+        flagged.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

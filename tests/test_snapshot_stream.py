@@ -1,0 +1,96 @@
+"""Streaming incremental snapshot dedup: each micro-batch of newly
+crawled pages is flagged against the static committed snapshot via
+stream-static joins; the stream result must equal the batch
+snapshot_dedup oracle on the same files."""
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from navigator_document_parser_spark.operators.dedup import snapshot_dedup
+from navigator_document_parser_spark.streaming.snapshot_stream import (
+    start_snapshot_dedup_stream,
+)
+
+
+def _new_crawl(docs):
+    """1/3 exact re-crawls, 1/3 light edits, 1/3 fresh — same recipe as
+    the dedup_incremental contract query."""
+    return docs.withColumn(
+        "text",
+        F.when(F.col("url").endswith("0"), F.col("text"))
+        .when(
+            F.col("url").endswith("1"),
+            F.concat(F.col("text"), F.lit(" x")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("fresh page "),
+                F.col("url"),
+                F.lit(" with entirely new never seen content tokens"),
+            )
+        ),
+    )
+
+
+def test_snapshot_stream_matches_batch(spark):
+    base = tempfile.mkdtemp(prefix="ndps-snapstream-")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    committed_dir = os.path.join(base, "committed")
+    try:
+        # driver testdata docs (real text bodies — synth pipeline pages
+        # carry their content in `html`, which would leave the shingle
+        # stage with nothing to hash)
+        old = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .filter(F.col("doc_id") < 60)
+            .select(
+                F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                "text",
+                "lang",
+            )
+            .cache()
+        )
+        old.write.parquet(committed_dir)
+        new = _new_crawl(old).cache()
+
+        # two waves: the stream must flag each micro-batch independently
+        w1 = new.filter(F.col("url").endswith("0") | F.col("url").endswith("1"))
+        w2 = new.subtract(w1)
+        w1.write.parquet(in_dir)
+        q = start_snapshot_dedup_stream(
+            spark, in_dir, committed_dir, out_dir,
+            os.path.join(base, "ckpt"), num_hashes=8, bands=4,
+        )
+        q.awaitTermination(120)
+        w2.write.mode("append").parquet(in_dir)
+        q2 = start_snapshot_dedup_stream(
+            spark, in_dir, committed_dir, out_dir,
+            os.path.join(base, "ckpt"), num_hashes=8, bands=4,
+        )
+        q2.awaitTermination(120)
+
+        got = (
+            spark.read.parquet(out_dir)
+            .toPandas().sort_values("url").reset_index(drop=True)
+        )
+        want = (
+            snapshot_dedup(new, old, id_col="url", text_col="text",
+                           num_hashes=8, bands=4)
+            .toPandas().sort_values("url").reset_index(drop=True)
+        )
+        assert len(got) == len(want) == 60
+        for col in ("exact_dup", "near_dup", "keep"):
+            assert list(got[col]) == list(want[col]), col
+        # sanity: all three outcomes actually occur in the fixture
+        assert got.exact_dup.any() and got.keep.any()
+        assert (got.near_dup & ~got.exact_dup).any()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        old.unpersist()
+        new.unpersist()
