@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def curate(spark, docs, holdout=None, min_hits: int = 1,
            scrub_pii: bool = False, ngram: int = 3,
-           with_counts: bool = True):
+           with_counts: bool = True, dedup_against=None):
     """documents(doc_id, text, ...) -> curated documents + stage counts.
 
     ``with_counts=True`` reports per-stage survivor counts; to keep that
@@ -69,6 +69,22 @@ def curate(spark, docs, holdout=None, min_hits: int = 1,
         return df
 
     docs = stage(docs, "input")
+
+    if dedup_against is not None:
+        # incremental snapshot stage: drop docs the previously committed
+        # corpus already holds, exactly or near-verbatim (the monthly
+        # Common-Crawl shape — see operators/dedup.py snapshot_dedup)
+        from navigator_document_parser_spark.operators.dedup import (
+            snapshot_dedup,
+        )
+
+        kept = (
+            snapshot_dedup(docs, dedup_against,
+                           id_col="doc_id", text_col="text")
+            .filter("keep")
+            .select("doc_id")
+        )
+        docs = stage(docs.join(kept, "doc_id"), "after_snapshot_dedup")
 
     keepers = (
         docs.groupBy(F.md5(F.col("text")).alias("_fp"))
@@ -116,6 +132,10 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--holdout", default=None,
                    help="optional benchmark/holdout docs parquet dir")
+    p.add_argument("--dedup-against", default=None,
+                   help="optional committed-snapshot parquet dir: drop "
+                        "docs it already holds (exact or MinHash-LSH "
+                        "near-verbatim) before curation")
     p.add_argument("--min-hits", type=int, default=1)
     p.add_argument("--ngram", type=int, default=3)
     p.add_argument("--scrub-pii", action="store_true")
@@ -139,10 +159,15 @@ def main(argv=None):
     else:
         docs = spark.read.parquet(args.input)
     holdout = spark.read.parquet(args.holdout) if args.holdout else None
+    against = (
+        spark.read.parquet(args.dedup_against)
+        if args.dedup_against else None
+    )
 
     curated, counts = curate(
         spark, docs, holdout=holdout, min_hits=args.min_hits,
         scrub_pii=args.scrub_pii, ngram=args.ngram,
+        dedup_against=against,
     )
     curated.write.mode("overwrite").parquet(args.output)
     curated.unpersist()  # caller-owned persist (see curate() docstring)

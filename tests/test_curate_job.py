@@ -71,3 +71,28 @@ def test_curate_cli_end_to_end(spark):
         assert set(out.columns) == {"doc_id", "text"}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_curate_with_snapshot_dedup_stage(spark):
+    """--dedup-against drops docs the committed snapshot already holds
+    (exact or near-verbatim) before the usual stages run."""
+    committed = spark.createDataFrame(
+        [(900, _doc("alpha")), (901, _doc("beta"))],
+        "doc_id long, text string",
+    )
+    rows = [
+        (1, _doc("alpha")),            # exact re-crawl -> dropped
+        (2, _doc("beta") + " x"),      # near-verbatim -> dropped
+        (3, _doc("gamma")),            # fresh -> survives
+        (4, _doc("gamma")),            # exact dup of 3 -> exact-dedup stage
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, counts = C.curate(
+        spark, docs, dedup_against=committed
+    )
+    ids = sorted(r["doc_id"] for r in curated.collect())
+    assert counts["input"] == 4
+    assert counts["after_snapshot_dedup"] == 2      # docs 1, 2 gone
+    assert counts["after_exact_dedup"] == 1         # doc 4 gone
+    assert ids == [3]
+    curated.unpersist()
