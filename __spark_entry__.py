@@ -579,6 +579,12 @@ def _corpus_report(spark, sf):
     )
 
 
+def _chunk_windows(spark, sf):
+    """RAG-prep overlapping window chunking: 16-token windows, stride 12
+    (operators/text.py chunk_windows) — zero-shuffle projection."""
+    return T.chunk_windows(_docs(spark, sf), window=16, stride=12)
+
+
 def _importance_select(spark, sf):
     """DSIR-style distribution-matching selection: score docs by token
     mass leaning toward the English-language target distribution vs the
@@ -924,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
         "lm_rarity": _lm_rarity,                    # bigram-LM rarity gate
         "importance_select": _importance_select,    # DSIR-style selection
+        "chunk_windows": _chunk_windows,            # RAG overlap chunking
         "corpus_report": _corpus_report,            # ROLLUP grouping sets
         "corpus_sample": _corpus_sample,            # stratified hash sample
         "budget_select": _budget_select,            # per-lang token budget
@@ -1137,6 +1144,7 @@ def oracle_sql() -> dict[str, str]:
         "ml_quality_score": T.oracle_ml_quality(),
         "lm_rarity": T.oracle_lm_rarity(),
         "importance_select": _oracle_importance_select("lang = 'en'"),
+        "chunk_windows": T.oracle_chunk_windows(window=16, stride=12),
         "corpus_report": """
             SELECT lang, source,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -1107,3 +1107,84 @@ def oracle_lm_rarity(
                      ELSE 0.0 END) <= {max_rare_frac} AS pass_lm
         FROM j
     """
+
+
+# ---- overlapping window chunking (RAG / retrieval prep) --------------------
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    stride: int = 12,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the standard
+    retrieval/RAG prep: chunk i covers tokens [i*stride, i*stride+window)
+    and consecutive chunks overlap by (window - stride) tokens so no
+    span longer than the overlap is cut mid-context. Every token appears
+    in at least one chunk; the trailing chunk may be short.
+
+    100 TB shape: a pure per-document projection + posexplode (zero
+    shuffle — chunking parallelizes with the scan). The token array is
+    checkpointed before the window transform so CollapseProject cannot
+    re-inline split() per slice (CLAUDE.md lessons 3/9); output rows are
+    narrow (ids + chunk text) and feed an embedding or index stage
+    directly.
+
+    Returns (doc_id, chunk_idx, start_token, chunk_tokens, chunk_text).
+    """
+    w, s = int(window), int(stride)
+    if not (0 < s <= w):
+        raise ValueError("need 0 < stride <= window")
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens.alias("t")
+    ).localCheckpoint(eager=True)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size("t") - 1) / s).cast("int")),
+        lambda i: F.array_join(F.slice("t", i * s + 1, w), " "),
+    )
+    return (
+        base.filter(F.size("t") > 0)
+        .select(
+            "doc_id",
+            F.size("t").alias("_n"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            (F.col("chunk_idx") * s).cast("bigint").alias("start_token"),
+            F.least(
+                F.lit(w), F.col("_n") - F.col("chunk_idx") * s
+            ).cast("bigint").alias("chunk_tokens"),
+            "chunk_text",
+        )
+    )
+
+
+def oracle_chunk_windows(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    window: int = 16,
+    stride: int = 12,
+) -> str:
+    w, s = int(window), int(stride)
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS doc_id,
+                 string_split_regex(trim(lower({text_col})), '\\s+') AS t
+          FROM {table}
+        ), pos AS (
+          SELECT doc_id, t, length(t) AS n,
+                 unnest(generate_series(0, (length(t) - 1) // {s})) AS i
+          FROM toks WHERE length(t) > 0
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               CAST(i * {s} AS BIGINT) AS start_token,
+               CAST(least({w}, n - i * {s}) AS BIGINT) AS chunk_tokens,
+               array_to_string(t[i*{s}+1:i*{s}+{w}], ' ') AS chunk_text
+        FROM pos
+    """

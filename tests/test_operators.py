@@ -1234,3 +1234,26 @@ def test_session2_ops_plan_shapes(spark):
     # the logical plan (AQE may still choose broadcast at runtime)
     assert "CartesianProduct" not in plan5
     assert plan5.count("Window") == 0
+
+
+def test_chunk_windows_overlap_semantics(spark):
+    """Chunks start every `stride` tokens, span `window` tokens, overlap
+    by window-stride, and the trailing chunk is short but present."""
+    from navigator_document_parser_spark.operators.text import chunk_windows
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = (
+        chunk_windows(df, window=4, stride=3)
+        .toPandas().sort_values("chunk_idx").reset_index(drop=True)
+    )
+    assert list(out.start_token) == [0, 3, 6, 9]
+    assert list(out.chunk_tokens) == [4, 4, 4, 1]
+    assert out.loc[0].chunk_text == "w0 w1 w2 w3"
+    assert out.loc[1].chunk_text == "w3 w4 w5 w6"   # 1-token overlap
+    assert out.loc[3].chunk_text == "w9"
+    # every token covered at least once
+    covered = set()
+    for _, r in out.iterrows():
+        covered.update(range(r.start_token, r.start_token + r.chunk_tokens))
+    assert covered == set(range(10))
