@@ -36,6 +36,9 @@ from navigator_document_parser_spark.operators.dedup import (
 from navigator_document_parser_spark.operators.search import (
     oracle_keyword_search as _oracle_keyword_search,
 )
+from navigator_document_parser_spark.operators.robots import (
+    oracle_robots_filter as _oracle_robots_filter,
+)
 from navigator_document_parser_spark.operators.urls import (
     oracle_filter_urls as _oracle_filter_urls,
 )
@@ -536,6 +539,51 @@ def _url_filter(spark, sf):
     )
 
 
+_ROBOTS_RULES = [
+    # longest-prefix-wins showcase: /private blocked except /private/p2*
+    ("site0.example.org", "*", "disallow", "/private/"),
+    ("site0.example.org", "*", "allow", "/private/p2"),
+    # allow carve-out under a disallowed subtree
+    ("site1.example.org", "*", "disallow", "/docs/"),
+    ("site1.example.org", "*", "allow", "/docs/public/"),
+    # whole-host block
+    ("site2.example.org", "*", "disallow", "/"),
+    # different agent: must NOT affect '*' filtering
+    ("site3.example.org", "googlebot", "disallow", "/"),
+]
+
+_ROBOTS_URLS_SQL = (
+    "SELECT doc_id, "
+    "'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host, "
+    "CASE WHEN doc_id % 4 = 0 THEN '/private/p' || CAST(doc_id AS VARCHAR) "
+    "     WHEN doc_id % 4 = 1 THEN '/docs/d' || CAST(doc_id AS VARCHAR) "
+    "     WHEN doc_id % 4 = 2 THEN '/docs/public/x' || CAST(doc_id AS VARCHAR) "
+    "     ELSE '/' END AS path "
+    "FROM documents"
+)
+
+
+def _robots_filter(spark, sf):
+    """Robots-Exclusion-Protocol filtering: longest-prefix rule wins,
+    allow beats disallow on ties, ruleless hosts are allowed
+    (operators/robots.py)."""
+    from navigator_document_parser_spark.operators.robots import robots_filter
+
+    d = _docs(spark, sf).selectExpr(
+        "doc_id",
+        "'site' || CAST(doc_id % 7 AS STRING) || '.example.org' AS host",
+        "CASE WHEN doc_id % 4 = 0 THEN '/private/p' || CAST(doc_id AS STRING) "
+        "     WHEN doc_id % 4 = 1 THEN '/docs/d' || CAST(doc_id AS STRING) "
+        "     WHEN doc_id % 4 = 2 THEN '/docs/public/x' || CAST(doc_id AS STRING) "
+        "     ELSE '/' END AS path",
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES,
+        "host string, agent string, rule_type string, path_prefix string",
+    )
+    return robots_filter(d, rules)
+
+
 _SEARCH_QUERIES = [
     (0, ["hash", "join"]),
     (1, ["window", "agg", "stream"]),
@@ -927,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _tfidf_top_terms,        # corpus analytics
         "keyword_search": _keyword_search,          # inverted-index top-k
         "url_filter": _url_filter,                  # canonicalize + blocklist
+        "robots_filter": _robots_filter,            # REP longest-match rules
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
         "lm_rarity": _lm_rarity,                    # bigram-LM rarity gate
         "importance_select": _importance_select,    # DSIR-style selection
@@ -1141,6 +1190,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": T.oracle_tfidf(),
         "keyword_search": _oracle_keyword_search(_SEARCH_QUERIES),
         "url_filter": _oracle_filter_urls(_URL_BLOCKLIST, _URL_SYNTH_SQL),
+        "robots_filter": _oracle_robots_filter(
+            _ROBOTS_RULES, _ROBOTS_URLS_SQL
+        ),
         "ml_quality_score": T.oracle_ml_quality(),
         "lm_rarity": T.oracle_lm_rarity(),
         "importance_select": _oracle_importance_select("lang = 'en'"),

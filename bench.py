@@ -88,6 +88,8 @@ OP_QUERIES = [
     "lm_rarity",
     "keyword_search",
     "url_filter",
+    "robots_filter",
+    "chunk_windows",
     "budget_select",
     "mix_rebalance",
     "importance_select",

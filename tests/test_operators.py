@@ -1257,3 +1257,73 @@ def test_chunk_windows_overlap_semantics(spark):
     for _, r in out.iterrows():
         covered.update(range(r.start_token, r.start_token + r.chunk_tokens))
     assert covered == set(range(10))
+
+
+def test_parse_robots_txt_grammar():
+    """Comments, blank lines, case-insensitive fields, multi-agent
+    groups, group reset after rules, empty Disallow."""
+    from navigator_document_parser_spark.operators.robots import (
+        parse_robots_txt,
+    )
+
+    txt = """
+# corpus policy
+User-Agent: *
+Disallow: /private/   # trailing comment
+ALLOW: /private/pub
+
+User-agent: googlebot
+User-agent: bingbot
+Disallow: /api/
+
+User-agent: slurp
+Disallow:
+"""
+    rules = parse_robots_txt(txt)
+    assert ("*", "disallow", "/private/") in rules
+    assert ("*", "allow", "/private/pub") in rules
+    # one rule line fans out to every agent of its group
+    assert ("googlebot", "disallow", "/api/") in rules
+    assert ("bingbot", "disallow", "/api/") in rules
+    # empty Disallow == allow-all: no rule row for slurp
+    assert not [r for r in rules if r[0] == "slurp"]
+    assert len(rules) == 4
+
+
+def test_robots_rules_and_filter_semantics(spark):
+    """mapInPandas rule extraction + longest-prefix-wins filtering with
+    allow beating disallow on ties and ruleless hosts allowed."""
+    from navigator_document_parser_spark.operators.robots import (
+        robots_filter,
+        robots_rules,
+    )
+
+    blobs = spark.createDataFrame(
+        [
+            ("a.net", "User-agent: *\nDisallow: /x/\nAllow: /x/ok"),
+            ("b.net", "User-agent: *\nDisallow: /\n"),
+            ("c.net", "User-agent: googlebot\nDisallow: /\n"),
+        ],
+        ["host", "robots_txt"],
+    )
+    rules = robots_rules(blobs)
+    assert rules.count() == 4
+    urls = spark.createDataFrame(
+        [
+            (1, "a.net", "/x/secret"),     # /x/ disallow wins
+            (2, "a.net", "/x/okay"),       # /x/ok allow is longer -> wins
+            (3, "a.net", "/y"),            # no rule matches -> allowed
+            (4, "b.net", "/anything"),     # whole-host block
+            (5, "c.net", "/page"),         # googlebot-only rules ignored
+            (6, "d.net", "/page"),         # host without robots.txt
+        ],
+        ["doc_id", "host", "path"],
+    )
+    out = (
+        robots_filter(urls, rules)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert list(out.allowed) == [False, True, True, False, True, True]
+    assert out.loc[2].match_len == 5      # '/x/ok'
+    assert out.loc[4].match_len == 1
+    assert out.loc[3].match_len == 0
