@@ -606,6 +606,40 @@ def _ml_quality_score(spark, sf):
     return T.ml_quality_score(_docs(spark, sf))
 
 
+def _c4_filters(spark, sf):
+    """C4 heuristic cleaning over synthesized newline-structured text:
+    12-token lines, 2/3 given terminal periods, with deterministic
+    lorem-ipsum / curly-brace / bad-word injections — identical
+    synthesis in the oracle (operators/text.py c4_filters)."""
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+    ).localCheckpoint(eager=True)
+    did = F.col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size("t") - 1) / 12).cast("int")),
+        lambda i: F.concat(
+            F.array_join(F.slice("t", i * 12 + 1, 12), " "),
+            F.when((did + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    text2 = F.concat(
+        F.array_join(lines, "\n"),
+        F.when(
+            did % 41 == 0,
+            F.lit("\nthis block has lorem ipsum filler inside it."),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 37 == 0, F.lit("\nvar x = { a: 1 };")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 43 == 0,
+            F.lit("\nthis line mentions badword1 openly today."),
+        ).otherwise(F.lit("")),
+    )
+    return T.c4_filters(d.select("doc_id", text2.alias("text")))
+
+
 def _lm_rarity(spark, sf):
     """Bigram-LM rarity gate (KenLM-perplexity proxy): drop docs whose
     bigrams the corpus itself rarely produces (operators/text.py)."""
@@ -978,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _robots_filter,            # REP longest-match rules
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
         "lm_rarity": _lm_rarity,                    # bigram-LM rarity gate
+        "c4_filters": _c4_filters,                  # C4 heuristic cleaning
         "importance_select": _importance_select,    # DSIR-style selection
         "chunk_windows": _chunk_windows,            # RAG overlap chunking
         "corpus_report": _corpus_report,            # ROLLUP grouping sets
@@ -1195,6 +1230,39 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ml_quality_score": T.oracle_ml_quality(),
         "lm_rarity": T.oracle_lm_rarity(),
+        "c4_filters": T.oracle_c4_filters(
+            table="synth",
+            prelude_cte="""
+              WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS t
+                FROM documents
+              ), pos AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(0, (length(t)-1)//12)) AS i
+                FROM toks
+              ), ch AS (
+                SELECT doc_id, i,
+                       array_to_string(t[i*12+1:i*12+12], ' ') ||
+                       CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+                         AS line
+                FROM pos
+              ), lined AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+                FROM ch GROUP BY doc_id
+              ), synth AS (
+                SELECT doc_id, text ||
+                  CASE WHEN doc_id % 41 = 0 THEN chr(10) ||
+                    'this block has lorem ipsum filler inside it.'
+                    ELSE '' END ||
+                  CASE WHEN doc_id % 37 = 0 THEN chr(10) ||
+                    'var x = { a: 1 };' ELSE '' END ||
+                  CASE WHEN doc_id % 43 = 0 THEN chr(10) ||
+                    'this line mentions badword1 openly today.'
+                    ELSE '' END AS text
+                FROM lined
+              )""",
+        ),
         "importance_select": _oracle_importance_select("lang = 'en'"),
         "chunk_windows": T.oracle_chunk_windows(window=16, stride=12),
         "corpus_report": """

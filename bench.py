@@ -86,6 +86,7 @@ OP_QUERIES = [
     "tfidf_top_terms",
     "ml_quality_score",
     "lm_rarity",
+    "c4_filters",
     "keyword_search",
     "url_filter",
     "robots_filter",

@@ -1188,3 +1188,106 @@ def oracle_chunk_windows(
                array_to_string(t[i*{s}+1:i*{s}+{w}], ' ') AS chunk_text
         FROM pos
     """
+
+
+# ---- C4-style heuristic cleaning (Raffel et al. 2020, §2.2) ---------------
+
+def c4_filters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bad_words: tuple = ("badword1", "badword2"),
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning heuristics over newline-delimited lines:
+
+      line level — keep a line only if it ends in terminal punctuation
+      (./!/?/") and has >= ``min_line_words`` words;
+      document level — drop the whole document if it mentions
+      "lorem ipsum", contains a curly brace (code leakage), or any
+      blocklisted word; require >= ``min_kept_lines`` surviving lines.
+
+    Terminal punctuation is tested with right(line, 1) set membership
+    (not a regex) so the DuckDB oracle is trivially identical.
+
+    100 TB shape: pure per-document projection (HOF line filter +
+    scalar contains checks), zero shuffle; the line array is
+    checkpointed so CollapseProject cannot re-inline the split per use
+    (CLAUDE.md lessons 3/9).
+
+    Returns (doc_id, n_lines, n_kept_lines, keep_doc, kept_text).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), "\n").alias("lines"),
+        F.lower(F.col(text_col)).alias("_lower"),
+    ).localCheckpoint(eager=True)
+
+    def line_ok(line):
+        last = F.substring(line, -1, 1)
+        ok = last.isin(".", "!", "?", '"')
+        words = F.size(F.split(F.trim(line), r"\s+"))
+        return ok & (words >= min_line_words)
+
+    kept = F.filter(F.col("lines"), line_ok)
+    bad = F.lit(False)
+    for w in bad_words:
+        bad = bad | F.col("_lower").contains(w)
+    doc_dirty = (
+        F.col("_lower").contains("lorem ipsum")
+        | F.col("_lower").contains("{")
+        | bad
+    )
+    out = base.select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        (
+            ~doc_dirty & (F.size(kept) >= F.lit(min_kept_lines))
+        ).alias("keep_doc"),
+        F.array_join(kept, "\n").alias("kept_text"),
+    )
+    return out
+
+
+def oracle_c4_filters(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    bad_words: tuple = ("badword1", "badword2"),
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    prelude_cte: str = "",
+) -> str:
+    """``prelude_cte``, when given, must be a complete leading WITH
+    clause body (e.g. "WITH synth AS (...)") — the oracle continues it
+    with its own CTEs and reads from ``table``."""
+    bad = " OR ".join(
+        f"contains(lower(text), '{w}')" for w in bad_words
+    )
+    keep_line = (
+        "right(l, 1) IN ('.', '!', '?', '\"') AND "
+        f"length(string_split_regex(trim(l), '\\s+')) >= {min_line_words}"
+    )
+    head = f"{prelude_cte}, base AS (" if prelude_cte else "WITH base AS ("
+    return f"""
+        {head}
+          SELECT {id_col} AS doc_id, {text_col} AS text,
+                 string_split({text_col}, chr(10)) AS lines
+          FROM {table}
+        ), k AS (
+          SELECT doc_id, text, lines,
+                 list_filter(lines, l -> {keep_line}) AS kept
+          FROM base
+        )
+        SELECT doc_id,
+               CAST(length(lines) AS BIGINT) AS n_lines,
+               CAST(length(kept) AS BIGINT) AS n_kept_lines,
+               (NOT (contains(lower(text), 'lorem ipsum')
+                     OR contains(lower(text), '{{')
+                     OR {bad})
+                AND length(kept) >= {min_kept_lines}) AS keep_doc,
+               coalesce(array_to_string(kept, chr(10)), '') AS kept_text
+        FROM k
+    """

@@ -1327,3 +1327,32 @@ def test_robots_rules_and_filter_semantics(spark):
     assert out.loc[2].match_len == 5      # '/x/ok'
     assert out.loc[4].match_len == 1
     assert out.loc[3].match_len == 0
+
+
+def test_c4_filters_line_and_doc_rules(spark):
+    from navigator_document_parser_spark.operators.text import c4_filters
+
+    good = ("this line has five good words.\n"
+            "another proper sentence with enough words!\n"
+            'a third quoted line with many words"\n'
+            "no terminal punctuation here at all\n"
+            "short line.")
+    rows = [
+        (0, good),                                   # 3 kept lines -> keep
+        (1, good + "\nsee lorem ipsum boilerplate"), # doc dropped
+        (2, good + "\nvar x = { 1 };"),              # brace -> dropped
+        (3, good + "\nmentions badword1 sadly."),    # blocklist -> dropped
+        (4, "only one good line right here.\nand nothing else"),  # <3 kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = (
+        c4_filters(df)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0].n_lines == 5 and out.loc[0].n_kept_lines == 3
+    assert bool(out.loc[0].keep_doc)
+    assert out.loc[0].kept_text.count("\n") == 2   # exactly 3 kept lines
+    assert not out.loc[1].keep_doc
+    assert not out.loc[2].keep_doc
+    assert not out.loc[3].keep_doc
+    assert not out.loc[4].keep_doc and out.loc[4].n_kept_lines == 1
