@@ -221,13 +221,17 @@ def _run_part(mode: str):
                 # force full evaluation without driver transfer
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
-                # release this query's localCheckpoint blocks: they are
-                # freed only when the Python DataFrame refs die and the
-                # ContextCleaner runs — accumulated blocks from earlier
-                # queries measurably evict/slow later checkpoint-heavy
-                # ones (minhash 1.7s -> 11.7s observed late in suite)
+                # release this query's localCheckpoint blocks: the Python
+                # gc drops the py4j refs, but the JVM-side ContextCleaner
+                # only drains its WeakReference queue on a JVM GC — which
+                # an idle driver heap may not run for many queries, so
+                # blocks from every prior checkpoint-heavy query pile up
+                # and evict/stall later ones (measured: dedup_paragraphs
+                # 6.1s late in the 40-query suite vs 1.15s with the
+                # System.gc() nudge, 1.26s fresh).
                 del df
                 gc.collect()
+                spark.sparkContext._jvm.System.gc()
             queries[name] = round(best, 3)
             total_ops += best
         result["ops_suite_sec"] = round(total_ops, 3)
