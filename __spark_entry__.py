@@ -859,6 +859,52 @@ def _events_range_join(spark, sf):
     ).select("click_id", "click_ts", "window_id")
 
 
+def _events_pivot(spark, sf):
+    """PIVOT: per-day event-type counts as columns (one aggregation
+    pass; Spark computes the pivot in a single shuffle over day)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    p = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "day",
+        F.coalesce("view", F.lit(0)).cast("bigint").alias("n_view"),
+        F.coalesce("click", F.lit(0)).cast("bigint").alias("n_click"),
+        F.coalesce("purchase", F.lit(0)).cast("bigint").alias("n_purchase"),
+    )
+
+
+def _json_extract(spark, sf):
+    """Semi-structured path: synthesize a JSON payload per doc, parse it
+    with from_json, and explode the nested tag array. The oracle does
+    NOT parse JSON — it derives the same rows from the synthesis rule,
+    so this checks OUR parse against ground truth."""
+    d = _docs(spark, sf)
+    js = F.concat(
+        F.lit('{"doc": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "tags": ["t'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('", "u'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('"]}'),
+    )
+    parsed = d.select(
+        F.from_json(
+            js, "struct<doc:bigint,lang:string,tags:array<string>>"
+        ).alias("p")
+    )
+    return parsed.select(
+        F.col("p.doc").alias("doc"),
+        F.col("p.lang").alias("lang"),
+        F.explode("p.tags").alias("tag"),
+    )
+
+
 def _events_topk_per_type(spark, sf):
     from pyspark.sql.window import Window
 
@@ -1044,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / windows (free on Spark; parity breadth)
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
+        "events_pivot": _events_pivot,
+        "json_extract": _json_extract,
         "events_topk_per_type": _events_topk_per_type,
         "events_asof_join": _events_asof_join,
         "events_range_join": _events_range_join,
@@ -1598,6 +1646,22 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "events_pivot": """
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                     AS n_view,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                     AS n_click,
+                   CAST(count(*) FILTER (event_type = 'purchase')
+                        AS BIGINT) AS n_purchase
+            FROM events GROUP BY day
+        """,
+        "json_extract": """
+            SELECT doc_id AS doc, lang,
+                   unnest(['t' || CAST(doc_id % 5 AS VARCHAR),
+                           'u' || CAST(doc_id % 3 AS VARCHAR)]) AS tag
+            FROM documents
         """,
         "events_topk_per_type": """
             SELECT event_type,

@@ -111,6 +111,8 @@ OP_QUERIES = [
     "multimodal_features",
     "translate_pipeline",
     "events_hourly",
+    "events_pivot",
+    "json_extract",
     "events_sessionize",
     "events_topk_per_type",
     "q1_pricing_summary",
