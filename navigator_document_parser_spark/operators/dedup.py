@@ -132,7 +132,6 @@ def minhash_dedup_pairs(
         cache pressure costs more than recompute.
     """
 
-    rows_per_band = num_hashes // bands
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh")
     )
@@ -156,35 +155,15 @@ def minhash_dedup_pairs(
     sh = sh.filter(F.size("sh") > 0)
 
     # Band keys built directly from per-hash minima: each min-expression
-    # appears exactly once. Composing element_at() over a computed sig
-    # array instead duplicates the whole signature expression per band
-    # element after Catalyst's CollapseProject — and higher-order
-    # functions are interpreted (no codegen), so that duplication
-    # multiplied the shingle-hash work ~rows_per_band*bands times
-    # (measured 10x on 500 docs).
-    def min_hash(h: int) -> Column:
-        def hasher(prefix: str):
-            # single-arg lambda only: F.transform treats 2-arg lambdas as
-            # (element, index)
-            return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-        return F.array_min(F.transform(F.col("sh"), hasher(f"{h}:")))
-
+    # appears exactly once (composing element_at() over a computed sig
+    # array instead re-inlines the whole signature per band element
+    # after CollapseProject — measured 10x on 500 docs). The shared
+    # construction lives in band_keys_from_shingles so snapshot/stream
+    # dedup and the SQL oracles stay bit-identical with this operator.
     sigs = sh.select(
         "id",
-        F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            min_hash(b * rows_per_band + r)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                )
-                for b in range(bands)
-            ]
+        band_keys_from_shingles(
+            F.col("sh"), num_hashes, bands
         ).alias("band_keys"),
     )
     exploded = sigs.select("id", F.posexplode("band_keys").alias("band", "key"))

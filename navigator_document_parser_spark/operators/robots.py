@@ -34,7 +34,6 @@ from typing import Iterator, List, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 Rule = Tuple[str, str, str]  # (agent, rule_type, path_prefix)
 
@@ -44,9 +43,10 @@ def parse_robots_txt(content: str) -> List[Rule]:
 
     Grammar per the de-facto standard: records are groups of
     ``User-agent`` lines followed by rule lines; a rule line belongs to
-    every agent of its group; ``#`` starts a comment; field names are
-    case-insensitive; an empty Disallow value means "allow everything"
-    and yields no rule row.
+    every agent of its group (a rule line before any ``User-agent`` is
+    outside every group and ignored, per REP); ``#`` starts a comment;
+    field names are case-insensitive; an empty Disallow value means
+    "allow everything" and yields no rule row.
     """
     rules: List[Rule] = []
     agents: List[str] = []
@@ -65,9 +65,11 @@ def parse_robots_txt(content: str) -> List[Rule]:
             agents.append(value.lower())
         elif field in ("allow", "disallow"):
             seen_rule_in_group = True
+            if not agents:
+                continue  # rule outside any User-agent group: ignored (REP)
             if not value:
                 continue  # empty Disallow: == allow all: no rule row
-            for a in agents or ["*"]:
+            for a in agents:
                 rules.append((a, field, value))
     return rules
 
@@ -113,10 +115,24 @@ def robots_filter(
 ) -> DataFrame:
     """Flag each URL row allowed/blocked under ``agent``'s rules.
 
+    REP group selection: for each HOST, the agent-specific group applies
+    when one exists; otherwise the host's '*' group applies (a specific
+    agent never mixes with the wildcard group).
+
     Returns (id_col, host, path, allowed, match_len) where match_len is
     the winning rule's prefix length (0 = no rule matched).
     """
-    r = rules.filter(F.col("agent") == agent.lower()).select(
+    al = agent.lower()
+    specific = rules.filter(F.col("agent") == al)
+    if al == "*":
+        effective = specific
+    else:
+        star = rules.filter(F.col("agent") == "*")
+        hosts_specific = specific.select(host_col).dropDuplicates()
+        effective = specific.unionByName(
+            star.join(hosts_specific, host_col, "left_anti")
+        )
+    r = effective.select(
         F.col(host_col).alias("_rhost"),
         "rule_type",
         "path_prefix",
@@ -165,17 +181,25 @@ def oracle_robots_filter(
     vals = ", ".join(
         f"('{h}', '{a}', '{t}', '{p}')" for h, a, t, p in rules
     )
+    al = agent.lower()
     return f"""
         WITH rules(host, agent, rule_type, path_prefix) AS (
           VALUES {vals}
+        ), spec AS (
+          SELECT * FROM rules WHERE agent = '{al}'
+        ), eff AS (
+          SELECT * FROM spec
+          UNION ALL
+          SELECT * FROM rules r
+          WHERE r.agent = '*' AND '{al}' <> '*'
+            AND r.host NOT IN (SELECT host FROM spec)
         ), urls AS ({url_rows_sql}
         ), cand AS (
           SELECT u.{id_col}, u.host, u.path,
                  r.rule_type, length(r.path_prefix) AS plen
           FROM urls u
-          LEFT JOIN rules r
+          LEFT JOIN eff r
             ON u.host = r.host
-           AND r.agent = '{agent.lower()}'
            AND prefix(u.path, r.path_prefix)
         ), ranked AS (
           SELECT *, row_number() OVER (

@@ -19,9 +19,12 @@ Both the Spark side and the DuckDB oracle are pure projections built
 from the same split/regexp steps — no UDF, no shuffle; at 100 TB this
 is a map-only stage that fuses into whole-stage codegen above the scan.
 
-Limitation (documented, not hit by well-formed crawl URLs): the query
+Limitations (documented, not hit by well-formed crawl URLs): the query
 string is taken as everything after the FIRST '?'; a literal '?' inside
-a query value is treated as part of the query.
+a query value is treated as part of the query. Scheme-less and
+protocol-relative ('//host/path') inputs are handled — the host still
+resolves and blocklists apply — with the canonical form emitted without
+a scheme prefix.
 """
 
 from __future__ import annotations
@@ -62,10 +65,16 @@ def with_canonical_url(
     )
     d = d.withColumn("_base", base).withColumn("_qs", qs)
     sparts = F.split(F.col("_base"), "://", 2)
-    scheme = F.lower(F.element_at(sparts, 1))
-    hostpath = F.when(
-        F.size(sparts) > 1, F.element_at(sparts, 2)
-    ).otherwise(F.lit(""))
+    has_scheme = F.size(sparts) > 1
+    # scheme-less and protocol-relative ('//host/path') URLs are common
+    # in crawl link data: treat the whole string (minus a leading '//')
+    # as host+path so the domain still resolves and blocklists apply
+    scheme = F.when(has_scheme, F.lower(F.element_at(sparts, 1))).otherwise(
+        F.lit("")
+    )
+    hostpath = F.when(has_scheme, F.element_at(sparts, 2)).otherwise(
+        F.regexp_replace(F.col("_base"), "^//", "")
+    )
     d = d.withColumn("_scheme", scheme).withColumn("_hostpath", hostpath)
     host = F.lower(F.regexp_extract(F.col("_hostpath"), "^[^/]*", 0))
     path = F.expr("substring(_hostpath, length(regexp_extract(_hostpath, '^[^/]*', 0)) + 1)")
@@ -92,8 +101,10 @@ def with_canonical_url(
         .withColumn("_kept_q", kept_q)
     )
     canonical = F.concat(
-        F.col("_scheme"),
-        F.lit("://"),
+        F.when(
+            F.length("_scheme") > 0,
+            F.concat(F.col("_scheme"), F.lit("://")),
+        ).otherwise(F.lit("")),
         F.col("_host_c"),
         F.col("_path_c"),
         F.when(
@@ -168,9 +179,12 @@ def oracle_filter_urls(
           FROM s1
         ), s3 AS (
           SELECT doc_id, qs,
-                 lower(string_split(base, '://')[1]) AS scheme,
                  CASE WHEN length(string_split(base, '://')) > 1
-                      THEN string_split(base, '://')[2] ELSE '' END
+                      THEN lower(string_split(base, '://')[1])
+                      ELSE '' END AS scheme,
+                 CASE WHEN length(string_split(base, '://')) > 1
+                      THEN string_split(base, '://')[2]
+                      ELSE regexp_replace(base, '^//', '') END
                    AS hostpath
           FROM s2
         ), s4 AS (
@@ -193,7 +207,8 @@ def oracle_filter_urls(
           FROM s4
         ), s6 AS (
           SELECT doc_id,
-                 scheme || '://' || host_c || path_c ||
+                 CASE WHEN length(scheme) > 0 THEN scheme || '://'
+                      ELSE '' END || host_c || path_c ||
                  CASE WHEN length(kept_q) > 0 THEN '?' || kept_q
                       ELSE '' END AS url_canonical,
                  regexp_replace(regexp_replace(host_c, '^www\\.', ''),

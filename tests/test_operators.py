@@ -1074,6 +1074,8 @@ def test_url_canonicalize_and_blocklist(spark):
         (3, "http://blocked.net/"),
         (4, "https://sub.deep.blocked.net/y"),
         (5, "https://notblocked.net/ok?gclid=1"),
+        (6, "blocked.net/x"),             # scheme-less crawl link
+        (7, "//Sub.Blocked.NET/y#z"),     # protocol-relative
     ]
     df = spark.createDataFrame(rows, ["doc_id", "url"])
     out = (
@@ -1090,10 +1092,16 @@ def test_url_canonicalize_and_blocklist(spark):
     # non-default port survives in the url but not the domain
     assert out.loc[2].url_canonical == "https://ads.blocked.net:8080/x?q=1"
     assert out.loc[2].domain == "ads.blocked.net"
-    # suffix semantics: exact, subdomain, deep subdomain all blocked
-    assert list(out.blocked) == [False, False, True, True, True, False]
+    # suffix semantics: exact, subdomain, deep subdomain all blocked —
+    # including scheme-less and protocol-relative forms
+    assert list(out.blocked) == [False, False, True, True, True, False,
+                                 True, True]
     # bare-host trailing slash: path collapses to empty
     assert out.loc[3].url_canonical == "http://blocked.net"
+    assert out.loc[6].url_canonical == "blocked.net/x"
+    assert out.loc[6].domain == "blocked.net"
+    assert out.loc[7].url_canonical == "sub.blocked.net/y"
+    assert out.loc[7].domain == "sub.blocked.net"
 
 
 def test_lm_rarity_flags_offdistribution_doc(spark):
@@ -1356,3 +1364,42 @@ def test_c4_filters_line_and_doc_rules(spark):
     assert not out.loc[2].keep_doc
     assert not out.loc[3].keep_doc
     assert not out.loc[4].keep_doc and out.loc[4].n_kept_lines == 1
+
+
+def test_robots_filter_agent_wildcard_fallback(spark):
+    """A specific agent obeys the host's '*' group when no
+    agent-specific group exists, and NEVER mixes the two groups; rules
+    outside any User-agent group are ignored."""
+    from navigator_document_parser_spark.operators.robots import (
+        parse_robots_txt,
+        robots_filter,
+    )
+
+    # group-less leading rule must be dropped entirely
+    assert parse_robots_txt("Disallow: /\nUser-agent: *\nDisallow: /x/") \
+        == [("*", "disallow", "/x/")]
+
+    rules = spark.createDataFrame(
+        [
+            ("a.net", "*", "disallow", "/x/"),
+            ("b.net", "*", "disallow", "/"),
+            ("b.net", "googlebot", "disallow", "/g/"),
+        ],
+        ["host", "agent", "rule_type", "path_prefix"],
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "a.net", "/x/page"),   # '*' group applies via fallback
+            (2, "b.net", "/y"),        # googlebot group exists: '/' rule
+                                       # from '*' must NOT leak in
+            (3, "b.net", "/g/page"),   # googlebot's own rule
+        ],
+        ["doc_id", "host", "path"],
+    )
+    out = (
+        robots_filter(urls, rules, agent="googlebot")
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert not out.loc[1].allowed            # fell back to a.net's '*'
+    assert bool(out.loc[2].allowed)          # '*' block did not leak
+    assert not out.loc[3].allowed

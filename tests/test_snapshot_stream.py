@@ -37,6 +37,7 @@ def _new_crawl(docs):
 
 def test_snapshot_stream_matches_batch(spark):
     base = tempfile.mkdtemp(prefix="ndps-snapstream-")
+    old = new = None
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
     committed_dir = os.path.join(base, "committed")
@@ -92,5 +93,7 @@ def test_snapshot_stream_matches_batch(spark):
         assert (got.near_dup & ~got.exact_dup).any()
     finally:
         shutil.rmtree(base, ignore_errors=True)
-        old.unpersist()
-        new.unpersist()
+        if old is not None:
+            old.unpersist()
+        if new is not None:
+            new.unpersist()

@@ -16,11 +16,20 @@ from tools.check_contract import TABLES, value_hash  # noqa: E402
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--sf")]
     sf_dir = "/root/testdata/sf0.01"
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf":
+            i += 1
+            sf_dir = argv[i]
+        else:
+            args.append(a)
+        i += 1
 
     import __spark_entry__ as E
     from navigator_document_parser_spark.config import build_spark
@@ -33,6 +42,9 @@ def main():
 
     qs, oracles = E.queries(), E.oracle_sql()
     rc = 0
+    unknown = [n for n in args if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries {unknown}; known: {sorted(qs)}")
     for name in args:
         t0 = time.time()
         sdf = qs[name](spark, sf_dir).toPandas()
