@@ -859,6 +859,61 @@ def _events_range_join(spark, sf):
     ).select("click_id", "click_ts", "window_id")
 
 
+def _events_funnel(spark, sf):
+    """Temporal conversion funnel per user: first view, first click AT
+    OR AFTER that view, first purchase at or after that click, and the
+    stage reached (0-3). Three conditional aggregations all keyed on
+    user_id — one hash partitioning carried through."""
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    c = (
+        e.join(v, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).alias("first_click")
+        )
+    )
+    p = (
+        e.join(c, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).alias("first_purchase")
+        )
+    )
+    out = v.join(c, "user_id").join(p, "user_id")
+    stage = (
+        F.when(F.col("first_purchase").isNotNull(), 3)
+        .when(F.col("first_click").isNotNull(), 2)
+        .when(F.col("first_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return out.select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        stage.cast("bigint").alias("stage"),
+    )
+
+
 def _events_pivot(spark, sf):
     """PIVOT: per-day event-type counts as columns (one aggregation
     pass; Spark computes the pivot in a single shuffle over day)."""
@@ -1090,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / windows (free on Spark; parity breadth)
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
+        "events_funnel": _events_funnel,
         "events_pivot": _events_pivot,
         "json_extract": _json_extract,
         "events_topk_per_type": _events_topk_per_type,
@@ -1646,6 +1702,32 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "events_funnel": """
+            WITH v AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END)
+                       AS first_view
+              FROM events GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'click'
+                              AND e.ts >= v.first_view THEN e.ts END)
+                       AS first_click
+              FROM events e JOIN v USING (user_id) GROUP BY e.user_id
+            ), p AS (
+              SELECT e.user_id,
+                     min(CASE WHEN e.event_type = 'purchase'
+                              AND e.ts >= c.first_click THEN e.ts END)
+                       AS first_purchase
+              FROM events e JOIN c USING (user_id) GROUP BY e.user_id
+            )
+            SELECT user_id, first_view, first_click, first_purchase,
+                   CAST(CASE WHEN first_purchase IS NOT NULL THEN 3
+                        WHEN first_click IS NOT NULL THEN 2
+                        WHEN first_view IS NOT NULL THEN 1
+                        ELSE 0 END AS BIGINT) AS stage
+            FROM v JOIN c USING (user_id) JOIN p USING (user_id)
         """,
         "events_pivot": """
             SELECT date_trunc('day', ts) AS day,

@@ -112,6 +112,7 @@ OP_QUERIES = [
     "translate_pipeline",
     "events_hourly",
     "events_pivot",
+    "events_funnel",
     "json_extract",
     "events_sessionize",
     "events_topk_per_type",
