@@ -859,6 +859,30 @@ def _events_range_join(spark, sf):
     ).select("click_id", "click_ts", "window_id")
 
 
+def _events_retention(spark, sf):
+    """Weekly cohort retention: users grouped by the week of their first
+    event, counted in each subsequent week they were active. Two
+    aggregations and a join, all keyed on user_id."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).dropDuplicates(["user_id", "active_week"])
+    j = active.join(first, "user_id")
+    return (
+        j.groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week"))
+                / 7
+            ).cast("bigint").alias("week_n"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def _events_funnel(spark, sf):
     """Temporal conversion funnel per user: first view, first click AT
     OR AFTER that view, first purchase at or after that click, and the
@@ -1146,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
         "events_funnel": _events_funnel,
+        "events_retention": _events_retention,
         "events_pivot": _events_pivot,
         "json_extract": _json_extract,
         "events_topk_per_type": _events_topk_per_type,
@@ -1702,6 +1727,22 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c
             ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "events_retention": """
+            WITH first AS (
+              SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+              FROM events GROUP BY user_id
+            ), active AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts)
+                       AS active_week
+              FROM events
+            )
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.active_week)
+                        // 7 AS BIGINT) AS week_n,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM active a JOIN first f USING (user_id)
+            GROUP BY f.cohort_week, week_n
         """,
         "events_funnel": """
             WITH v AS (

@@ -113,6 +113,7 @@ OP_QUERIES = [
     "events_hourly",
     "events_pivot",
     "events_funnel",
+    "events_retention",
     "json_extract",
     "events_sessionize",
     "events_topk_per_type",
