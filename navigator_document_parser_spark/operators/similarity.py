@@ -521,6 +521,7 @@ def embedding_neardup_pairs(
     block_col: str | None = "label",
     dim: int | None = None,
     n_planes: int = 8,
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked to avoid N^2.
 
@@ -529,6 +530,18 @@ def embedding_neardup_pairs(
     (requires ``dim``). There is deliberately no unblocked path — an
     unconstrained self-join is exactly the N^2 this operator exists to
     avoid.
+
+    Within a block the pair scoring is ONE Arrow pandas group with a
+    numpy gram matmul (CLAUDE.md lesson 11): the previous blocked
+    equi-join paid 3 interpreted HOF folds per PAIR (~76M lambda evals
+    at sf0.1; no codegen for higher-order array functions), the matmul
+    pays one BLAS gemm per block (~25M flops). The UDF emits raw
+    doubles with a conservative prefilter (threshold - 1e-4, wider than
+    the 4dp half-step of 5e-5); the exact ``round(sim, 4) >= threshold``
+    gate stays Spark-side so the oracle comparison semantics are
+    unchanged. Memory per task is bounded by chunk_rows x block_size
+    doubles regardless of block size; the only shuffle is the groupBy
+    on the block key.
     """
     if block_col is None:
         if dim is None:
@@ -538,18 +551,52 @@ def embedding_neardup_pairs(
         blk = lsh_bucket(vec_col, dim, n_planes)  # str: one-call parse
     else:
         blk = F.col(block_col)
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     base = embeddings.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+        F.col(vec_col).cast("array<double>").alias("v"),
         blk.alias("blk"),
     )
-    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
-    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "blk")
+    lo = float(threshold) - 1e-4
+    chunk = int(chunk_rows)
+
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim_raw": []})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        frames = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            denom = norms[s:e, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom == 0.0, 0.0, (x[s:e] @ x.T) / denom)
+            mask = (ids[s:e, None] < ids[None, :]) & (sim >= lo)
+            ra, rb = np.nonzero(mask)
+            if len(ra):
+                frames.append(pd.DataFrame({
+                    "id_a": ids[s + ra],
+                    "id_b": ids[rb],
+                    "sim_raw": sim[ra, rb],
+                }))
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        base.groupBy("blk")
+        .applyInPandas(
+            block_pairs,
+            schema=f"id_a {id_type}, id_b {id_type}, sim_raw double",
+        )
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim")
+            "id_a", "id_b", F.round(F.col("sim_raw"), 4).alias("sim")
         )
         .filter(F.col("sim") >= threshold)
     )
