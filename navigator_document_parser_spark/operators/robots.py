@@ -178,8 +178,11 @@ def oracle_robots_filter(
     """DuckDB SQL computing exactly robots_filter() for a literal rule
     list [(host, agent, rule_type, path_prefix)] over ``url_rows_sql``
     (a query producing (doc_id, host, path))."""
+    from navigator_document_parser_spark.operators import sql_quote
+
     vals = ", ".join(
-        f"('{h}', '{a}', '{t}', '{p}')" for h, a, t, p in rules
+        f"({sql_quote(h)}, {sql_quote(a)}, {sql_quote(t)}, {sql_quote(p)})"
+        for h, a, t, p in rules
     )
     al = agent.lower()
     return f"""

@@ -131,11 +131,13 @@ def oracle_keyword_search(
     k: int = 10,
 ) -> str:
     """DuckDB SQL computing exactly keyword_search() (integer math only)."""
+    from navigator_document_parser_spark.operators import sql_quote
+
     vals = []
     for qid, terms in queries:
         distinct = sorted(set(terms))
         for t in distinct:
-            vals.append(f"({int(qid)}, '{t}', {len(distinct)})")
+            vals.append(f"({int(qid)}, {sql_quote(t)}, {len(distinct)})")
     values = ", ".join(vals)
     return f"""
         WITH q(query_id, term, n_terms) AS (VALUES {values}),

@@ -1203,13 +1203,15 @@ def c4_filters(
     """The C4 cleaning heuristics over newline-delimited lines:
 
       line level — keep a line only if it ends in terminal punctuation
-      (./!/?/") and has >= ``min_line_words`` words;
+      (./!/?/", tested on the rtrim'd line, as the paper's heuristic
+      operates on stripped lines) and has >= ``min_line_words`` words;
       document level — drop the whole document if it mentions
       "lorem ipsum", contains a curly brace (code leakage), or any
       blocklisted word; require >= ``min_kept_lines`` surviving lines.
 
-    Terminal punctuation is tested with right(line, 1) set membership
-    (not a regex) so the DuckDB oracle is trivially identical.
+    Terminal punctuation is tested with right(rtrim(line), 1) set
+    membership (not a regex) so the DuckDB oracle is trivially
+    identical.
 
     100 TB shape: pure per-document projection (HOF line filter +
     scalar contains checks), zero shuffle; the line array is
@@ -1225,7 +1227,7 @@ def c4_filters(
     ).localCheckpoint(eager=True)
 
     def line_ok(line):
-        last = F.substring(line, -1, 1)
+        last = F.substring(F.rtrim(line), -1, 1)
         ok = last.isin(".", "!", "?", '"')
         words = F.size(F.split(F.trim(line), r"\s+"))
         return ok & (words >= min_line_words)
@@ -1263,11 +1265,13 @@ def oracle_c4_filters(
     """``prelude_cte``, when given, must be a complete leading WITH
     clause body (e.g. "WITH synth AS (...)") — the oracle continues it
     with its own CTEs and reads from ``table``."""
+    from navigator_document_parser_spark.operators import sql_quote
+
     bad = " OR ".join(
-        f"contains(lower(text), '{w}')" for w in bad_words
+        f"contains(lower(text), {sql_quote(w)})" for w in bad_words
     )
     keep_line = (
-        "right(l, 1) IN ('.', '!', '?', '\"') AND "
+        "right(rtrim(l), 1) IN ('.', '!', '?', '\"') AND "
         f"length(string_split_regex(trim(l), '\\s+')) >= {min_line_words}"
     )
     head = f"{prelude_cte}, base AS (" if prelude_cte else "WITH base AS ("

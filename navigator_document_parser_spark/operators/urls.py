@@ -156,7 +156,9 @@ def oracle_filter_urls(
     """DuckDB SQL computing exactly filter_urls() over ``url_expr``
     (an SQL expression producing the raw url), returning
     (doc_id, url_canonical, domain, blocked)."""
-    keep = "length(p) > 0 AND substring(p, 1, 4) <> 'utm_'"
+    keep = "length(p) > 0"
+    for pref in TRACKING_PREFIXES:
+        keep += f" AND substring(p, 1, {len(pref)}) <> '{pref}'"
     for name in TRACKING_PARAMS:
         keep += (
             f" AND substring(p, 1, {len(name) + 1}) <> '{name}='"

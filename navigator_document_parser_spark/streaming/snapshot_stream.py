@@ -12,12 +12,16 @@ side.
 Join shapes (all stateless, all supported stream-static forms):
   - exact:  stream LEFT OUTER equi-join on md5(text) against the
     committed distinct content hashes; matched rows flag exact_dup.
-  - near:   one LEFT OUTER equi-join PER LSH BAND on that band's key
-    column against the committed band-key set. Band keys are computed
-    column-wise (band_keys_from_shingles — the exact batch/oracle
-    construction), NOT via posexplode: exploding the stream side would
-    need a stateful per-doc re-aggregation to get back to one row per
-    page; per-band column joins stay 1-row-in/1-row-out.
+  - near:   one LEFT OUTER equi-join PER LSH BAND on (band_idx, key)
+    against a SINGLE committed (band_idx, key) projection. Stream-side
+    band keys are computed column-wise (band_keys_from_shingles — the
+    exact batch/oracle construction), NOT via posexplode: exploding the
+    stream side would need a stateful per-doc re-aggregation to get
+    back to one row per page; per-band column joins stay
+    1-row-in/1-row-out. The committed side IS posexploded — once — so
+    all band branches share one byte-identical subtree and
+    ReuseExchange evaluates the committed shingle+banding work once per
+    micro-batch, not once per band.
 
 100 TB shape: the committed side is the big side; each per-band join is
 a plain equi-join the planner shuffles or broadcasts per micro-batch as
@@ -53,8 +57,27 @@ def flag_against_snapshot(
     old_h = old_p.select("h").dropDuplicates(["h"]).withColumn(
         "_e", F.lit(True)
     )
-    old_bk = old_p.filter(F.size("sh") > 0).select(
-        band_keys_from_shingles(F.col("sh"), num_hashes, bands).alias("bk")
+    # ONE committed-side projection for ALL bands: posexplode the band
+    # keys and fold the band index INTO the key string ("b:md5..."), so
+    # every per-band join below hits this SAME band-agnostic subtree —
+    # only the stream-side probe expression differs. A separate
+    # band_idx equi-column does NOT work: the literal band index
+    # constant-folds into a per-branch `band_idx = b` filter pushed
+    # below the exchange, recreating one full shingle+banding subtree
+    # per band. With the prefixed key the exchanges are byte-identical
+    # and ReuseExchange evaluates the committed banding work once per
+    # micro-batch (plan-shape pinned in tests/test_snapshot_stream.py).
+    old_keys = (
+        old_p.filter(F.size("sh") > 0)
+        .select(
+            F.posexplode(
+                band_keys_from_shingles(F.col("sh"), num_hashes, bands)
+            ).alias("band_idx", "k")
+        )
+        .select(
+            F.concat_ws(":", F.col("band_idx"), F.col("k")).alias("k")
+        )
+        .dropDuplicates(["k"])
     )
 
     s = stream_df.withColumn("_h", F.md5(F.col(text_col))).withColumn(
@@ -67,17 +90,17 @@ def flag_against_snapshot(
 
     near = F.lit(False)
     for b in range(bands):
-        static_b = (
-            old_bk.select(F.col("bk")[b].alias(f"_k{b}"))
-            .dropDuplicates([f"_k{b}"])
-            .withColumn(f"_m{b}", F.lit(True))
+        s = (
+            s.join(
+                old_keys,
+                F.concat_ws(":", F.lit(b), F.col("_bk")[b])
+                == F.col("k"),
+                "left",
+            )
+            .withColumn(f"_m{b}", F.col("k").isNotNull())
+            .drop("k")
         )
-        s = s.join(
-            static_b,
-            F.col("_bk")[b] == F.col(f"_k{b}"),
-            "left",
-        )
-        near = near | F.coalesce(F.col(f"_m{b}"), F.lit(False))
+        near = near | F.col(f"_m{b}")
 
     exact = F.coalesce(F.col("_e"), F.lit(False))
     near = (F.size("_sh") > 0) & near

@@ -35,6 +35,34 @@ def _new_crawl(docs):
     )
 
 
+def test_snapshot_flagging_reuses_committed_banding(spark):
+    """Plan shape: all per-band joins must share ONE committed
+    (band-prefixed key) subtree via ReusedExchange — re-deriving the
+    committed shingle+banding per band is the r3 ADVICE finding. The
+    band index is folded into the key string; a separate band_idx
+    equi-column constant-folds into per-branch filters and defeats
+    reuse."""
+    from navigator_document_parser_spark.streaming.snapshot_stream import (
+        flag_against_snapshot,
+    )
+
+    bands = 4
+    old = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            F.concat(F.lit("u"), F.col("doc_id")).alias("url"), "text"
+        )
+    )
+    new = old.withColumn("text", F.concat(F.col("text"), F.lit(" y")))
+    out = flag_against_snapshot(
+        new, old, id_col="url", num_hashes=8, bands=bands
+    )
+    out.collect()  # finalize the adaptive plan ON THIS DataFrame
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= bands - 1, plan[:2000]
+
+
 def test_snapshot_stream_matches_batch(spark):
     base = tempfile.mkdtemp(prefix="ndps-snapstream-")
     old = new = None
