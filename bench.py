@@ -73,6 +73,10 @@ def run_extraction_bench(spark, n_docs: int) -> tuple[float, int]:
 # NOTE: dedup_simhash_pairs is contract-checked at sf0.01 but excluded
 # here: the 16-bit signature saturates by design at 20k docs (the 64-bit
 # variant is the scale path; see operators/dedup.py simhash docstring).
+# knn_ivf_fullprobe is likewise excluded: it runs the identical IVF
+# machinery as knn_ivf (timed below) with n_probe=n_centroids — it
+# exists as the hash-checkable correctness twin, not a distinct
+# workload.
 OP_QUERIES = [
     "text_metrics",
     "token_stats",
@@ -94,6 +98,7 @@ OP_QUERIES = [
     "budget_select",
     "mix_rebalance",
     "importance_select",
+    "pagerank_hosts",
     "corpus_report",
     "dedup_exact",
     "dedup_incremental",
@@ -122,15 +127,24 @@ OP_QUERIES = [
 ]
 
 
+# queries per fresh JVM: the r3 suite ran all 45 queries in ONE child
+# and unchanged trivial queries drifted 20-60% vs the 24-query r2 suite
+# (heap/code-cache churn accumulates across a long suite even with the
+# per-query System.gc() nudge — CLAUDE.md findings 10/14). Small batches
+# keep every query's JVM state comparable round over round; the ~6s
+# session startup per batch is untimed parent-side setup.
+OP_BATCH = 12
+
+
 def main():
-    """Parent process: run the op suite and the extraction headline in
-    SEPARATE child processes (fresh JVM each) and merge their JSON.
+    """Parent process: run the op suite in small fresh-JVM batches and
+    the extraction headline in its own child, then merge their JSON.
 
     Measured interference when sharing one JVM: whichever part runs
     second inherits the first part's heap/Arrow churn and pays one-off
     multi-second GC stalls (14-32s observed on the shingle-checkpoint
     queries; ~25% on extraction) — isolation reports each part's honest
-    steady state, exactly what two separate production jobs would see.
+    steady state, exactly what separate production jobs would see.
     """
     import subprocess
     import sys as _sys
@@ -139,8 +153,12 @@ def main():
     if mode:
         return _run_part(mode)
 
+    parts = [
+        f"ops:{i}:{min(i + OP_BATCH, len(OP_QUERIES))}"
+        for i in range(0, len(OP_QUERIES), OP_BATCH)
+    ] + ["extract"]
     merged: dict | None = None
-    for part in ("ops", "extract"):
+    for part in parts:
         env = dict(os.environ, SPARK_GRAFT_BENCH_MODE=part)
         out = subprocess.run(
             [_sys.executable, os.path.abspath(__file__)],
@@ -162,9 +180,11 @@ def main():
                       "extracted_text_bytes"):
                 if k in payload:
                     merged[k] = payload[k]
-            merged["ops_suite_sec"] = merged.get(
-                "ops_suite_sec", payload.get("ops_suite_sec", 0.0)
-            )
+            if "ops_suite_sec" in payload:
+                merged["ops_suite_sec"] = round(
+                    merged.get("ops_suite_sec", 0.0)
+                    + payload["ops_suite_sec"], 3
+                )
     print(json.dumps(merged))
 
 
@@ -208,15 +228,19 @@ def _run_part(mode: str):
         "cpus": cpus,
     }
 
-    if mode == "ops":
+    if mode.startswith("ops"):
         # best-of-2 per query: the first run pays plan compile + codegen
         # + Python-worker fork; the second is the steady state a
         # long-running cluster job sees.
         import gc
 
+        lo, hi = 0, len(OP_QUERIES)
+        if ":" in mode:
+            _, a, b = mode.split(":")
+            lo, hi = int(a), int(b)
         qs = E.queries()
         total_ops = 0.0
-        for name in OP_QUERIES:
+        for name in OP_QUERIES[lo:hi]:
             fn = qs[name]
             best = float("inf")
             for _ in range(2):
