@@ -661,6 +661,33 @@ def _corpus_report(spark, sf):
     )
 
 
+def _split_sentences(spark, sf):
+    """Regex sentence segmentation (mark-then-split so the RE2-based
+    oracle matches exactly) — zero-shuffle generate+projection
+    (operators/text.py split_sentences). The synth corpus carries no
+    punctuation, so the entry inserts a period after every 5th word
+    (identically in the oracle via a derived-table expression — the
+    _pii_scrub augmentation pattern) to exercise real fan-out."""
+    d = _docs(spark, sf).withColumn(
+        "text",
+        F.concat(
+            F.regexp_replace(
+                F.col("text"), r"((\S+ ){4}\S+) ", "$1. "
+            ),
+            F.lit("."),
+        ),
+    )
+    return T.split_sentences(d)
+
+
+_SENTENCE_SYNTH_TABLE = """(
+  SELECT doc_id,
+         regexp_replace(text, '((\\S+ ){4}\\S+) ', '\\1. ', 'g') || '.'
+           AS text
+  FROM documents
+) synth"""
+
+
 def _pagerank_hosts(spark, sf):
     """Weighted PageRank over a deterministic host link graph derived
     from the documents table: src = the doc's source host (every source
@@ -809,6 +836,20 @@ def _knn_cosine(spark, sf):
 
 def _embedding_neardup(spark, sf):
     return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)
+
+
+def _semdedup(spark, sf):
+    """SemDeDup-style semantic dedup over the embeddings table:
+    md5-deterministic centroids (oracle-expressible; swap in ivf_train
+    for production), per-cluster cosine pruning, first-occurrence
+    keeps (operators/similarity.py semdedup)."""
+    from navigator_document_parser_spark.operators.similarity import (
+        semdedup,
+    )
+
+    return semdedup(
+        _emb(spark, sf), dim=64, n_clusters=8, threshold=0.35
+    )
 
 
 def _quantize_embeddings(spark, sf):
@@ -1297,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _c4_filters,                  # C4 heuristic cleaning
         "importance_select": _importance_select,    # DSIR-style selection
         "pagerank_hosts": _pagerank_hosts,          # host link-graph rank
+        "split_sentences": _split_sentences,        # sentence segmentation
         "chunk_windows": _chunk_windows,            # RAG overlap chunking
         "corpus_report": _corpus_report,            # ROLLUP grouping sets
         "corpus_sample": _corpus_sample,            # stratified hash sample
@@ -1321,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _knn_lsh,                # oracle: deterministic planes
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,    # == brute force
         "embedding_neardup": _embedding_neardup,
+        "semdedup": _semdedup,                      # semantic cluster dedup
         "quantize_embeddings": _quantize_embeddings,
         "multimodal_features": _multimodal_features,  # oracle: python VALUES
         "multimodal_frames": _multimodal_frames,      # oracle: python VALUES
@@ -1989,4 +2032,14 @@ def oracle_sql() -> dict[str, str]:
     # shares the exact knn_cosine oracle
     oracles["knn_ivf_fullprobe"] = oracles["knn_cosine"]
     oracles["pagerank_hosts"] = _pagerank_hosts_oracle_sql()
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_semdedup,
+    )
+
+    oracles["semdedup"] = oracle_semdedup(
+        dim=64, n_clusters=8, threshold=0.35
+    )
+    oracles["split_sentences"] = T.oracle_split_sentences(
+        table=_SENTENCE_SYNTH_TABLE
+    )
     return oracles

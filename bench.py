@@ -95,6 +95,7 @@ OP_QUERIES = [
     "url_filter",
     "robots_filter",
     "chunk_windows",
+    "split_sentences",
     "budget_select",
     "mix_rebalance",
     "importance_select",
@@ -113,6 +114,7 @@ OP_QUERIES = [
     "knn_lsh",
     "knn_ivf",
     "embedding_neardup",
+    "semdedup",
     "multimodal_features",
     "translate_pipeline",
     "events_hourly",

@@ -513,6 +513,119 @@ def quantize_embeddings(
     )
 
 
+def semdedup(
+    embeddings: DataFrame,
+    dim: int,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): assign every embedding to its nearest centroid, then
+    within each cluster drop any item whose cosine similarity (4dp) to
+    a LOWER-id cluster-mate meets the threshold — the first occurrence
+    survives (the paper keeps one representative per semantic
+    duplicate group; lowest-id-wins is the deterministic pick).
+
+    Centroids here are md5-derived unit vectors (_hyperplane — the
+    same determinism trick as the LSH planes), so cluster assignment
+    and therefore the WHOLE operator is expressible in the DuckDB
+    oracle; a trained k-means (ivf_train) drops in for production use
+    without touching the shape. Ties in the argmax break toward the
+    smallest cid exactly like _probe_udf's stable argsort.
+
+    Scale shape: assignment is a zero-shuffle Arrow matmul projection;
+    the pair stage is embedding_neardup_pairs blocked on cluster_id
+    (chunked per-block gram matmul, ONE groupBy shuffle); the drop
+    rule is a left join against the distinct dropped-id set (AQE
+    broadcasts it when small). No all-pairs path exists.
+
+    Returns (vec_id, cluster_id, keep).
+    """
+    cents = [
+        _unit(_hyperplane(dim, c, seed)) for c in range(n_clusters)
+    ]
+    nearest = _probe_udf(cents, 1)
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(nearest(F.col(vec_col)), 1).alias("cluster_id"),
+    )
+    pairs = embedding_neardup_pairs(
+        assigned,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cluster_id",
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .dropDuplicates([id_col])
+        .withColumn("_d", F.lit(True))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        id_col, "cluster_id", F.col("_d").isNull().alias("keep")
+    )
+
+
+def oracle_semdedup(
+    dim: int,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    seed: int = 7,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB SQL computing exactly semdedup(): centroid scores as
+    explicit left-associated dot-product sums over the SAME md5 unit
+    vectors (repr(float) round-trips exactly), first-wins argmax as a
+    `s_c >= greatest(later scores)` CASE ladder (matches numpy's
+    stable argsort tie-break), pair test via 4dp-rounded
+    list_cosine_similarity like the embedding_neardup oracle."""
+    cents = [
+        _unit(_hyperplane(dim, c, seed)) for c in range(n_clusters)
+    ]
+
+    def dot_sql(c: list[float]) -> str:
+        terms = " + ".join(
+            f"v[{d + 1}]*({c[d]!r})" for d in range(dim)
+        )
+        return f"(0.0 + {terms})"
+
+    scores = ", ".join(
+        f"{dot_sql(c)} AS s{i}" for i, c in enumerate(cents)
+    )
+    ladder = " ".join(
+        f"WHEN s{c} >= greatest("
+        + ", ".join(f"s{j}" for j in range(c + 1, n_clusters))
+        + f") THEN {c + 1}"
+        for c in range(n_clusters - 1)
+    )
+    return f"""
+        WITH v AS (
+          SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS v
+          FROM {table}
+        ), sc AS (
+          SELECT vec_id, v, {scores} FROM v
+        ), a AS (
+          SELECT vec_id, v,
+                 CASE {ladder} ELSE {n_clusters} END AS cid
+          FROM sc
+        ), f AS (
+          SELECT a1.vec_id FROM a a1 JOIN a a2
+            ON a1.cid = a2.cid AND a2.vec_id < a1.vec_id
+          WHERE round(list_cosine_similarity(a1.v, a2.v), 4)
+                >= {float(threshold)!r}
+        )
+        SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster_id,
+               a.vec_id NOT IN (SELECT vec_id FROM f) AS keep
+        FROM a
+    """
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

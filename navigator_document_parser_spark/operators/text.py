@@ -1111,6 +1111,73 @@ def oracle_lm_rarity(
 
 # ---- overlapping window chunking (RAG / retrieval prep) --------------------
 
+def split_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence segmentation: terminal punctuation (./!/?) followed by
+    whitespace ends a sentence. Implemented as mark-then-split — a
+    regexp_replace inserts a \\x01 marker after the punctuation, then a
+    split on the marker — because lookbehind is unavailable in
+    RE2-based engines (DuckDB), and the identical two-step runs on both
+    sides so the oracle is exact. The abbreviation weakness ("e.g. x"
+    splits) is the documented cost of a dictionary-free heuristic.
+
+    sent_idx is the RAW split position (0-based); empty/whitespace
+    segments are filtered AFTER indexing, so the whole operator is a
+    zero-shuffle generate+projection — no window, no re-numbering
+    shuffle. Returns (doc_id, sent_idx, sentence, n_words, n_chars).
+    """
+    marked = F.regexp_replace(
+        F.col(text_col), r"([.!?])\s+", "$1\x01"
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(marked, "\x01")).alias(
+            "sent_idx", "sentence"
+        ),
+    )
+    return out.filter(F.length(F.trim(F.col("sentence"))) > 0).select(
+        "doc_id",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "sentence",
+        F.size(F.split(F.trim(F.col("sentence")), r"\s+"))
+        .cast("bigint")
+        .alias("n_words"),
+        F.length("sentence").cast("bigint").alias("n_chars"),
+    )
+
+
+def oracle_split_sentences(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing exactly split_sentences() — the same
+    mark-then-split regex steps (RE2-compatible, no lookbehind)."""
+    return f"""
+        WITH m AS (
+          SELECT {id_col} AS doc_id,
+                 regexp_replace({text_col}, '([.!?])\\s+',
+                                '\\1' || chr(1), 'g') AS t
+          FROM {table}
+        ), l AS (
+          SELECT doc_id, string_split(t, chr(1)) AS arr FROM m
+        ), p AS (
+          SELECT doc_id, arr,
+                 unnest(generate_series(1, length(arr))) AS i
+          FROM l
+        )
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+               arr[i] AS sentence,
+               CAST(length(string_split_regex(trim(arr[i]), '\\s+'))
+                    AS BIGINT) AS n_words,
+               CAST(length(arr[i]) AS BIGINT) AS n_chars
+        FROM p WHERE length(trim(arr[i])) > 0
+    """
+
+
 def chunk_windows(
     df: DataFrame,
     id_col: str = "doc_id",

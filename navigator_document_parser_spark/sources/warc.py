@@ -365,3 +365,54 @@ def write_wat(
         rec = head + b"\r\n" + body + b"\r\n\r\n"
         out += gzip.compress(rec) if gzip_members else rec
     return out
+
+
+# ---------------------------------------------------------------------------
+# CDX index shards (the fourth Common-Crawl artifact, next to WARC/WET/WAT)
+# ---------------------------------------------------------------------------
+
+# CDXJ line format (cc-index): `urlkey SP timestamp14 SP json`, e.g.
+#   org,example)/path 20240101120000 {"url": "...", "mime": "text/html",
+#   "status": "200", "digest": "...", "length": "1234", "offset": "56",
+#   "filename": "crawl-data/.../x.warc.gz"}
+# The index is how production pipelines PLAN a crawl read (dedup by
+# digest, select by mime/status, locate the byte range in the WARC
+# shard) without touching the archives themselves.
+CDX_JSON_SCHEMA = (
+    "url string, mime string, status string, digest string, "
+    "length string, offset string, filename string"
+)
+
+
+def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
+    """*.cdx / cdx-*.gz index shards -> one row per crawled capture:
+    (urlkey, warc_ts, url, mime, status, digest, length, offset,
+    filename).
+
+    Unlike the WARC/WET/WAT readers (binary framing -> mapInPandas),
+    CDX is line-oriented, so the parse is PURE BUILT-INS — text source
+    (gzip decoded by the codec), split-limit-3, from_json, try_casts —
+    and the whole row path stays in WholeStageCodegen with zero Python.
+    Malformed lines degrade to null columns (try_* under ANSI mode),
+    never exceptions — the ingestion-boundary never-fail rule.
+    """
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path_glob).filter(
+        F.length(F.trim(F.col("value"))) > 0
+    )
+    parts = F.split(F.col("value"), " ", 3)
+    j = F.from_json(F.element_at(parts, 3), CDX_JSON_SCHEMA)
+    return lines.select(
+        F.element_at(parts, 1).alias("urlkey"),
+        F.try_to_timestamp(
+            F.element_at(parts, 2), F.lit("yyyyMMddHHmmss")
+        ).alias("warc_ts"),
+        j["url"].alias("url"),
+        j["mime"].alias("mime"),
+        j["status"].try_cast("int").alias("status"),
+        j["digest"].alias("digest"),
+        j["length"].try_cast("bigint").alias("length"),
+        j["offset"].try_cast("bigint").alias("offset"),
+        j["filename"].alias("filename"),
+    )

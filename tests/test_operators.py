@@ -1403,3 +1403,77 @@ def test_robots_filter_agent_wildcard_fallback(spark):
     assert not out.loc[1].allowed            # fell back to a.net's '*'
     assert bool(out.loc[2].allowed)          # '*' block did not leak
     assert not out.loc[3].allowed
+
+
+def test_semdedup_invariants(spark):
+    """Assignment matches brute-force nearest-centroid; within a
+    cluster no kept item is >= threshold-similar to a lower-id kept-or-
+    dropped item; every dropped item HAS such a lower-id witness."""
+    import math
+
+    from navigator_document_parser_spark.operators.similarity import (
+        _hyperplane,
+        _unit,
+        semdedup,
+    )
+
+    emb = load(spark, "embeddings")
+    thr = 0.35
+    out = semdedup(emb, dim=64, n_clusters=8, threshold=thr)
+    got = {r["vec_id"]: r for r in out.collect()}
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert set(got) == set(vecs)
+
+    cents = [_unit(_hyperplane(64, c, 7)) for c in range(8)]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cos(a, b):
+        na = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+        return 0.0 if na == 0 else round(dot(a, b) / na, 4)
+
+    clusters: dict[int, list[int]] = {}
+    for vid, r in got.items():
+        scores = [dot(vecs[vid], c) for c in cents]
+        best = max(range(8), key=lambda i: (scores[i], -i)) + 1
+        assert r["cluster_id"] == best, vid
+        clusters.setdefault(best, []).append(vid)
+
+    for cid, vids in clusters.items():
+        for b in vids:
+            witnesses = [
+                a for a in vids
+                if a < b and cos(vecs[a], vecs[b]) >= thr
+            ]
+            assert got[b]["keep"] == (not witnesses), (cid, b)
+
+
+def test_split_sentences_truth(spark):
+    from navigator_document_parser_spark.operators.text import (
+        split_sentences,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two. Three four!   Five?\nSix."),
+            (2, "   "),          # whitespace-only: no rows
+            (3, "no terminal punctuation at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        split_sentences(df).collect(),
+        key=lambda r: (r["doc_id"], r["sent_idx"]),
+    )
+    got = [(r["doc_id"], r["sent_idx"], r["sentence"], r["n_words"])
+           for r in rows]
+    # doc 1: '?\n' splits (\s covers newline); trailing 'Six.' keeps
+    # its final period since no whitespace follows
+    assert got == [
+        (1, 0, "One two.", 2),
+        (1, 1, "Three four!", 2),
+        (1, 2, "Five?", 1),
+        (1, 3, "Six.", 1),
+        (3, 0, "no terminal punctuation at all", 5),
+    ]

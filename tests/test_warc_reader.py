@@ -240,3 +240,48 @@ def test_wat_reader_and_host_link_graph(spark):
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_read_cdx(spark):
+    """CDXJ index shards parse via pure built-ins: good lines fully
+    typed, malformed lines degrade to null columns (never-throw under
+    ANSI mode), gzip shards decode in the text source."""
+    import gzip
+    import os
+    import shutil
+    import tempfile
+
+    from navigator_document_parser_spark.sources.warc import read_cdx
+
+    base = tempfile.mkdtemp(prefix="ndps-cdx-")
+    try:
+        good = (
+            'org,example)/x 20240101120000 {"url": '
+            '"https://example.org/x", "mime": "text/html", "status": '
+            '"200", "digest": "AAAA", "length": "1234", "offset": '
+            '"56", "filename": "crawl/a.warc.gz"}'
+        )
+        nojson = "org,example)/y 20240202000000 not-json-at-all"
+        badts = (
+            'org,example)/z notadate {"url": "https://example.org/z", '
+            '"status": "30x"}'
+        )
+        with gzip.open(os.path.join(base, "cdx-00000.gz"), "wt") as f:
+            f.write(good + "\n\n" + nojson + "\n" + badts + "\n")
+
+        rows = {r["urlkey"] or f"row{i}": r
+                for i, r in enumerate(read_cdx(
+                    spark, base + "/cdx-*.gz").collect())}
+        assert len(rows) == 3  # blank line dropped, bad lines kept
+        g = rows["org,example)/x"]
+        assert g["url"] == "https://example.org/x"
+        assert g["status"] == 200 and g["length"] == 1234
+        assert g["offset"] == 56 and g["digest"] == "AAAA"
+        assert g["warc_ts"].year == 2024
+        assert rows["org,example)/y"]["url"] is None  # bad JSON -> nulls
+        z = rows["org,example)/z"]
+        assert z["warc_ts"] is None  # bad timestamp -> null, not throw
+        assert z["status"] is None   # non-numeric status -> null
+        assert z["url"] == "https://example.org/z"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
