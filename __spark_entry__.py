@@ -880,18 +880,18 @@ def _knn_lsh(spark, sf):
 
 def _knn_ivf(spark, sf):
     """IVF coarse-quantizer ANN (rows-only: iterative k-means is not a
-    single SQL statement; recall is pytest-checked vs brute force)."""
+    single SQL statement; recall is pytest-checked vs brute force).
+    r4: trains on a bounded md5-ordered driver sample (FAISS-style,
+    operators/similarity.py ivf_train_sampled) — 2 Spark jobs total
+    instead of 2 + iterations; distributed Lloyd (ivf_train) remains
+    available and parity-tested."""
     from navigator_document_parser_spark.operators.similarity import (
-        ivf_train,
+        ivf_train_sampled,
         knn_ivf,
     )
 
-    # deliberately NO checkpoint: each pass re-scans the (tiny, pruned)
-    # parquet — measured faster AND stabler than materializing blocks
-    # (8.5/5.3/2.9s ckpt vs 3.1/2.8/2.9s re-scan; block-manager reads
-    # beat only when the upstream is expensive, which a scan is not)
     emb = _emb(spark, sf)
-    cents = ivf_train(emb, n_centroids=16, iterations=2)
+    cents = ivf_train_sampled(emb, n_centroids=16)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -907,14 +907,16 @@ def _knn_ivf_fullprobe(spark, sf):
     test_operators.py) — which makes the IVF machinery (k-means||
     training, vectorized cell assignment, per-cell candidate join)
     hash-checkable against the knn_cosine oracle while the approximate
-    n_probe < n_centroids query stays rows-only (VERDICT r3 #6)."""
+    n_probe < n_centroids query stays rows-only (VERDICT r3 #6).
+    Full-probe equality holds for ANY centroid set, so the r4 switch
+    to sample-trained centroids cannot affect this oracle."""
     from navigator_document_parser_spark.operators.similarity import (
-        ivf_train,
+        ivf_train_sampled,
         knn_ivf,
     )
 
     emb = _emb(spark, sf)
-    cents = ivf_train(emb, n_centroids=16, iterations=2)
+    cents = ivf_train_sampled(emb, n_centroids=16)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

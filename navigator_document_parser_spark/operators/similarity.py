@@ -414,6 +414,83 @@ def ivf_train(
     )
 
 
+def ivf_train_sampled(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 4096,
+    iterations: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-9,
+) -> DataFrame:
+    """IVF coarse quantizer trained on a bounded driver sample — the
+    production IVF shape (FAISS trains its quantizer on a sample, not
+    the corpus): ONE Spark job collects a deterministic md5-ordered
+    sample (TakeOrdered — no full sort, O(sample_size) driver memory
+    at ANY corpus scale), then Lloyd's k-means runs locally in numpy
+    at BLAS speed, where 20 iterations cost milliseconds instead of 20
+    driver-round-trip jobs.
+
+    vs ivf_train (distributed Lloyd, kept for exact-parity tests and
+    for the corner where even a sample shouldn't leave the executors):
+    2 jobs total instead of 2 + iterations, and the centroid quality
+    is BETTER because local iterations are free — the classic
+    job-latency-vs-data-motion trade resolved the right way for a
+    coarse quantizer whose training set never needs to exceed ~100k
+    vectors. Seeding: farthest-first from the sample head, same
+    maximin rule as _seed_centroids. Deterministic (md5 order, no RNG
+    state). Returns (cid, centroid array<double>), cid in
+    [1, n_centroids].
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(F.md5(F.col("vid").cast("string")), F.col("vid"))
+        .limit(int(sample_size))
+        .collect()
+    )
+    x = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    k = min(int(n_centroids), n)
+
+    # farthest-first seeding on the (already md5-shuffled) sample
+    norms = np.sqrt((x * x).sum(axis=1))
+    safe = np.where(norms == 0.0, 1.0, norms)
+    xu = x / safe[:, None]
+    seeds = [0]
+    sims = xu @ xu[0]  # cosine to nearest chosen seed
+    for _ in range(1, k):
+        nxt = int(np.argmin(sims))
+        seeds.append(nxt)
+        sims = np.maximum(sims, xu @ xu[nxt])
+    cents = x[seeds].copy()
+
+    for _ in range(int(iterations)):
+        cu = cents / np.where(
+            (cn := np.sqrt((cents * cents).sum(axis=1))) == 0.0, 1.0, cn
+        )[:, None]
+        assign = np.argmax(xu @ cu.T, axis=1)
+        new = cents.copy()  # empty clusters keep position
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        moved = float(np.abs(new - cents).max())
+        cents = new
+        if moved <= tol:
+            break
+
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, [float(v) for v in c]) for i, c in enumerate(cents)],
+        schema="cid int, centroid array<double>",
+    )
+
+
 def knn_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
