@@ -416,3 +416,52 @@ def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
         j["offset"].try_cast("bigint").alias("offset"),
         j["filename"].alias("filename"),
     )
+
+
+def cdx_fetch_plan(
+    cdx: DataFrame,
+    committed: DataFrame | None = None,
+    statuses: tuple = (200,),
+    mime_prefixes: tuple = ("text/html",),
+) -> DataFrame:
+    """Turn a CDX index into the work list an incremental crawl job
+    should actually fetch: keep wanted statuses/mime types, keep ONE
+    capture per content digest (Common Crawl stores identical content
+    under many URLs — first by (warc_ts, urlkey) wins, via a map-side-
+    combinable min-struct aggregate, never a window over the digest:
+    hot digests can't stall a partition), then drop captures already
+    committed in the sink (left anti-join on the sink identity key
+    (url, warc_ts)).
+
+    Index-driven planning touches ZERO archive bytes: at 100 TB the
+    index is ~1/1000 the corpus size, and this whole plan is one
+    filter + one hash aggregate + one anti-join — the same
+    prune-before-compute discipline as sink.prune_extraction_input.
+    """
+    from pyspark.sql import functions as F
+
+    mime_ok = F.lit(False)
+    for p in mime_prefixes:
+        mime_ok = mime_ok | F.col("mime").startswith(p)
+    f = cdx.filter(
+        F.col("status").isin(list(statuses))
+        & mime_ok
+        & F.col("digest").isNotNull()
+        & F.col("warc_ts").isNotNull()
+    )
+    first = f.groupBy("digest").agg(
+        F.min(
+            F.struct(
+                "warc_ts", "urlkey", "url", "mime", "status",
+                "length", "offset", "filename",
+            )
+        ).alias("w")
+    )
+    plan = first.select("digest", "w.*")
+    if committed is not None:
+        plan = plan.join(
+            committed.select("url", "warc_ts"),
+            ["url", "warc_ts"],
+            "left_anti",
+        )
+    return plan

@@ -285,3 +285,48 @@ def test_read_cdx(spark):
         assert z["url"] == "https://example.org/z"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cdx_fetch_plan(spark):
+    """Digest dedup keeps the earliest capture, status/mime filters
+    apply, and already-committed (url, warc_ts) pairs are pruned."""
+    from pyspark.sql import functions as F
+
+    from navigator_document_parser_spark.sources.warc import (
+        cdx_fetch_plan,
+    )
+
+    cdx = spark.createDataFrame(
+        [
+            # digest D1 captured twice: the 0102 capture wins (earlier)
+            ("k/a", "2024-01-02 00:00:00", "https://a/x", "text/html",
+             200, "D1", 10, 0, "f1"),
+            ("k/b", "2024-01-03 00:00:00", "https://b/x", "text/html",
+             200, "D1", 10, 0, "f2"),
+            # wrong status / wrong mime / null digest all drop
+            ("k/c", "2024-01-01 00:00:00", "https://c/x", "text/html",
+             404, "D2", 10, 0, "f3"),
+            ("k/d", "2024-01-01 00:00:00", "https://d/x", "image/png",
+             200, "D3", 10, 0, "f4"),
+            ("k/e", "2024-01-01 00:00:00", "https://e/x", "text/html",
+             200, None, 10, 0, "f5"),
+            # D4 is new and survives; D5 is already committed
+            ("k/f", "2024-01-05 00:00:00", "https://f/x", "text/html",
+             200, "D4", 10, 0, "f6"),
+            ("k/g", "2024-01-06 00:00:00", "https://g/x", "text/html",
+             200, "D5", 10, 0, "f7"),
+        ],
+        "urlkey string, warc_ts string, url string, mime string, "
+        "status int, digest string, length long, offset long, "
+        "filename string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    committed = spark.createDataFrame(
+        [("https://g/x", "2024-01-06 00:00:00")],
+        "url string, warc_ts string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    plan = {r["digest"]: r for r in
+            cdx_fetch_plan(cdx, committed).collect()}
+    assert set(plan) == {"D1", "D4"}
+    assert plan["D1"]["url"] == "https://a/x"  # earliest capture won
+    assert plan["D1"]["filename"] == "f1"
