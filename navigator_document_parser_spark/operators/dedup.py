@@ -742,7 +742,7 @@ def band_keys_from_shingles(
     On an EMPTY shingle array every band key degrades to md5('') —
     callers must filter size(sh) > 0 first (see minhash_dedup_pairs'
     hot-bucket note)."""
-    if bands <= 0 or num_hashes % bands:
+    if num_hashes <= 0 or bands <= 0 or num_hashes % bands:
         # silent truncation here would degrade LSH recall invisibly in
         # every caller (batch, snapshot, and streaming paths share this)
         raise ValueError(

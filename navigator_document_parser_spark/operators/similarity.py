@@ -625,11 +625,15 @@ def semdedup(
         _unit(_hyperplane(dim, c, seed)) for c in range(n_clusters)
     ]
     nearest = _probe_udf(cents, 1)
+    # eager barrier: `assigned` feeds BOTH the pairs groupBy branch and
+    # the final left join (different partitionings — ReuseExchange
+    # cannot fire), so without it the corpus scan + assignment matmul
+    # run twice (CLAUDE.md lesson 7; found in review)
     assigned = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         F.element_at(nearest(F.col(vec_col)), 1).alias("cluster_id"),
-    )
+    ).localCheckpoint(eager=True)
     pairs = embedding_neardup_pairs(
         assigned,
         threshold=threshold,
@@ -729,9 +733,16 @@ def embedding_neardup_pairs(
     doubles with a conservative prefilter (threshold - 1e-4, wider than
     the 4dp half-step of 5e-5); the exact ``round(sim, 4) >= threshold``
     gate stays Spark-side so the oracle comparison semantics are
-    unchanged. Memory per task is bounded by chunk_rows x block_size
-    doubles regardless of block size; the only shuffle is the groupBy
-    on the block key.
+    unchanged. The only shuffle is the groupBy on the block key.
+
+    Memory: chunking bounds the GRAM matrix at chunk_rows x block_size
+    doubles, but applyInPandas materializes each whole block (ids +
+    vectors) in one task before chunking — per-task memory is
+    O(block_size x dim). Blocking columns must therefore have bounded
+    group sizes (labels/clusters/LSH buckets at sane n_planes); for a
+    corpus with pathological hot blocks, salt the block key into
+    sub-blocks and union the cross-salt pairs — do NOT feed an
+    unbounded-cardinality block through this operator.
     """
     if block_col is None:
         if dim is None:

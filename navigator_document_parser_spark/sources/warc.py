@@ -402,11 +402,14 @@ def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
         F.length(F.trim(F.col("value"))) > 0
     )
     parts = F.split(F.col("value"), " ", 3)
-    j = F.from_json(F.element_at(parts, 3), CDX_JSON_SCHEMA)
+    # try_element_at, not element_at: under ANSI mode element_at
+    # THROWS on a <3-token line (one truncated line would kill the
+    # whole ingestion job — found in review, repro'd live)
+    j = F.from_json(F.try_element_at(parts, F.lit(3)), CDX_JSON_SCHEMA)
     return lines.select(
-        F.element_at(parts, 1).alias("urlkey"),
+        F.try_element_at(parts, F.lit(1)).alias("urlkey"),
         F.try_to_timestamp(
-            F.element_at(parts, 2), F.lit("yyyyMMddHHmmss")
+            F.try_element_at(parts, F.lit(2)), F.lit("yyyyMMddHHmmss")
         ).alias("warc_ts"),
         j["url"].alias("url"),
         j["mime"].alias("mime"),

@@ -75,9 +75,13 @@ def flag_against_snapshot(
             ).alias("band_idx", "k")
         )
         .select(
-            F.concat_ws(":", F.col("band_idx"), F.col("k")).alias("k")
+            # underscore-prefixed name: a bare 'k' would capture/collide
+            # with a caller column of the same name (review finding)
+            F.concat_ws(":", F.col("band_idx"), F.col("k")).alias(
+                "_committed_bk"
+            )
         )
-        .dropDuplicates(["k"])
+        .dropDuplicates(["_committed_bk"])
     )
 
     s = stream_df.withColumn("_h", F.md5(F.col(text_col))).withColumn(
@@ -94,11 +98,11 @@ def flag_against_snapshot(
             s.join(
                 old_keys,
                 F.concat_ws(":", F.lit(b), F.col("_bk")[b])
-                == F.col("k"),
+                == F.col("_committed_bk"),
                 "left",
             )
-            .withColumn(f"_m{b}", F.col("k").isNotNull())
-            .drop("k")
+            .withColumn(f"_m{b}", F.col("_committed_bk").isNotNull())
+            .drop("_committed_bk")
         )
         near = near | F.col(f"_m{b}")
 

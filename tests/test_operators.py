@@ -1477,3 +1477,20 @@ def test_split_sentences_truth(spark):
         (1, 3, "Six.", 1),
         (3, 0, "no terminal punctuation at all", 5),
     ]
+
+
+def test_band_keys_param_guard():
+    """bands<=0, num_hashes<=0, or a non-multiple must raise — silent
+    truncation degrades LSH recall invisibly for the batch, snapshot,
+    and streaming callers (ADVICE r3 + review finding: num_hashes=0
+    passed the first guard and produced md5('') for every band)."""
+    import pytest as _pytest
+
+    from navigator_document_parser_spark.operators.dedup import (
+        band_keys_from_shingles,
+    )
+
+    for nh, b in [(0, 2), (-8, 4), (4, 0), (4, -1), (5, 2)]:
+        with _pytest.raises(ValueError):
+            band_keys_from_shingles(F.col("sh"), nh, b)
+    band_keys_from_shingles(F.col("sh"), 8, 4)  # valid: no raise

@@ -262,17 +262,19 @@ def test_read_cdx(spark):
             '"56", "filename": "crawl/a.warc.gz"}'
         )
         nojson = "org,example)/y 20240202000000 not-json-at-all"
+        short = "single-token-line"  # <3 tokens: must not kill the job
         badts = (
             'org,example)/z notadate {"url": "https://example.org/z", '
             '"status": "30x"}'
         )
         with gzip.open(os.path.join(base, "cdx-00000.gz"), "wt") as f:
-            f.write(good + "\n\n" + nojson + "\n" + badts + "\n")
+            f.write(good + "\n\n" + nojson + "\n" + badts + "\n"
+                    + short + "\n")
 
         rows = {r["urlkey"] or f"row{i}": r
                 for i, r in enumerate(read_cdx(
                     spark, base + "/cdx-*.gz").collect())}
-        assert len(rows) == 3  # blank line dropped, bad lines kept
+        assert len(rows) == 4  # blank line dropped, bad lines kept
         g = rows["org,example)/x"]
         assert g["url"] == "https://example.org/x"
         assert g["status"] == 200 and g["length"] == 1234
@@ -283,6 +285,10 @@ def test_read_cdx(spark):
         assert z["warc_ts"] is None  # bad timestamp -> null, not throw
         assert z["status"] is None   # non-numeric status -> null
         assert z["url"] == "https://example.org/z"
+        # truncated line: try_element_at degrades to nulls under ANSI
+        # (element_at would abort the whole job — review finding)
+        t = rows["single-token-line"]
+        assert t["warc_ts"] is None and t["url"] is None
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
