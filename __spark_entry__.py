@@ -661,6 +661,13 @@ def _corpus_report(spark, sf):
     )
 
 
+def _bpe_tokenize(spark, sf):
+    """BPE subword tokenization as a chain of literal replaces over a
+    ';'-suffixed symbol representation — pure codegen, zero shuffle
+    (operators/text.py bpe_tokenize_stats)."""
+    return T.bpe_tokenize_stats(_docs(spark, sf))
+
+
 def _split_sentences(spark, sf):
     """Regex sentence segmentation (mark-then-split so the RE2-based
     oracle matches exactly) — zero-shuffle generate+projection
@@ -1340,8 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "importance_select": _importance_select,    # DSIR-style selection
         "pagerank_hosts": _pagerank_hosts,          # host link-graph rank
         "split_sentences": _split_sentences,        # sentence segmentation
+        "bpe_tokenize": _bpe_tokenize,              # BPE subword stats
         "chunk_windows": _chunk_windows,            # RAG overlap chunking
-        "corpus_sample": _corpus_sample,            # stratified hash sample
         "budget_select": _budget_select,            # per-lang token budget
         "mix_rebalance": _mix_rebalance,            # uniform-lang data mix
         "pack_sequences": _pack_sequences,          # token-budget packing
@@ -1371,11 +1378,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _events_range_join,      # custom range join
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
-        # lang_doc_stats and corpus_report demoted here — plain
-        # groupBy/ROLLUP aggregations — so the custom AS-OF and range
-        # joins sit inside the 50 recorded slots)
+        # lang_doc_stats, corpus_report, and corpus_sample demoted
+        # here — plain aggregation / hash-threshold shapes whose
+        # families stay represented above — so the custom AS-OF and
+        # range joins and the BPE op sit inside the 50 recorded slots)
         "lang_doc_stats": _lang_doc_stats,          # §2.4 aggregation
         "corpus_report": _corpus_report,            # ROLLUP grouping sets
+        "corpus_sample": _corpus_sample,            # stratified hash sample
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
         "events_funnel": _events_funnel,
@@ -2047,4 +2056,5 @@ def oracle_sql() -> dict[str, str]:
     oracles["split_sentences"] = T.oracle_split_sentences(
         table=_SENTENCE_SYNTH_TABLE
     )
+    oracles["bpe_tokenize"] = T.oracle_bpe_tokenize_stats()
     return oracles

@@ -96,6 +96,7 @@ OP_QUERIES = [
     "robots_filter",
     "chunk_windows",
     "split_sentences",
+    "bpe_tokenize",
     "budget_select",
     "mix_rebalance",
     "importance_select",

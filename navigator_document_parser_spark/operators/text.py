@@ -1111,6 +1111,105 @@ def oracle_lm_rarity(
 
 # ---- overlapping window chunking (RAG / retrieval prep) --------------------
 
+# Priority-ordered BPE merge table (classic high-frequency English
+# pairs; a trained vocabulary drops in as the same list). Symbols are
+# the merge CONCATENATIONS — later rules reference earlier outputs.
+DEFAULT_BPE_MERGES: tuple = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("r", "e"), ("e", "r"), ("a", "t"), ("e", "n"), ("e", "s"),
+    ("o", "r"), ("a", "r"), ("a", "l"), ("s", "t"), ("i", "t"),
+    ("o", "u"), ("an", "d"), ("in", "g"), ("t", "o"), ("i", "s"),
+    ("e", "d"), ("l", "e"), ("r", "o"), ("c", "k"),
+)
+
+
+def bpe_tokenize_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: tuple = DEFAULT_BPE_MERGES,
+) -> DataFrame:
+    """Byte-pair-encoding subword tokenization as pure string algebra —
+    no UDF, no loop, no shuffle: the whole pass is codegen.
+
+    BPE-apply = for each merge rule, in priority order, replace every
+    adjacent symbol pair — which is exactly a chain of LITERAL string
+    replaces over a delimited symbol representation. Normalized text
+    ([a-z0-9] + word breaks) becomes one ',x;'-wrapped symbol per char
+    (",h;,e;,l;,l;,o;|,w;...", '|' separating words); merge (a,b) is
+    then replace(",a;,b;" -> ",ab;"). BOTH delimiters are load-bearing:
+    the ';' suffix makes adjacent disjoint matches share zero boundary
+    characters (so one left-to-right non-overlapping replace —
+    identical semantics in Spark and DuckDB — merges every disjoint
+    pair, exactly BPE's apply step), and the ',' prefix anchors symbol
+    STARTS so a needle can never match the tail of a longer symbol
+    (",the;,n;" must not merge as e+n — caught by the reference-BPE
+    pytest). Word breaks '|' contain no symbol characters, so merges
+    cannot cross words.
+
+    Returns (doc_id, n_words, n_subwords, subwords_per_word): the
+    compression diagnostics a tokenizer-aware curation pass filters on
+    (low subwords/word = natural text; high = junk/codes). 100 TB
+    shape: ~24 chained C-speed replaces in one projection, zero
+    shuffle, nothing leaves the JVM.
+    """
+    s = F.lower(F.col(text_col))
+    s = F.regexp_replace(s, "[^a-z0-9 \t\n\r]", " ")
+    s = F.regexp_replace(F.trim(s), r"\s+", "|")
+    s = F.regexp_replace(s, "([a-z0-9])", ",$1;")
+    for a, b in merges:
+        s = F.replace(s, F.lit(f",{a};,{b};"), F.lit(f",{a}{b};"))
+    n_sub = F.length(s) - F.length(F.replace(s, F.lit(";"), F.lit("")))
+    n_words = F.when(F.length(s) == 0, F.lit(0)).otherwise(
+        F.length(s) - F.length(F.replace(s, F.lit("|"), F.lit(""))) + 1
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("bigint").alias("n_words"),
+        n_sub.cast("bigint").alias("n_subwords"),
+        F.when(n_words == 0, F.lit(0.0))
+        .otherwise(F.round(n_sub * 1.0 / n_words, 4))
+        .alias("subwords_per_word"),
+    )
+
+
+def oracle_bpe_tokenize_stats(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    merges: tuple = DEFAULT_BPE_MERGES,
+) -> str:
+    """DuckDB SQL computing exactly bpe_tokenize_stats(): the same
+    normalization regexes ('g' flag — Spark replaces globally by
+    default) and the same literal replace chain (both engines scan
+    left-to-right, non-overlapping, resuming after the match)."""
+    expr = (
+        f"regexp_replace(regexp_replace(trim(regexp_replace("
+        f"lower({text_col}), '[^a-z0-9 \\t\\n\\r]', ' ', 'g')), "
+        f"'\\s+', '|', 'g'), '([a-z0-9])', ',\\1;', 'g')"
+    )
+    for a, b in merges:
+        expr = f"replace({expr}, ',{a};,{b};', ',{a}{b};')"
+    return f"""
+        WITH m AS (
+          SELECT {id_col} AS doc_id, {expr} AS s FROM {table}
+        ), c AS (
+          SELECT doc_id,
+                 CASE WHEN length(s) = 0 THEN 0
+                      ELSE length(s) - length(replace(s, '|', '')) + 1
+                 END AS n_words,
+                 length(s) - length(replace(s, ';', '')) AS n_subwords
+          FROM m
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_subwords AS BIGINT) AS n_subwords,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE round(n_subwords * 1.0 / n_words, 4)
+               END AS subwords_per_word
+        FROM c
+    """
+
+
 def split_sentences(
     df: DataFrame,
     id_col: str = "doc_id",

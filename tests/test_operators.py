@@ -1494,3 +1494,50 @@ def test_band_keys_param_guard():
         with _pytest.raises(ValueError):
             band_keys_from_shingles(F.col("sh"), nh, b)
     band_keys_from_shingles(F.col("sh"), 8, 4)  # valid: no raise
+
+
+def test_bpe_tokenize_matches_reference_bpe(spark):
+    """The chained-replace formulation must equal a classic per-word
+    BPE apply (priority-ordered, merge all disjoint adjacent pairs per
+    rule) implemented independently in Python."""
+    import re
+
+    from navigator_document_parser_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_tokenize_stats,
+    )
+
+    def ref_bpe_word(word):
+        syms = list(word)
+        for a, b in DEFAULT_BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    texts = [
+        (1, "The thing is THAT the thick cat sat"),
+        (2, "ingest reorderandthen 42 stock!!"),
+        (3, "   "),
+        (4, "punct-only: ... !!!"),
+        (5, "aaaa thth erer"),  # adjacent-pair disjointness cases
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bpe_tokenize_stats(df).collect()}
+    for doc_id, text in texts:
+        norm = re.sub(r"[^a-z0-9 \t\n\r]", " ", text.lower())
+        words = norm.split()
+        n_sub = sum(len(ref_bpe_word(w)) for w in words)
+        g = got[doc_id]
+        assert g["n_words"] == len(words), (doc_id, g)
+        assert g["n_subwords"] == n_sub, (doc_id, g)
+        if words:
+            assert abs(
+                g["subwords_per_word"] - round(n_sub / len(words), 4)
+            ) < 1e-9
