@@ -231,7 +231,10 @@ def write_wet(rows: list[tuple[str, str, str]], gzip_members: bool = True) -> by
 # WAT rows are link/metadata records, not documents: one row per page
 # with its outgoing links — the input for link-graph analytics (domain
 # quality scores, crawl prioritization).
-WAT_SCHEMA = "url string, warc_ts timestamp, title string, links array<string>"
+WAT_SCHEMA = (
+    "url string, warc_ts timestamp, title string, "
+    "links array<struct<url:string,text:string>>"
+)
 
 
 def _wat_records_to_rows(blob: bytes) -> list[dict]:
@@ -239,7 +242,7 @@ def _wat_records_to_rows(blob: bytes) -> list[dict]:
 
     WAT wraps a JSON envelope per crawled URI in the same WARC framing
     ('metadata' records). Only the stable, useful subset is projected:
-    page title and outgoing link URLs from
+    page title and outgoing links (url + anchor text) from
     Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.
     Malformed JSON or missing sections degrade to empty values — one
     hostile record never kills the shard task.
@@ -274,8 +277,18 @@ def _wat_records_to_rows(blob: bytes) -> list[dict]:
                 title = t if isinstance(t, str) else None
             raw_links = html_meta.get("Links", [])
             if isinstance(raw_links, list):
+                # anchor text rides as 'text' when the crawler captured
+                # it (CC WAT emits it for <a> links) — a core link-
+                # based quality/ranking signal, so it is projected too
                 links = [
-                    l["url"]
+                    {
+                        "url": l["url"],
+                        "text": (
+                            l["text"]
+                            if isinstance(l.get("text"), str)
+                            else None
+                        ),
+                    }
                     for l in raw_links
                     if isinstance(l, dict) and isinstance(l.get("url"), str)
                 ]
@@ -315,8 +328,8 @@ def host_link_graph(wat: DataFrame) -> DataFrame:
     )
     e = wat.select(
         host(F.col("url")).alias("src_host"),
-        F.explode("links").alias("dst"),
-    ).select("src_host", host(F.col("dst")).alias("dst_host"))
+        F.explode("links").alias("l"),
+    ).select("src_host", host(F.col("l.url")).alias("dst_host"))
     return (
         e.filter(
             (F.col("src_host") != "")
@@ -328,26 +341,83 @@ def host_link_graph(wat: DataFrame) -> DataFrame:
     )
 
 
+def anchor_terms(wat: DataFrame, k: int = 10) -> DataFrame:
+    """Top anchor-text terms pointing AT each host:
+    (dst_host, term, n, rank). Anchor text is what OTHER pages call a
+    page — the classic off-page relevance/quality signal (search
+    engines have ranked on it since the beginning; curation pipelines
+    use it to label/weight domains). Self-host links are excluded so a
+    site cannot vote for itself.
+
+    Plan: explode links -> lower/split anchor text -> ONE hash
+    aggregate on (dst_host, term) with map-side combine -> per-host
+    top-k window over the (already tiny) per-host term counts.
+    Deterministic ties: (n desc, term asc)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    host = lambda c: F.lower(  # noqa: E731
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    terms = (
+        wat.select(
+            host(F.col("url")).alias("src_host"),
+            F.explode("links").alias("l"),
+        )
+        .select(
+            "src_host",
+            host(F.col("l.url")).alias("dst_host"),
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col("l.text"), F.lit(""))),
+                        r"\s+")
+            ).alias("term"),
+        )
+        .filter(
+            (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+            & (F.length("term") > 1)
+        )
+    )
+    counts = terms.groupBy("dst_host", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dst_host", "term", "n", "rank")
+    )
+
+
 def write_wat(
-    rows: list[tuple[str, str, str | None, list[str]]],
+    rows: list[tuple[str, str, str | None, list]],
     gzip_members: bool = True,
 ) -> bytes:
-    """Build WAT bytes from (url, iso_date, title, link_urls) — the test
-    fixture generator (one gzip member per 'metadata' record)."""
+    """Build WAT bytes from (url, iso_date, title, links) — the test
+    fixture generator (one gzip member per 'metadata' record). Each
+    link is a bare url string or a (url, anchor_text) tuple."""
     import json
 
     out = b""
-    for url, date, title, link_urls in rows:
+    for url, date, title, link_entries in rows:
+        link_objs = []
+        for entry in link_entries:
+            if isinstance(entry, tuple):
+                u, txt = entry
+                link_objs.append(
+                    {"path": "A@/href", "url": u, "text": txt}
+                )
+            else:
+                link_objs.append({"path": "A@/href", "url": entry})
         env = {
             "Envelope": {
                 "Payload-Metadata": {
                     "HTTP-Response-Metadata": {
                         "HTML-Metadata": {
                             "Head": {"Title": title},
-                            "Links": [
-                                {"path": "A@/href", "url": u}
-                                for u in link_urls
-                            ],
+                            "Links": link_objs,
                         }
                     }
                 }

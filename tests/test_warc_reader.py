@@ -199,7 +199,8 @@ def test_wat_reader_and_host_link_graph(spark):
     try:
         wat = write_wat([
             ("https://a.example.org/x", "2024-03-01T00:00:00Z", "Page X",
-             ["https://b.example.org/1", "https://b.example.org/2",
+             [("https://b.example.org/1", "best spark guide"),
+              ("https://b.example.org/2", "spark guide"),
               "https://a.example.org/self", "/relative/skipped"]),
             ("https://a.example.org/y", "2024-03-01T00:00:01Z", None,
              ["https://c.example.org/"]),
@@ -223,6 +224,10 @@ def test_wat_reader_and_host_link_graph(spark):
         assert len(rows) == 3
         assert rows["https://a.example.org/x"]["title"] == "Page X"
         assert len(rows["https://a.example.org/x"]["links"]) == 4
+        l0 = rows["https://a.example.org/x"]["links"][0]
+        assert l0["url"] == "https://b.example.org/1"
+        assert l0["text"] == "best spark guide"
+        assert rows["https://a.example.org/x"]["links"][2]["text"] is None
         assert rows["https://a.example.org/y"]["title"] is None
         # hostile JSON: row survives with empty links, task never dies
         assert rows["https://bad.example.org/"]["links"] == []
@@ -237,6 +242,24 @@ def test_wat_reader_and_host_link_graph(spark):
         assert edges == {
             ("a.example.org", "b.example.org"): 2,
             ("a.example.org", "c.example.org"): 1,
+        }
+
+        # anchor-term index: what other hosts call b.example.org
+        from navigator_document_parser_spark.sources.warc import (
+            anchor_terms,
+        )
+
+        at = {
+            (r.dst_host, r.term): (r.n, r.rank)
+            for r in anchor_terms(
+                read_wat(spark, base + "/*.warc.wat.gz"), k=2
+            ).collect()
+        }
+        # 'spark' and 'guide' appear twice; top-2 cut drops 'best';
+        # ties break term-asc so guide ranks before spark
+        assert at == {
+            ("b.example.org", "guide"): (2, 1),
+            ("b.example.org", "spark"): (2, 2),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
