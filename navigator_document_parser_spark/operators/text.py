@@ -1153,9 +1153,13 @@ def bpe_tokenize_stats(
     shape: ~24 chained C-speed replaces in one projection, zero
     shuffle, nothing leaves the JVM.
     """
+    # ONE class for every non-symbol char (punctuation AND whitespace)
+    # -> word break, then strip edge breaks: trim() strips only spaces,
+    # so a trailing \n would otherwise survive as a phantom '|' word
+    # (review finding: 'hello\n' counted 2 words)
     s = F.lower(F.col(text_col))
-    s = F.regexp_replace(s, "[^a-z0-9 \t\n\r]", " ")
-    s = F.regexp_replace(F.trim(s), r"\s+", "|")
+    s = F.regexp_replace(s, "[^a-z0-9]+", "|")
+    s = F.regexp_replace(s, r"^\|+|\|+$", "")
     s = F.regexp_replace(s, "([a-z0-9])", ",$1;")
     for a, b in merges:
         s = F.replace(s, F.lit(f",{a};,{b};"), F.lit(f",{a}{b};"))
@@ -1184,9 +1188,9 @@ def oracle_bpe_tokenize_stats(
     default) and the same literal replace chain (both engines scan
     left-to-right, non-overlapping, resuming after the match)."""
     expr = (
-        f"regexp_replace(regexp_replace(trim(regexp_replace("
-        f"lower({text_col}), '[^a-z0-9 \\t\\n\\r]', ' ', 'g')), "
-        f"'\\s+', '|', 'g'), '([a-z0-9])', ',\\1;', 'g')"
+        f"regexp_replace(regexp_replace(regexp_replace("
+        f"lower({text_col}), '[^a-z0-9]+', '|', 'g'), "
+        f"'^\\|+|\\|+$', '', 'g'), '([a-z0-9])', ',\\1;', 'g')"
     )
     for a, b in merges:
         expr = f"replace({expr}, ',{a};,{b};', ',{a}{b};')"

@@ -315,6 +315,19 @@ def read_wat(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.mapInPandas(parse, schema=WAT_SCHEMA)
 
 
+def _host(c):
+    """scheme://HOST[/:?#...] -> lowercase host ('' when unparseable).
+    ONE definition shared by host_link_graph and anchor_terms — the
+    same URL must bucket to the same host in the link graph and the
+    anchor index (review finding: a diverging copy silently splits
+    host identities between pagerank and anchor_terms)."""
+    from pyspark.sql import functions as F
+
+    return F.lower(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+
+
 def host_link_graph(wat: DataFrame) -> DataFrame:
     """Aggregate WAT link rows into host-level edges:
     (src_host, dst_host, n_links). The standard first step toward
@@ -323,13 +336,10 @@ def host_link_graph(wat: DataFrame) -> DataFrame:
     regex + one hash aggregate (map-side combined)."""
     from pyspark.sql import functions as F
 
-    host = lambda c: F.lower(  # noqa: E731  (scheme://HOST[/:?#...])
-        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
-    )
     e = wat.select(
-        host(F.col("url")).alias("src_host"),
+        _host(F.col("url")).alias("src_host"),
         F.explode("links").alias("l"),
-    ).select("src_host", host(F.col("l.url")).alias("dst_host"))
+    ).select("src_host", _host(F.col("l.url")).alias("dst_host"))
     return (
         e.filter(
             (F.col("src_host") != "")
@@ -356,24 +366,25 @@ def anchor_terms(wat: DataFrame, k: int = 10) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    host = lambda c: F.lower(  # noqa: E731
-        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
-    )
     terms = (
         wat.select(
-            host(F.col("url")).alias("src_host"),
+            _host(F.col("url")).alias("src_host"),
             F.explode("links").alias("l"),
         )
         .select(
             "src_host",
-            host(F.col("l.url")).alias("dst_host"),
+            _host(F.col("l.url")).alias("dst_host"),
             F.explode(
                 F.split(F.lower(F.coalesce(F.col("l.text"), F.lit(""))),
                         r"\s+")
             ).alias("term"),
         )
         .filter(
-            (F.col("dst_host") != "")
+            # src_host != '' matches host_link_graph: an unparseable
+            # source URL must not cast votes (and could self-vote past
+            # the src != dst check otherwise — review finding)
+            (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
             & (F.col("src_host") != F.col("dst_host"))
             & (F.length("term") > 1)
         )

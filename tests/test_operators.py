@@ -1479,7 +1479,7 @@ def test_split_sentences_truth(spark):
     ]
 
 
-def test_band_keys_param_guard():
+def test_band_keys_param_guard(spark):
     """bands<=0, num_hashes<=0, or a non-multiple must raise — silent
     truncation degrades LSH recall invisibly for the batch, snapshot,
     and streaming callers (ADVICE r3 + review finding: num_hashes=0
@@ -1527,12 +1527,14 @@ def test_bpe_tokenize_matches_reference_bpe(spark):
         (3, "   "),
         (4, "punct-only: ... !!!"),
         (5, "aaaa thth erer"),  # adjacent-pair disjointness cases
+        (6, "hello\n"),          # trailing newline: 1 word, not 2
+        (7, "\n\n"),             # whitespace-only: 0 words
+        (8, "\thello world\t"),  # edge tabs: 2 words
     ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     got = {r["doc_id"]: r for r in bpe_tokenize_stats(df).collect()}
     for doc_id, text in texts:
-        norm = re.sub(r"[^a-z0-9 \t\n\r]", " ", text.lower())
-        words = norm.split()
+        words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
         n_sub = sum(len(ref_bpe_word(w)) for w in words)
         g = got[doc_id]
         assert g["n_words"] == len(words), (doc_id, g)
