@@ -1241,13 +1241,15 @@ def split_sentences(
             "sent_idx", "sentence"
         ),
     )
-    return out.filter(F.length(F.trim(F.col("sentence"))) > 0).select(
+    # regexp-trim, not trim(): trim strips only SPACES, so a sentence
+    # starting with \n would pass the emptiness filter and gain a
+    # phantom empty token in the word count (caught by the fuzz test)
+    ws_trim = F.regexp_replace(F.col("sentence"), r"^\s+|\s+$", "")
+    return out.filter(F.length(ws_trim) > 0).select(
         "doc_id",
         F.col("sent_idx").cast("bigint").alias("sent_idx"),
         "sentence",
-        F.size(F.split(F.trim(F.col("sentence")), r"\s+"))
-        .cast("bigint")
-        .alias("n_words"),
+        F.size(F.split(ws_trim, r"\s+")).cast("bigint").alias("n_words"),
         F.length("sentence").cast("bigint").alias("n_chars"),
     )
 
@@ -1274,10 +1276,12 @@ def oracle_split_sentences(
         )
         SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
                arr[i] AS sentence,
-               CAST(length(string_split_regex(trim(arr[i]), '\\s+'))
-                    AS BIGINT) AS n_words,
+               CAST(length(string_split_regex(
+                      regexp_replace(arr[i], '^\\s+|\\s+$', '', 'g'),
+                      '\\s+')) AS BIGINT) AS n_words,
                CAST(length(arr[i]) AS BIGINT) AS n_chars
-        FROM p WHERE length(trim(arr[i])) > 0
+        FROM p
+        WHERE length(regexp_replace(arr[i], '^\\s+|\\s+$', '', 'g')) > 0
     """
 
 

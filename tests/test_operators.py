@@ -1543,3 +1543,65 @@ def test_bpe_tokenize_matches_reference_bpe(spark):
             assert abs(
                 g["subwords_per_word"] - round(n_sub / len(words), 4)
             ) < 1e-9
+
+
+def test_bpe_and_sentences_fuzz_vs_reference(spark):
+    """300 seeded pseudo-random texts (unicode junk, edge whitespace,
+    punctuation runs) through bpe_tokenize_stats and split_sentences in
+    ONE Spark pass each, compared against independent Python
+    references."""
+    import random
+    import re
+
+    from navigator_document_parser_spark.operators.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_tokenize_stats,
+        split_sentences,
+    )
+
+    rng = random.Random(42)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyz0123456789 \t\n\r.!?|;,\"'{}<>à漢"
+    )
+    texts = [
+        (i, "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 80))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def ref_bpe_word(word):
+        syms = list(word)
+        for a, b in DEFAULT_BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r["doc_id"]: r for r in bpe_tokenize_stats(df).collect()}
+    for doc_id, text in texts:
+        words = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        n_sub = sum(len(ref_bpe_word(w)) for w in words)
+        g = got[doc_id]
+        assert g["n_words"] == len(words), (doc_id, repr(text), g)
+        assert g["n_subwords"] == n_sub, (doc_id, repr(text), g)
+
+    srows = {}
+    for r in split_sentences(df).collect():
+        srows.setdefault(r["doc_id"], []).append(
+            (r["sent_idx"], r["sentence"], r["n_words"], r["n_chars"])
+        )
+    for doc_id, text in texts:
+        marked = re.sub(r"([.!?])\s+", "\\1\x01", text)
+        want = [
+            (i, seg, len(seg.strip().split()), len(seg))
+            for i, seg in enumerate(marked.split("\x01"))
+            if seg.strip()
+        ]
+        assert sorted(srows.get(doc_id, [])) == want, (doc_id, repr(text))
