@@ -668,6 +668,37 @@ def _bpe_tokenize(spark, sf):
     return T.bpe_tokenize_stats(_docs(spark, sf))
 
 
+def _domain_quality(spark, sf):
+    """The domain-level curation table a crawl prioritizer consumes:
+    link-graph authority (the pagerank_hosts ranks) joined with
+    per-source content quality aggregates. Composition query — the
+    same edge synthesis and 5 power iterations as pagerank_hosts, plus
+    one groupBy and a broadcast-able 20-row join."""
+    from navigator_document_parser_spark.operators.graph import pagerank
+
+    d = _docs(spark, sf)
+    edges = (
+        d.select(
+            F.col("source").alias("src_host"),
+            F.concat(
+                F.lit("h"), ((F.col("doc_id") * 7 + 3) % 40).cast("string")
+            ).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    ranks = pagerank(edges, iterations=5, checkpoint_every=3).select(
+        "node", F.round(F.col("rank"), 8).alias("rank")
+    )
+    quality = d.groupBy(F.col("source").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    return ranks.join(quality, "node").select(
+        F.col("node").alias("host"), "rank", "n_docs", "avg_chars"
+    )
+
+
 def _split_sentences(spark, sf):
     """Regex sentence segmentation (mark-then-split so the RE2-based
     oracle matches exactly) — zero-shuffle generate+projection
@@ -1332,7 +1363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": _text_metrics,              # M9-adjacent + quality
         "fingerprint_winnow": _fingerprint_winnow,  # rolling-hash winnowing
         "corpus_curation": _corpus_curation,        # composed curation
-        "quality_by_lang": _quality_by_lang,        # exact percentiles
         "token_stats": _token_stats,                # ws + BPE-ish counting
         "quality_filters": _quality_filters,        # Gopher-rule bands
         "repetition_filters": _repetition_filters,  # Gopher A1.3 repetition
@@ -1346,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _c4_filters,                  # C4 heuristic cleaning
         "importance_select": _importance_select,    # DSIR-style selection
         "pagerank_hosts": _pagerank_hosts,          # host link-graph rank
+        "domain_quality": _domain_quality,          # rank x quality join
         "split_sentences": _split_sentences,        # sentence segmentation
         "bpe_tokenize": _bpe_tokenize,              # BPE subword stats
         "chunk_windows": _chunk_windows,            # RAG overlap chunking
@@ -1378,11 +1409,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": _events_range_join,      # custom range join
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
-        # lang_doc_stats, corpus_report, and corpus_sample demoted
+        # lang_doc_stats, quality_by_lang, corpus_report, and
+        # corpus_sample demoted
         # here — plain aggregation / hash-threshold shapes whose
         # families stay represented above — so the custom AS-OF and
         # range joins and the BPE op sit inside the 50 recorded slots)
         "lang_doc_stats": _lang_doc_stats,          # §2.4 aggregation
+        "quality_by_lang": _quality_by_lang,        # exact percentiles
         "corpus_report": _corpus_report,            # ROLLUP grouping sets
         "corpus_sample": _corpus_sample,            # stratified hash sample
         "events_hourly": _events_hourly,
@@ -2057,4 +2090,12 @@ def oracle_sql() -> dict[str, str]:
         table=_SENTENCE_SYNTH_TABLE
     )
     oracles["bpe_tokenize"] = T.oracle_bpe_tokenize_stats()
+    oracles["domain_quality"] = f"""
+        SELECT pr.node AS host, pr.rank, q.n_docs, q.avg_chars
+        FROM ({_pagerank_hosts_oracle_sql()}) pr
+        JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     round(avg(n_chars), 4) AS avg_chars
+              FROM documents GROUP BY source) q
+          ON pr.node = q.source
+    """
     return oracles

@@ -101,6 +101,7 @@ OP_QUERIES = [
     "mix_rebalance",
     "importance_select",
     "pagerank_hosts",
+    "domain_quality",
     "corpus_report",
     "dedup_exact",
     "dedup_incremental",
