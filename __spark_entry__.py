@@ -30,6 +30,7 @@ from navigator_document_parser_spark.operators.dedup import (
     simhash,
 )
 from navigator_document_parser_spark.operators.dedup import (
+    oracle_bloom_snapshot_filter as _oracle_bloom_snapshot_filter,
     oracle_paragraph_dedup as _oracle_paragraph_dedup,
     oracle_snapshot_dedup as _oracle_snapshot_dedup,
 )
@@ -408,6 +409,24 @@ def _dedup_incremental(spark, sf):
         F.expr(_SNAPSHOT_NEW_TEXT_SQL.replace("AS VARCHAR", "AS STRING")),
     )
     return snapshot_dedup(new, old)
+
+
+def _dedup_bloom(spark, sf):
+    """Bloom-prefiltered snapshot dedup: same synthetic new crawl as
+    dedup_incremental, but the committed set is summarized by a
+    broadcastable 64 Kbit Bloom bitmap and the exact verify join only
+    touches bloom-hit rows (operators/dedup.py bloom_snapshot_filter).
+    No false negatives -> exact_dup is bit-identical to a full join."""
+    from navigator_document_parser_spark.operators.dedup import (
+        bloom_snapshot_filter,
+    )
+
+    old = _docs(spark, sf)
+    new = old.withColumn(
+        "text",
+        F.expr(_SNAPSHOT_NEW_TEXT_SQL.replace("AS VARCHAR", "AS STRING")),
+    )
+    return bloom_snapshot_filter(new, old)
 
 
 def _dedup_paragraphs(spark, sf):
@@ -1393,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_incremental": _dedup_incremental,
+        "dedup_bloom": _dedup_bloom,
         "dedup_paragraphs": _dedup_paragraphs,
         "dedup_substring": _dedup_substring,
         "dedup_components": _dedup_components,
@@ -1845,6 +1865,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_JACCARD} >= 0.1
         """,
         "dedup_incremental": _oracle_snapshot_dedup(_SNAPSHOT_NEW_TEXT_SQL),
+        "dedup_bloom": _oracle_bloom_snapshot_filter(_SNAPSHOT_NEW_TEXT_SQL),
         "dedup_paragraphs": _oracle_paragraph_dedup(),
         "dedup_substring": """
             WITH toks AS (

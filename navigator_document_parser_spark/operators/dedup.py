@@ -918,3 +918,215 @@ def oracle_snapshot_dedup(
                 AND nr.doc_id IS NULL) AS keep
         FROM newdoc nd LEFT JOIN near nr USING (doc_id)
     """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter prefiltered snapshot dedup
+# --------------------------------------------------------------------------
+
+def _bloom_pos_sql(j: int, h_expr: str, m_bits: int) -> str:
+    """Bit position j for content hash ``h_expr``: the first 8 hex chars
+    of md5('j:' || h) as a 32-bit integer, mod ``m_bits``. Identical in
+    Spark and DuckDB (the oracle uses CAST('0x'||hex AS BIGINT))."""
+    return (
+        f"cast(conv(substring(md5('{j}:' || {h_expr}), 1, 8), 16, 10) "
+        f"as bigint) % {m_bits}"
+    )
+
+
+def bloom_words(
+    df: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    num_hashes: int = 4,
+    hash_col: str | None = None,
+) -> DataFrame:
+    """Distributed Bloom-filter bitmap over distinct content hashes.
+
+    Returns (word_idx bigint, word bigint): the filter's bit array packed
+    into 32-bit words (stored in BIGINT so shifts never touch the sign
+    bit — portable two's-complement-free math across engines). Built with
+    ONE hash-aggregate shuffle: explode the k=num_hashes bit positions
+    per distinct hash, bit_or the masks per word. Map-side partial
+    aggregation collapses most rows before the exchange, and the result
+    is m_bits/32 rows regardless of corpus size — broadcastable even when
+    the corpus it summarizes is 100 TB.
+
+    Pass ``hash_col`` when the input already carries md5 content hashes
+    (e.g. a materialized committed-snapshot index) to skip re-hashing.
+    """
+    if m_bits <= 0 or num_hashes <= 0:
+        raise ValueError("m_bits and num_hashes must be positive")
+    if hash_col is not None:
+        h = df.select(F.col(hash_col).alias("h")).dropDuplicates(["h"])
+    else:
+        h = df.select(F.md5(F.col(text_col)).alias("h")).dropDuplicates(["h"])
+    pos = h.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_pos_sql(j, "h", m_bits))
+                    for j in range(num_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("m"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(m)").alias("word"))
+    )
+
+
+def bloom_snapshot_filter(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Exact snapshot dedup with a Bloom prefilter — the shuffle-light
+    scale path for new-crawl-vs-committed dedup (complements
+    snapshot_dedup, which pays an equi-join on every new row).
+
+    A Bloom filter has NO false negatives, so restricting the exact
+    content-hash verify join to bloom-hit rows yields *bit-identical*
+    exact_dup semantics to the full join while the join input shrinks to
+    (true dups + false positives) — at a monthly-crawl dup rate of ~25%
+    and fp rate under 1%, the verify join touches ~4x fewer rows, and
+    the committed side is represented by an m_bits/32-row broadcast
+    instead of a shuffled join side.
+
+    100 TB shape: the bitmap is built once per committed snapshot (in
+    production a materialized table, here a plan branch), broadcast to
+    the probe; the probe itself is ONE broadcast join over exploded
+    (id, pos) rows plus a bool_and groupBy whose map-side combine
+    reduces the exchange to one narrow row per new doc. The verify join
+    then shuffles only the bloom-hit slice.
+
+    Returns (doc_id, bloom_hit, exact_dup, false_positive, keep):
+      bloom_hit       filter says "maybe committed"
+      exact_dup       verified: content hash exists in the committed set
+      false_positive  bloom_hit but not actually committed
+      keep            NOT exact_dup (safe: no false negatives)
+    """
+    # the committed hashes feed two branches (bitmap build + verify
+    # join); the eager checkpoint stops the second branch re-running the
+    # committed scan + md5 (CLAUDE.md lessons 3/7)
+    old_h = (
+        old_df.select(F.md5(F.col(text_col)).alias("h"))
+        .dropDuplicates(["h"])
+        .localCheckpoint(eager=True)
+    )
+    words = bloom_words(old_h, m_bits=m_bits, num_hashes=num_hashes,
+                        hash_col="h")
+    new_h = new_df.select(F.col(id_col).alias("id"),
+                          F.md5(F.col(text_col)).alias("h"))
+    probe = (
+        new_h.select(
+            "id",
+            "h",
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos_sql(j, "h", m_bits))
+                        for j in range(num_hashes)
+                    ]
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "id",
+            "h",
+            F.expr("pos div 32").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("m"),
+        )
+        .join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "id",
+            "h",
+            (
+                (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("m")))
+                == F.col("m")
+            ).alias("hit"),
+        )
+        .groupBy("id", "h")
+        .agg(F.expr("bool_and(hit)").alias("bloom_hit"))
+    )
+    verified = (
+        probe.filter(F.col("bloom_hit"))
+        .join(old_h.withColumn("_e", F.lit(True)), "h", "left")
+        .select("id", F.coalesce("_e", F.lit(False)).alias("exact_dup"))
+    )
+    return (
+        probe.join(verified, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "bloom_hit",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            (
+                F.col("bloom_hit")
+                & ~F.coalesce("exact_dup", F.lit(False))
+            ).alias("false_positive"),
+            (~F.coalesce("exact_dup", F.lit(False))).alias("keep"),
+        )
+    )
+
+
+def oracle_bloom_snapshot_filter(
+    new_text_sql: str,
+    id_col: str = "doc_id",
+    table: str = "documents",
+    m_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> str:
+    """DuckDB SQL computing exactly bloom_snapshot_filter() where the new
+    snapshot is ``SELECT doc_id, <new_text_sql> AS text`` over ``table``
+    and the committed snapshot is ``table`` itself. Same md5-derived bit
+    positions, same 32-bit word packing, bit-identical booleans."""
+    js = ", ".join(f"({j})" for j in range(num_hashes))
+
+    def pos(h: str, j: str = "j") -> str:
+        return (
+            f"CAST('0x' || substring(md5(CAST({j} AS VARCHAR) || ':' || {h}),"
+            f" 1, 8) AS BIGINT) % {m_bits}"
+        )
+
+    return f"""
+        WITH newdoc AS (
+          SELECT {id_col} AS doc_id, {new_text_sql} AS text FROM {table}
+        ), nh AS (
+          SELECT doc_id, md5(text) AS h FROM newdoc
+        ), oldh AS (
+          SELECT DISTINCT md5(text) AS h FROM {table}
+        ), js(j) AS (VALUES {js}),
+        opos AS (
+          SELECT DISTINCT {pos('h')} AS pos FROM oldh CROSS JOIN js
+        ), words AS (
+          SELECT pos // 32 AS word_idx,
+                 bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS word
+          FROM opos GROUP BY 1
+        ), npos AS (
+          SELECT doc_id, h, {pos('h')} AS pos FROM nh CROSS JOIN js
+        ), probe AS (
+          SELECT n.doc_id, n.h,
+                 bool_and(
+                   (COALESCE(w.word, 0)
+                    & (1::BIGINT << CAST(n.pos % 32 AS INTEGER)))
+                   = (1::BIGINT << CAST(n.pos % 32 AS INTEGER))
+                 ) AS bloom_hit
+          FROM npos n LEFT JOIN words w ON n.pos // 32 = w.word_idx
+          GROUP BY n.doc_id, n.h
+        )
+        SELECT doc_id,
+               bloom_hit,
+               (bloom_hit AND h IN (SELECT h FROM oldh)) AS exact_dup,
+               (bloom_hit AND h NOT IN (SELECT h FROM oldh))
+                 AS false_positive,
+               NOT (bloom_hit AND h IN (SELECT h FROM oldh)) AS keep
+        FROM probe
+    """
