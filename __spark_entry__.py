@@ -36,6 +36,7 @@ from navigator_document_parser_spark.operators.dedup import (
 )
 from navigator_document_parser_spark.operators.search import (
     oracle_keyword_search as _oracle_keyword_search,
+    oracle_phrase_search as _oracle_phrase_search,
 )
 from navigator_document_parser_spark.operators.robots import (
     oracle_robots_filter as _oracle_robots_filter,
@@ -617,6 +618,25 @@ def _keyword_search(spark, sf):
     from navigator_document_parser_spark.operators.search import keyword_search
 
     return keyword_search(_docs(spark, sf), _SEARCH_QUERIES, k=10)
+
+
+_PHRASE_QUERIES = [
+    (0, ["fast", "table"]),
+    (1, ["table", "table"]),
+    (2, ["a", "a"]),
+    (3, ["batch", "window", "spark"]),
+    (4, ["no", "phrase", "here"]),
+]
+
+
+def _phrase_search(spark, sf):
+    """Positional-index exact phrase matching: anchor-vote conjunction,
+    one aggregation instead of an n-way postings self-join; the DuckDB
+    oracle is a deliberately different naive list-slice scan
+    (operators/search.py phrase_search)."""
+    from navigator_document_parser_spark.operators.search import phrase_search
+
+    return phrase_search(_docs(spark, sf), _PHRASE_QUERIES)
 
 
 def _ml_quality_score(spark, sf):
@@ -1388,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": _host_cap,                      # per-origin cap
         "tfidf_top_terms": _tfidf_top_terms,        # corpus analytics
         "keyword_search": _keyword_search,          # inverted-index top-k
+        "phrase_search": _phrase_search,            # positional phrase match
         "url_filter": _url_filter,                  # canonicalize + blocklist
         "robots_filter": _robots_filter,            # REP longest-match rules
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
@@ -1626,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": T.oracle_cap_per_group(),
         "tfidf_top_terms": T.oracle_tfidf(),
         "keyword_search": _oracle_keyword_search(_SEARCH_QUERIES),
+        "phrase_search": _oracle_phrase_search(_PHRASE_QUERIES),
         "url_filter": _oracle_filter_urls(_URL_BLOCKLIST, _URL_SYNTH_SQL),
         "robots_filter": _oracle_robots_filter(
             _ROBOTS_RULES, _ROBOTS_URLS_SQL

@@ -179,3 +179,114 @@ def oracle_keyword_search(
         )
         WHERE rank <= {k}
     """
+
+
+def phrase_search(
+    df: DataFrame,
+    phrases: Iterable[tuple[int, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching via a positional inverted index.
+
+    ``phrases`` is an iterable of (phrase_id, tokens). A phrase matches
+    at anchor position p iff token i of the phrase equals document token
+    p+i for every i — the classic positional-postings conjunction, done
+    here in ONE aggregation instead of an n-way self-join: each posting
+    row matching phrase token i votes for anchor ``pos - i``; an anchor
+    with all n distinct i votes is a match.
+
+    100 TB shape: postings are filtered to the phrase vocabulary BEFORE
+    any exchange (the per-term predicate sits on the exploded scan), the
+    phrase table is broadcast, and the only wide operations are two
+    narrow aggregations keyed by (phrase_id, doc_id[, anchor]) with
+    map-side combine. No self-join of the postings table, whose n-way
+    variant is the textbook scale trap here.
+
+    Returns (phrase_id, doc_id, n_matches, first_pos) for matching docs;
+    positions are 0-based over the empty-token-filtered token stream.
+    """
+    spark = df.sparkSession
+    prows = []
+    vocab: set[str] = set()
+    for pid, toks in phrases:
+        toks = list(toks)
+        if not toks:
+            raise ValueError(f"phrase {pid} is empty")
+        vocab.update(toks)
+        for i, t in enumerate(toks):
+            prows.append((int(pid), t, i, len(toks)))
+    pdf_ = spark.createDataFrame(
+        prows, "phrase_id bigint, term string, i int, n_terms int"
+    )
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    postings = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        .filter(F.col("term").isin(sorted(vocab)))
+    )
+    anchors = (
+        postings.join(F.broadcast(pdf_), "term")
+        .select(
+            "phrase_id",
+            "doc_id",
+            (F.col("pos") - F.col("i")).alias("anchor"),
+            "i",
+            "n_terms",
+        )
+        .filter(F.col("anchor") >= 0)
+        .groupBy("phrase_id", "doc_id", "anchor", "n_terms")
+        .agg(F.count_distinct("i").alias("n_i"))
+        .filter(F.col("n_i") == F.col("n_terms"))
+    )
+    return (
+        anchors.groupBy("phrase_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("anchor").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+def oracle_phrase_search(
+    phrases: Iterable[tuple[int, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing exactly phrase_search() — deliberately a
+    DIFFERENT algorithm (naive per-document list-slice scan) so the two
+    engines cross-validate rather than share one formulation."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    vals = []
+    for pid, toks in phrases:
+        lst = ", ".join(sql_quote(t) for t in toks)
+        vals.append(f"({int(pid)}, [{lst}])")
+    values = ", ".join(vals)
+    return f"""
+        WITH p(phrase_id, pts) AS (VALUES {values}),
+        toks AS (
+          SELECT {id_col} AS doc_id,
+                 list_filter(string_split_regex(
+                   trim(lower({text_col})), '\\s+'),
+                   t -> length(t) > 0) AS ts
+          FROM {table}
+        ), m AS (
+          SELECT p.phrase_id, t.doc_id,
+                 list_filter(
+                   generate_series(1, len(t.ts) - len(p.pts) + 1),
+                   i -> t.ts[i : i + len(p.pts) - 1] = p.pts
+                 ) AS hits
+          FROM toks t CROSS JOIN p
+        )
+        SELECT CAST(phrase_id AS BIGINT) AS phrase_id,
+               doc_id,
+               CAST(len(hits) AS BIGINT) AS n_matches,
+               CAST(hits[1] - 1 AS BIGINT) AS first_pos
+        FROM m WHERE len(hits) > 0
+    """
