@@ -35,6 +35,7 @@ from navigator_document_parser_spark.operators.dedup import (
     oracle_snapshot_dedup as _oracle_snapshot_dedup,
 )
 from navigator_document_parser_spark.operators.search import (
+    oracle_bm25_search as _oracle_bm25_search,
     oracle_keyword_search as _oracle_keyword_search,
     oracle_phrase_search as _oracle_phrase_search,
 )
@@ -627,6 +628,15 @@ _PHRASE_QUERIES = [
     (3, ["batch", "window", "spark"]),
     (4, ["no", "phrase", "here"]),
 ]
+
+
+def _bm25_search(spark, sf):
+    """Disjunctive BM25 top-10 per query (k1=1.2, b=0.75), ranked on the
+    4dp-rounded score so cross-engine double math can't flip an order
+    (operators/search.py bm25_search)."""
+    from navigator_document_parser_spark.operators.search import bm25_search
+
+    return bm25_search(_docs(spark, sf), _SEARCH_QUERIES, k=10)
 
 
 def _phrase_search(spark, sf):
@@ -1409,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _tfidf_top_terms,        # corpus analytics
         "keyword_search": _keyword_search,          # inverted-index top-k
         "phrase_search": _phrase_search,            # positional phrase match
+        "bm25_search": _bm25_search,                # BM25 ranked retrieval
         "url_filter": _url_filter,                  # canonicalize + blocklist
         "robots_filter": _robots_filter,            # REP longest-match rules
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
@@ -1648,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": T.oracle_tfidf(),
         "keyword_search": _oracle_keyword_search(_SEARCH_QUERIES),
         "phrase_search": _oracle_phrase_search(_PHRASE_QUERIES),
+        "bm25_search": _oracle_bm25_search(_SEARCH_QUERIES),
         "url_filter": _oracle_filter_urls(_URL_BLOCKLIST, _URL_SYNTH_SQL),
         "robots_filter": _oracle_robots_filter(
             _ROBOTS_RULES, _ROBOTS_URLS_SQL

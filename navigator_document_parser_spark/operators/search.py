@@ -290,3 +290,154 @@ def oracle_phrase_search(
                CAST(hits[1] - 1 AS BIGINT) AS first_pos
         FROM m WHERE len(hits) > 0
     """
+
+
+def _bm25_score_sql(k1: float, b: float) -> str:
+    """The per-(term,doc) BM25 contribution as ONE SQL fragment shared
+    verbatim by the Spark plan and the DuckDB oracle — identical
+    expression text maximizes bit-parity of the double math. Expects
+    columns tf, dfq, n_docs, sum_dl, dl in scope. Lucene's +1 idf
+    variant keeps every contribution positive."""
+    avgdl = "(cast(sum_dl as double) / n_docs)"
+    idf = "ln(1.0 + (cast(n_docs as double) - dfq + 0.5) / (dfq + 0.5))"
+    tfn = (
+        f"(tf * ({k1!r} + 1.0)) / "
+        f"(tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl / {avgdl}))"
+    )
+    return f"({idf}) * ({tfn})"
+
+
+def bm25_search(
+    df: DataFrame,
+    queries: Iterable[tuple[int, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Disjunctive (OR) BM25 ranking, top-``k`` docs per query.
+
+    Rank is over the score ROUNDED to 4dp (ties by ascending doc_id):
+    ranking on raw doubles would let a last-ulp libm difference flip an
+    order across engines; at 4dp the comparison is stable and the
+    residual risk is a true value within 1e-16 of a rounding boundary.
+
+    100 TB shape: postings are vocabulary-filtered before the tf
+    shuffle (like keyword_search); document length and corpus stats
+    (n_docs, sum_dl — in production a materialized corpus statistic,
+    here a second narrow aggregate branch) join in via broadcasts. The
+    doc-length sum is kept in BIGINT and divided once, so avgdl is
+    order-independent — a floating avg() over a shuffled corpus is not.
+
+    Returns (query_id, rank, doc_id, score).
+    """
+    spark = df.sparkSession
+    qrows = []
+    vocab: set[str] = set()
+    for qid, terms in queries:
+        for t in sorted(set(terms)):
+            vocab.add(t)
+            qrows.append((int(qid), t))
+    qdf = spark.createDataFrame(qrows, "query_id bigint, term string")
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).select("doc_id", F.size("toks").cast("bigint").alias("dl"), "toks")
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(sorted(vocab)))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("dfq")
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.expr(_bm25_score_sql(k1, b))), 4
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def oracle_bm25_search(
+    queries: Iterable[tuple[int, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB SQL computing exactly bm25_search() — same scoring SQL
+    fragment, same 4dp rounding before ranking."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    vals = []
+    for qid, terms in queries:
+        for t in sorted(set(terms)):
+            vals.append(f"({int(qid)}, {sql_quote(t)})")
+    values = ", ".join(vals)
+    score = _bm25_score_sql(k1, b)
+    return f"""
+        WITH q(query_id, term) AS (VALUES {values}),
+        base AS (
+          SELECT {id_col} AS doc_id,
+                 list_filter(string_split_regex(
+                   trim(lower({text_col})), '\\s+'),
+                   t -> length(t) > 0) AS toks
+          FROM {table}
+        ), lens AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base
+        ), stats AS (
+          SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM lens
+        ), w AS (
+          SELECT doc_id, unnest(toks) AS term FROM base
+        ), tf AS (
+          SELECT w.term, w.doc_id, count(*) AS tf, max(lens.dl) AS dl
+          FROM w JOIN lens USING (doc_id)
+          WHERE w.term IN (SELECT DISTINCT term FROM q)
+          GROUP BY w.term, w.doc_id
+        ), dfreq AS (
+          SELECT term, count(DISTINCT doc_id) AS dfq FROM tf GROUP BY term
+        ), scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 round(sum({score}), 4) AS score
+          FROM tf
+          JOIN q USING (term)
+          JOIN dfreq USING (term)
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rank AS BIGINT) AS rank,
+               doc_id, score
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scored
+        )
+        WHERE rank <= {k}
+    """
