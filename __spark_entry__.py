@@ -43,6 +43,7 @@ from navigator_document_parser_spark.operators.robots import (
     oracle_robots_filter as _oracle_robots_filter,
 )
 from navigator_document_parser_spark.operators.urls import (
+    oracle_fetch_schedule as _oracle_fetch_schedule,
     oracle_filter_urls as _oracle_filter_urls,
 )
 from navigator_document_parser_spark.operators.selection import (
@@ -628,6 +629,25 @@ _PHRASE_QUERIES = [
     (3, ["batch", "window", "spark"]),
     (4, ["no", "phrase", "here"]),
 ]
+
+
+_FETCH_PLAN_SQL = (
+    "SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR) "
+    "|| '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url, "
+    "'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.org' AS host "
+    "FROM documents"
+)
+
+
+def _fetch_schedule(spark, sf):
+    """Politeness crawl scheduling: md5-sharded host->worker ownership +
+    breadth-first host interleave per worker, all window functions
+    (operators/urls.py fetch_schedule)."""
+    from navigator_document_parser_spark.operators.urls import fetch_schedule
+
+    _docs(spark, sf).createOrReplaceTempView("documents")
+    plan = spark.sql(_FETCH_PLAN_SQL.replace("AS VARCHAR", "AS STRING"))
+    return fetch_schedule(plan, n_workers=8)
 
 
 def _bm25_search(spark, sf):
@@ -1420,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": _keyword_search,          # inverted-index top-k
         "phrase_search": _phrase_search,            # positional phrase match
         "bm25_search": _bm25_search,                # BM25 ranked retrieval
+        "fetch_schedule": _fetch_schedule,          # politeness crawl slots
         "url_filter": _url_filter,                  # canonicalize + blocklist
         "robots_filter": _robots_filter,            # REP longest-match rules
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
@@ -1660,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": _oracle_keyword_search(_SEARCH_QUERIES),
         "phrase_search": _oracle_phrase_search(_PHRASE_QUERIES),
         "bm25_search": _oracle_bm25_search(_SEARCH_QUERIES),
+        "fetch_schedule": _oracle_fetch_schedule(_FETCH_PLAN_SQL, 8),
         "url_filter": _oracle_filter_urls(_URL_BLOCKLIST, _URL_SYNTH_SQL),
         "robots_filter": _oracle_robots_filter(
             _ROBOTS_RULES, _ROBOTS_URLS_SQL

@@ -221,3 +221,83 @@ def oracle_filter_urls(
                ({blocked}) AS blocked
         FROM s6
     """
+
+
+def fetch_schedule(
+    df: DataFrame,
+    n_workers: int = 8,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Politeness-aware crawl scheduling: assign every planned fetch a
+    (worker, slot) such that one worker owns ALL of a host's fetches
+    (one connection per host, no cross-worker politeness coordination)
+    and each worker interleaves its hosts breadth-first, so consecutive
+    fetches of the same host are spaced by that worker's other active
+    hosts — the classic frontier ordering (Heydon & Najork, Mercator).
+
+    worker = md5(host) % n_workers (portable deterministic hash — a
+    crawl can be re-planned and re-sharded reproducibly); host_seq =
+    rank of the url within its host; slot = rank of (host_seq, host,
+    url) within the worker.
+
+    100 TB shape: two window functions over (host) and (worker)
+    partitions — both shuffle once on narrow keys; the host window is
+    skew-safe because a single host's queue is bounded by per-host crawl
+    budgets upstream (cdx_fetch_plan), and the worker window's
+    partition count is n_workers, which is fine because n_workers in
+    production is O(executors), each partition a worker's queue.
+
+    Returns (url, host, worker, host_seq, slot).
+    """
+    from pyspark.sql import Window
+
+    if n_workers <= 0:
+        raise ValueError("n_workers must be positive")
+    worker = (
+        F.expr(
+            f"cast(conv(substring(md5({host_col}), 1, 8), 16, 10) "
+            f"as bigint) % {n_workers}"
+        )
+    ).alias("worker")
+    base = df.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        worker,
+    )
+    w_host = Window.partitionBy("host").orderBy("url")
+    w_worker = Window.partitionBy("worker").orderBy(
+        "host_seq", "host", "url"
+    )
+    return (
+        base.withColumn(
+            "host_seq", F.row_number().over(w_host).cast("bigint")
+        )
+        .withColumn("slot", F.row_number().over(w_worker).cast("bigint"))
+        .select("url", "host", "worker", "host_seq", "slot")
+    )
+
+
+def oracle_fetch_schedule(
+    plan_sql: str,
+    n_workers: int = 8,
+) -> str:
+    """DuckDB SQL computing exactly fetch_schedule() over ``plan_sql``
+    (a subquery yielding url, host)."""
+    return f"""
+        WITH plan AS ({plan_sql}),
+        base AS (
+          SELECT url, host,
+                 CAST('0x' || substring(md5(host), 1, 8) AS BIGINT)
+                   % {n_workers} AS worker
+          FROM plan
+        ), seq AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY host ORDER BY url) AS BIGINT) AS host_seq
+          FROM base
+        )
+        SELECT url, host, worker, host_seq,
+               CAST(row_number() OVER (PARTITION BY worker
+                 ORDER BY host_seq, host, url) AS BIGINT) AS slot
+        FROM seq
+    """
