@@ -631,6 +631,29 @@ _PHRASE_QUERIES = [
 ]
 
 
+# deterministic mess: curly quotes + zero-width, doubled spaces, control
+# chars, NBSPs, CRLF + em dash tail. Non-ASCII codepoints are embedded
+# as literal characters (NOT chr(): Spark's chr is ASCII mod-256 while
+# DuckDB's is a Unicode codepoint); chr() appears only for < 128, where
+# the two engines agree. No backslashes -> same text parses identically.
+_MESSY_TEXT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN '“' || text || '”' || '​' "
+    "WHEN doc_id % 5 = 1 THEN replace(text, ' ', '  ') "
+    "WHEN doc_id % 5 = 2 THEN chr(9) || text || chr(1) || chr(31) "
+    "WHEN doc_id % 5 = 3 THEN replace(text, ' ', ' ') "
+    "ELSE text || chr(13) || chr(10) || 'tail' || '—' || 'x' END"
+)
+
+
+def _text_normalize(spark, sf):
+    """Unicode/whitespace cleanup over deterministically messied text:
+    control-char strip, zero-width removal, quote/dash/NBSP unification,
+    whitespace collapse — pure codegen projection (operators/text.py
+    normalize_text)."""
+    d = _docs(spark, sf).withColumn("text", F.expr(_MESSY_TEXT_SQL))
+    return T.with_normalized_text(d)
+
+
 _FETCH_PLAN_SQL = (
     "SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR) "
     "|| '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url, "
@@ -1441,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _phrase_search,            # positional phrase match
         "bm25_search": _bm25_search,                # BM25 ranked retrieval
         "fetch_schedule": _fetch_schedule,          # politeness crawl slots
+        "text_normalize": _text_normalize,          # unicode/ws cleanup
         "url_filter": _url_filter,                  # canonicalize + blocklist
         "robots_filter": _robots_filter,            # REP longest-match rules
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
@@ -1682,6 +1706,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _oracle_phrase_search(_PHRASE_QUERIES),
         "bm25_search": _oracle_bm25_search(_SEARCH_QUERIES),
         "fetch_schedule": _oracle_fetch_schedule(_FETCH_PLAN_SQL, 8),
+        "text_normalize": T.oracle_normalize_text(_MESSY_TEXT_SQL),
         "url_filter": _oracle_filter_urls(_URL_BLOCKLIST, _URL_SYNTH_SQL),
         "robots_filter": _oracle_robots_filter(
             _ROBOTS_RULES, _ROBOTS_URLS_SQL

@@ -1469,3 +1469,94 @@ def oracle_c4_filters(
                coalesce(array_to_string(kept, chr(10)), '') AS kept_text
         FROM k
     """
+
+
+# ---------------------------------------------------------------------------
+# unicode / whitespace text normalization (the ftfy-ish cleanup stage)
+# ---------------------------------------------------------------------------
+
+# control chars except \t \n (CR handled by the CRLF fold first), plus
+# zero-widths and BOM. Two-digit \xHH and \x{HHHH} escapes are valid in
+# BOTH Java regex (Spark) and RE2 (DuckDB); the pattern reaches Spark via
+# the py4j string (never SQL-literal parsing, whose backslash rules differ)
+_CTRL_ZW_PATTERN = (
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+    "\\x{200B}-\\x{200D}\\x{FEFF}]"
+)
+# curly quotes -> straight, en/em dash -> '-', NBSP -> space
+_TRANSLATE_FROM = "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0"
+_TRANSLATE_TO = "''\"\"-- "
+
+
+def normalize_text(col: Column) -> Column:
+    """Deterministic text cleanup, pure codegen (no UDF):
+
+      1. CRLF -> LF
+      2. strip control chars (keep \\t, \\n) + zero-widths + BOM
+      3. unify curly quotes / dashes / NBSP (translate)
+      4. collapse runs of spaces+tabs to one space
+      5. drop spaces hugging newlines
+      6. trim leading/trailing spaces and newlines
+
+    Character-class step 2 and the collapse regexes are written with
+    escapes valid in both Java regex and RE2, so the DuckDB oracle runs
+    the IDENTICAL patterns. 100 TB: a map-only projection fused into
+    whole-stage codegen above the scan.
+    """
+    s = F.replace(col, F.lit("\r\n"), F.lit("\n"))
+    s = F.replace(s, F.lit("\r"), F.lit("\n"))
+    s = F.regexp_replace(s, _CTRL_ZW_PATTERN, "")
+    s = F.translate(s, _TRANSLATE_FROM, _TRANSLATE_TO)
+    s = F.regexp_replace(s, "[ \\t]+", " ")
+    s = F.regexp_replace(s, " ?\\n ?", "\n")
+    return F.btrim(s, F.lit(" \n"))
+
+
+def with_normalized_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text_norm, n_chars_norm, changed) per document."""
+    norm = normalize_text(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("text_norm"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        (norm != F.col(text_col)).alias("changed"),
+    )
+
+
+def oracle_normalize_text(
+    text_sql: str, id_col: str = "doc_id", table: str = "documents"
+) -> str:
+    """DuckDB SQL computing exactly with_normalized_text() over
+    ``SELECT doc_id, <text_sql> AS text``. DuckDB string literals do not
+    process backslashes, so the Python pattern strings embed verbatim."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    ctrl = sql_quote(_CTRL_ZW_PATTERN)
+    tfrom = sql_quote(_TRANSLATE_FROM)
+    tto = sql_quote(_TRANSLATE_TO)
+    return f"""
+        WITH src AS (
+          SELECT {id_col} AS doc_id, {text_sql} AS text FROM {table}
+        ), n AS (
+          SELECT doc_id, text,
+            trim(
+              regexp_replace(
+                regexp_replace(
+                  translate(
+                    regexp_replace(
+                      replace(replace(text, chr(13) || chr(10), chr(10)),
+                              chr(13), chr(10)),
+                      {ctrl}, '', 'g'),
+                    {tfrom}, {tto}),
+                  '[ \\t]+', ' ', 'g'),
+                ' ?\\n ?', chr(10), 'g'),
+              ' ' || chr(10)) AS text_norm
+          FROM src
+        )
+        SELECT doc_id, text_norm,
+               CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+               (text_norm <> text) AS changed
+        FROM n
+    """
