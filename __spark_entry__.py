@@ -34,6 +34,9 @@ from navigator_document_parser_spark.operators.dedup import (
     oracle_paragraph_dedup as _oracle_paragraph_dedup,
     oracle_snapshot_dedup as _oracle_snapshot_dedup,
 )
+from navigator_document_parser_spark.operators.bpe import (
+    oracle_bpe_train as _oracle_bpe_train,
+)
 from navigator_document_parser_spark.operators.search import (
     oracle_bm25_search as _oracle_bm25_search,
     oracle_keyword_search as _oracle_keyword_search,
@@ -643,6 +646,16 @@ _MESSY_TEXT_SQL = (
     "WHEN doc_id % 5 = 3 THEN replace(text, ' ', ' ') "
     "ELSE text || chr(13) || chr(10) || 'tail' || '—' || 'x' END"
 )
+
+
+def _bpe_train(spark, sf):
+    """Distributed BPE vocabulary training: 8 merge rules learned from
+    word-frequency-weighted pair counts; vocabulary-sized state, one
+    narrow shuffle + one single-row collect per round (operators/bpe.py
+    bpe_train; oracle is an 8-round unrolled CTE chain)."""
+    from navigator_document_parser_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf), num_merges=8)
 
 
 def _text_normalize(spark, sf):
@@ -1465,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _bm25_search,                # BM25 ranked retrieval
         "fetch_schedule": _fetch_schedule,          # politeness crawl slots
         "text_normalize": _text_normalize,          # unicode/ws cleanup
+        "bpe_train": _bpe_train,                    # learn BPE merges
         "url_filter": _url_filter,                  # canonicalize + blocklist
         "robots_filter": _robots_filter,            # REP longest-match rules
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
@@ -1707,6 +1721,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _oracle_bm25_search(_SEARCH_QUERIES),
         "fetch_schedule": _oracle_fetch_schedule(_FETCH_PLAN_SQL, 8),
         "text_normalize": T.oracle_normalize_text(_MESSY_TEXT_SQL),
+        "bpe_train": _oracle_bpe_train(8),
         "url_filter": _oracle_filter_urls(_URL_BLOCKLIST, _URL_SYNTH_SQL),
         "robots_filter": _oracle_robots_filter(
             _ROBOTS_RULES, _ROBOTS_URLS_SQL
