@@ -912,6 +912,83 @@ def _pagerank_hosts_oracle_sql(damping: float = 0.85,
     """
 
 
+def _hits_hosts(spark, sf):
+    """HITS hubs/authorities over the same deterministic host link
+    graph as pagerank_hosts: 5 iterations, L1 normalization (no sqrt —
+    scalar factor only, rankings unchanged vs L2), 8dp rounding
+    (operators/graph.py hits)."""
+    from navigator_document_parser_spark.operators.graph import hits
+
+    d = _docs(spark, sf)
+    edges = (
+        d.select(
+            F.col("source").alias("src_host"),
+            F.concat(
+                F.lit("h"), ((F.col("doc_id") * 7 + 3) % 40).cast("string")
+            ).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    out = hits(edges, iterations=5)
+    return out.select(
+        "node",
+        F.round(F.col("authority"), 8).alias("authority"),
+        F.round(F.col("hub"), 8).alias("hub"),
+    )
+
+
+def _hits_hosts_oracle_sql(iterations: int = 5) -> str:
+    """DuckDB replica of _hits_hosts, unrolled chained CTEs (one
+    raw auth+hub pair per iteration, L1 normalization once at the end
+    — mirroring operators/graph.py hits), same edge synthesis as the
+    pagerank oracle."""
+    step = """
+        a{t} AS (
+          SELECT nd.node, COALESCE(x.s, 0.0) AS authority
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, SUM(h.hub * CAST(e.w AS DOUBLE)) AS s
+            FROM edges e JOIN h{p} h ON h.node = e.src
+            GROUP BY e.dst
+          ) x ON x.node = nd.node
+        ), h{t} AS (
+          SELECT nd.node, COALESCE(x.s, 0.0) AS hub
+          FROM nodes nd LEFT JOIN (
+            SELECT e.src AS node,
+                   SUM(a.authority * CAST(e.w AS DOUBLE)) AS s
+            FROM edges e JOIN a{t} a ON a.node = e.dst
+            GROUP BY e.src
+          ) x ON x.node = nd.node
+        )"""
+    steps = ", ".join(
+        step.format(t=t + 1, p=t) for t in range(iterations)
+    )
+    it = iterations
+    return f"""
+        WITH edges AS (
+          SELECT source AS src,
+                 'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst,
+                 count(*) AS w
+          FROM documents GROUP BY 1, 2
+        ), nodes AS (
+          SELECT src AS node FROM edges
+          UNION
+          SELECT dst FROM edges
+        ), h0 AS (
+          SELECT node, 1.0 AS hub FROM nodes
+        ), {steps},
+        an AS (SELECT COALESCE(SUM(authority), 0.0) AS s FROM a{it}),
+        hn AS (SELECT COALESCE(SUM(hub), 0.0) AS s FROM h{it})
+        SELECT a.node,
+               round(CASE WHEN an.s = 0 THEN 0.0
+                          ELSE a.authority / an.s END, 8) AS authority,
+               round(CASE WHEN hn.s = 0 THEN 0.0
+                          ELSE h.hub / hn.s END, 8) AS hub
+        FROM a{it} a JOIN h{it} h ON a.node = h.node
+        CROSS JOIN an CROSS JOIN hn
+    """
+
+
 def _chunk_windows(spark, sf):
     """RAG-prep overlapping window chunking: 16-token windows, stride 12
     (operators/text.py chunk_windows) — zero-shuffle projection."""
@@ -1486,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _c4_filters,                  # C4 heuristic cleaning
         "importance_select": _importance_select,    # DSIR-style selection
         "pagerank_hosts": _pagerank_hosts,          # host link-graph rank
+        "hits_hosts": _hits_hosts,                  # hubs & authorities
         "domain_quality": _domain_quality,          # rank x quality join
         "split_sentences": _split_sentences,        # sentence segmentation
         "bpe_tokenize": _bpe_tokenize,              # BPE subword stats
@@ -2196,6 +2274,7 @@ def oracle_sql() -> dict[str, str]:
     # shares the exact knn_cosine oracle
     oracles["knn_ivf_fullprobe"] = oracles["knn_cosine"]
     oracles["pagerank_hosts"] = _pagerank_hosts_oracle_sql()
+    oracles["hits_hosts"] = _hits_hosts_oracle_sql()
     from navigator_document_parser_spark.operators.similarity import (
         oracle_semdedup,
     )

@@ -92,19 +92,26 @@ OP_QUERIES = [
     "lm_rarity",
     "c4_filters",
     "keyword_search",
+    "bm25_search",
+    "phrase_search",
     "url_filter",
     "robots_filter",
+    "fetch_schedule",
     "chunk_windows",
     "split_sentences",
     "bpe_tokenize",
+    "bpe_train",
+    "text_normalize",
     "budget_select",
     "mix_rebalance",
     "importance_select",
     "pagerank_hosts",
+    "hits_hosts",
     "domain_quality",
     "corpus_report",
     "dedup_exact",
     "dedup_incremental",
+    "dedup_bloom",
     "dedup_paragraphs",
     "dedup_substring",
     "dedup_minhash_pairs",

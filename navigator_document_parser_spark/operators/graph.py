@@ -115,3 +115,100 @@ def pagerank(
         if (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str | None = "n_links",
+    iterations: int = 5,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) -> (node, authority, hub).
+
+    Per iteration: auth'(v) = sum_{u->v} hub(u)*w;
+    hub'(u) = sum_{u->v} auth'(v)*w. Normalization happens ONCE at the
+    end (L1): per-iteration scale factors are uniform positive scalars,
+    so deferring them changes nothing after the final divide — and it
+    keeps the logical plan LINEAR in the iteration count. A
+    normalize-inside-the-loop variant embeds the score subtree twice
+    per normalization (score + 1-row norm aggregate), and with two of
+    them per iteration the un-truncated plan grows ~4^t — Catalyst
+    analysis time explodes long before execution does (measured: 5
+    iterations un-analyzable in minutes; this shape runs in seconds).
+    Magnitudes grow like (total edge weight)^t between checkpoints —
+    fine in doubles for any realistic host graph; a production run at
+    extreme weights can lower checkpoint_every and rescale at each
+    barrier without changing the result direction.
+
+    Scale: two shuffles per iteration (hash agg on dst, then on src),
+    map-side combine on both; no driver collects or counts anywhere.
+    checkpoint_every=0 (default) runs the whole power iteration as ONE
+    linear DAG — right for the handful of iterations HITS needs; set it
+    >0 to truncate lineage (and bound magnitudes) for long runs.
+    """
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    ).localCheckpoint(eager=True)  # re-read twice per iteration
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # init hub = 1.0, NOT 1/n: the final L1 normalize cancels any
+    # uniform init scale, and skipping the count() removes a driver
+    # action (empty input degrades to an empty result naturally)
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auths = None
+    for i in range(int(iterations)):
+        auths = (
+            nodes.join(
+                e.join(hubs.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("hub") * F.col("w")).alias("a")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("a", F.lit(0.0)).alias("authority"))
+        )
+        hubs = (
+            nodes.join(
+                e.join(auths.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum(F.col("authority") * F.col("w")).alias("h")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("h", F.lit(0.0)).alias("hub"))
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % int(checkpoint_every) == 0
+            and i + 1 < iterations
+        ):
+            auths = auths.localCheckpoint(eager=True)
+            hubs = hubs.localCheckpoint(eager=True)
+
+    def _l1(df: DataFrame, col: str) -> DataFrame:
+        # the only double-embedded subtree in the whole plan (runs once)
+        norm = df.agg(
+            F.coalesce(F.sum(col), F.lit(0.0)).alias("_norm")
+        )
+        return df.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("_norm") == 0.0, F.lit(0.0))
+            .otherwise(F.col(col) / F.col("_norm"))
+            .alias(col),
+        )
+
+    return _l1(auths, "authority").join(_l1(hubs, "hub"), "node").select(
+        "node", "authority", "hub"
+    )
