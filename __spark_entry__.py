@@ -39,6 +39,7 @@ from navigator_document_parser_spark.operators.bpe import (
 )
 from navigator_document_parser_spark.operators.search import (
     oracle_bm25_search as _oracle_bm25_search,
+    oracle_index_export as _oracle_index_export,
     oracle_keyword_search as _oracle_keyword_search,
     oracle_phrase_search as _oracle_phrase_search,
 )
@@ -684,6 +685,15 @@ def _fetch_schedule(spark, sf):
     _docs(spark, sf).createOrReplaceTempView("documents")
     plan = spark.sql(_FETCH_PLAN_SQL.replace("AS VARCHAR", "AS STRING"))
     return fetch_schedule(plan, n_workers=8)
+
+
+def _index_export(spark, sf):
+    """Sharded inverted-index materialization: delta-encoded posting
+    blocks keyed (term, doc-range block) so hot terms never build one
+    giant array on one reducer (operators/search.py index_export)."""
+    from navigator_document_parser_spark.operators.search import index_export
+
+    return index_export(_docs(spark, sf), n_shards=8, block_size=128)
 
 
 def _bm25_search(spark, sf):
@@ -1553,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": _keyword_search,          # inverted-index top-k
         "phrase_search": _phrase_search,            # positional phrase match
         "bm25_search": _bm25_search,                # BM25 ranked retrieval
+        "index_export": _index_export,              # posting-block export
         "fetch_schedule": _fetch_schedule,          # politeness crawl slots
         "text_normalize": _text_normalize,          # unicode/ws cleanup
         "bpe_train": _bpe_train,                    # learn BPE merges
@@ -1797,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": _oracle_keyword_search(_SEARCH_QUERIES),
         "phrase_search": _oracle_phrase_search(_PHRASE_QUERIES),
         "bm25_search": _oracle_bm25_search(_SEARCH_QUERIES),
+        "index_export": _oracle_index_export(),
         "fetch_schedule": _oracle_fetch_schedule(_FETCH_PLAN_SQL, 8),
         "text_normalize": T.oracle_normalize_text(_MESSY_TEXT_SQL),
         "bpe_train": _oracle_bpe_train(8),

@@ -94,6 +94,7 @@ OP_QUERIES = [
     "keyword_search",
     "bm25_search",
     "phrase_search",
+    "index_export",
     "url_filter",
     "robots_filter",
     "fetch_schedule",

@@ -441,3 +441,106 @@ def oracle_bm25_search(
         )
         WHERE rank <= {k}
     """
+
+
+def index_export(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    block_size: int = 128,
+) -> DataFrame:
+    """Materialize a sharded inverted index: delta-encoded posting-list
+    blocks, the on-disk layout search engines actually write (term
+    dictionary + doc-gap lists per block, cf. Lucene skip blocks).
+
+    Rows: (shard, term, block_id, block_df, postings) where
+      shard    = md5(term) % n_shards (portable hash -> stable shard
+                 ownership across engines and re-runs)
+      block_id = doc_id div block_size — posting lists are split into
+                 doc-range blocks, so ONE hot term ('the') never builds
+                 one giant array on one reducer: the shuffle key is
+                 (term, block), bounding every group at block_size
+      block_df = docs containing the term within the block
+      postings = doc-gap encoding: [first_doc, gap, gap, ...] relative
+                 to the block's first occurrence
+
+    100 TB shape: one explode -> (term, block) hash aggregate with
+    map-side combine; collect_list stays because each group is bounded
+    by block_size (an UNBLOCKED collect_list per term is the scale trap
+    this layout exists to avoid). The delta transform runs over the
+    aggregate's output attribute — a concrete column, so CollapseProject
+    cannot re-inline the aggregation into each array element.
+    """
+    if n_shards <= 0 or block_size <= 0:
+        raise ValueError("n_shards and block_size must be positive")
+    words = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("term"),
+        )
+        .dropDuplicates(["term", "doc_id"])
+    )
+    blocks = (
+        words.withColumn(
+            "block_id", F.expr(f"doc_id div {block_size}")
+        )
+        .groupBy("term", "block_id")
+        .agg(
+            F.count(F.lit(1)).alias("block_df"),
+            F.sort_array(F.collect_list("doc_id")).alias("docs"),
+        )
+    )
+    return blocks.select(
+        F.expr(
+            f"cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint)"
+            f" % {n_shards}"
+        ).alias("shard"),
+        "term",
+        F.col("block_id").cast("bigint").alias("block_id"),
+        F.col("block_df").cast("bigint").alias("block_df"),
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.when(i == 0, x).otherwise(
+                x - F.element_at(F.col("docs"), i)
+            ),
+        ).alias("postings"),
+    )
+
+
+def oracle_index_export(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    n_shards: int = 8,
+    block_size: int = 128,
+) -> str:
+    """DuckDB SQL computing exactly index_export()."""
+    return f"""
+        WITH w AS (
+          SELECT DISTINCT {id_col} AS doc_id,
+                 unnest(list_filter(string_split_regex(
+                   trim(lower({text_col})), '\\s+'),
+                   t -> length(t) > 0)) AS term
+          FROM {table}
+        ), b AS (
+          SELECT term, doc_id // {block_size} AS block_id,
+                 count(*) AS block_df,
+                 list_sort(list(doc_id)) AS docs
+          FROM w GROUP BY term, doc_id // {block_size}
+        )
+        SELECT CAST('0x' || substring(md5(term), 1, 8) AS BIGINT)
+                 % {n_shards} AS shard,
+               term,
+               CAST(block_id AS BIGINT) AS block_id,
+               CAST(block_df AS BIGINT) AS block_df,
+               list_transform(generate_series(1, len(docs)),
+                 i -> CASE WHEN i = 1 THEN docs[i]
+                           ELSE docs[i] - docs[i-1] END) AS postings
+        FROM b
+    """
