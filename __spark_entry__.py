@@ -54,6 +54,7 @@ from navigator_document_parser_spark.operators.selection import (
     oracle_budget_select as _oracle_budget_select,
     oracle_importance_select as _oracle_importance_select,
     oracle_mix_rebalance as _oracle_mix_rebalance,
+    oracle_temperature_mix as _oracle_temperature_mix,
 )
 from navigator_document_parser_spark.operators.similarity import (
     embedding_neardup_pairs,
@@ -503,6 +504,19 @@ def _mix_rebalance(spark, sf):
     )
 
     return mix_rebalance(_docs(spark, sf))
+
+
+def _temperature_mix(spark, sf):
+    """Temperature-scaled multilingual sampling (mT5/XLM-R rule):
+    p_g ∝ (n_g/N)^0.3, corpus thinned to ~half matching that mix via
+    the replayable md5-threshold rule; 8dp-rounded rates on both
+    engines so pow() ulps can't flip a keep decision
+    (operators/selection.py temperature_mix)."""
+    from navigator_document_parser_spark.operators.selection import (
+        temperature_mix,
+    )
+
+    return temperature_mix(_docs(spark, sf), alpha=0.3, budget_frac=0.5)
 
 
 def _quality_filters(spark, sf):
@@ -1581,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": _chunk_windows,            # RAG overlap chunking
         "budget_select": _budget_select,            # per-lang token budget
         "mix_rebalance": _mix_rebalance,            # uniform-lang data mix
+        "temperature_mix": _temperature_mix,        # mT5-style lang mix
         "pack_sequences": _pack_sequences,          # token-budget packing
         "decontaminate": _decontaminate,            # holdout n-gram overlap
         "pii_scrub": _pii_scrub,                    # email/phone redaction
@@ -1869,6 +1884,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "budget_select": _oracle_budget_select(1500),
         "mix_rebalance": _oracle_mix_rebalance(),
+        "temperature_mix": _oracle_temperature_mix(
+            alpha=0.3, budget_frac=0.5
+        ),
         "token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM({T.oracle_token_count('text')}) AS BIGINT)

@@ -105,6 +105,7 @@ OP_QUERIES = [
     "text_normalize",
     "budget_select",
     "mix_rebalance",
+    "temperature_mix",
     "importance_select",
     "pagerank_hosts",
     "hits_hosts",

@@ -329,3 +329,124 @@ def oracle_importance_select(
                  AS selected
         FROM per
     """
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled multilingual sampling (the mT5/XLM-R mixing
+    rule): group g is drawn with probability p_g ∝ (n_g/N)^alpha, so
+    alpha<1 upsamples low-resource languages relative to their natural
+    share while keeping the head dominant. The corpus is thinned to
+    ~budget_frac*N rows matching that mix, with the same replayable
+    md5-threshold Bernoulli rule as mix_rebalance/hash_sample.
+
+    keep(row) <=> u(id) < rate_g,
+    rate_g = min(1, round(p_g * budget / n_g, 8))
+
+    The 8dp rounding happens on BOTH engines before the comparison, so
+    a last-ulp pow() difference can never flip a keep decision.
+
+    100 TB shape: group counts are one hash aggregate; everything else
+    is a broadcast of the per-group rate table onto a shuffle-free
+    corpus projection — no per-group top-k, no global sort.
+
+    Returns (id, grp, weight, keep) where weight = round(p_g, 8).
+    """
+    if not 0 < budget_frac <= 1:
+        raise ValueError("budget_frac must be in (0, 1]")
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.agg(F.sum("cnt").alias("n"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "cnt",
+        "n",
+        F.pow(
+            F.col("cnt").cast("double") / F.col("n").cast("double"),
+            F.lit(float(alpha)),
+        ).alias("wraw"),
+    )
+    norm = w.agg(F.sum("wraw").alias("z"))
+    rates = w.crossJoin(F.broadcast(norm)).select(
+        "grp",
+        F.round(F.col("wraw") / F.col("z"), 8).alias("weight"),
+        F.least(
+            F.lit(1.0),
+            F.round(
+                (F.col("wraw") / F.col("z"))
+                * F.lit(float(budget_frac))
+                * F.col("n").cast("double")
+                / F.col("cnt").cast("double"),
+                8,
+            ),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}:"), F.col("id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+        .join(F.broadcast(rates), "grp")
+        .select(
+            "id",
+            "grp",
+            "weight",
+            (u < F.col("rate")).alias("keep"),
+        )
+    )
+
+
+def oracle_temperature_mix(
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    salt: str = "tmix",
+) -> str:
+    """DuckDB SQL computing exactly temperature_mix()."""
+    a = repr(float(alpha))
+    b = repr(float(budget_frac))
+    return f"""
+        WITH counts AS (
+          SELECT {group_col} AS grp, count(*) AS cnt FROM {table}
+          GROUP BY 1
+        ), tot AS (SELECT SUM(cnt) AS n FROM counts),
+        w AS (
+          SELECT grp, cnt, tot.n,
+                 pow(CAST(cnt AS DOUBLE) / CAST(tot.n AS DOUBLE), {a})
+                   AS wraw
+          FROM counts CROSS JOIN tot
+        ), norm AS (SELECT SUM(wraw) AS z FROM w),
+        rates AS (
+          SELECT grp,
+                 round(wraw / norm.z, 8) AS weight,
+                 least(1.0, round((wraw / norm.z) * {b}
+                       * CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE), 8))
+                   AS rate
+          FROM w CROSS JOIN norm
+        )
+        SELECT d.{id_col} AS id, d.{group_col} AS grp, r.weight,
+               (CAST('0x' || substring(
+                  md5('{salt}:' || CAST(d.{id_col} AS VARCHAR)), 1, 8)
+                  AS BIGINT) / 4294967296.0 < r.rate) AS keep
+        FROM {table} d JOIN rates r ON d.{group_col} = r.grp
+    """
