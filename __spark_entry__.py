@@ -31,6 +31,7 @@ from navigator_document_parser_spark.operators.dedup import (
 )
 from navigator_document_parser_spark.operators.dedup import (
     oracle_bloom_snapshot_filter as _oracle_bloom_snapshot_filter,
+    oracle_cdc_dedup as _oracle_cdc_dedup,
     oracle_paragraph_dedup as _oracle_paragraph_dedup,
     oracle_snapshot_dedup as _oracle_snapshot_dedup,
 )
@@ -435,6 +436,16 @@ def _dedup_bloom(spark, sf):
         F.expr(_SNAPSHOT_NEW_TEXT_SQL.replace("AS VARCHAR", "AS STRING")),
     )
     return bloom_snapshot_filter(new, old)
+
+
+def _dedup_cdc(spark, sf):
+    """Content-defined chunk dedup: token-hash boundaries (rsync/LBFS
+    trick) re-sync after insertions, so shifted duplicates still chunk
+    identically; first occurrence owns a chunk (operators/dedup.py
+    cdc_dedup)."""
+    from navigator_document_parser_spark.operators.dedup import cdc_dedup
+
+    return cdc_dedup(_docs(spark, sf), avg_chunk=8)
 
 
 def _dedup_paragraphs(spark, sf):
@@ -1608,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_incremental": _dedup_incremental,
         "dedup_bloom": _dedup_bloom,
+        "dedup_cdc": _dedup_cdc,
         "dedup_paragraphs": _dedup_paragraphs,
         "dedup_substring": _dedup_substring,
         "dedup_components": _dedup_components,
@@ -2070,6 +2082,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_incremental": _oracle_snapshot_dedup(_SNAPSHOT_NEW_TEXT_SQL),
         "dedup_bloom": _oracle_bloom_snapshot_filter(_SNAPSHOT_NEW_TEXT_SQL),
+        "dedup_cdc": _oracle_cdc_dedup(avg_chunk=8),
         "dedup_paragraphs": _oracle_paragraph_dedup(),
         "dedup_substring": """
             WITH toks AS (

@@ -114,6 +114,7 @@ OP_QUERIES = [
     "dedup_exact",
     "dedup_incremental",
     "dedup_bloom",
+    "dedup_cdc",
     "dedup_paragraphs",
     "dedup_substring",
     "dedup_minhash_pairs",

@@ -1130,3 +1130,163 @@ def oracle_bloom_snapshot_filter(
                NOT (bloom_hit AND h IN (SELECT h FROM oldh)) AS keep
         FROM probe
     """
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup
+# --------------------------------------------------------------------------
+
+def cdc_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    avg_chunk: int = 8,
+) -> DataFrame:
+    """Content-defined chunk dedup — the rsync/LBFS boundary trick at
+    token granularity: a token CLOSES a chunk iff md5(token) % avg_chunk
+    == 0, so expected chunk length is avg_chunk tokens and boundaries
+    re-synchronize after insertions/deletions. Fixed-window chunking
+    (paragraph_dedup) misses every repeat after a one-token shift; CDC
+    boundaries are a function of content alone, so shifted duplicates
+    land in identical chunks again.
+
+    First occurrence of a chunk (min (doc_id, chunk_idx), the CCNet
+    rule) owns it; later instances are duplicates.
+
+    100 TB shape: one shuffle keyed by doc (the running boundary count
+    is a per-doc window whose partitions are bounded by document
+    length), one chunk-hash aggregate with map-side combine for the
+    global first-occurrence (min-struct — NEVER a window over the chunk
+    hash, which would serialize hot chunks), and a chunk-level
+    equi-join back. Per-doc output keeps the result narrow.
+
+    Returns (doc_id, n_tokens, n_chunks, n_dup_chunks, dup_token_frac).
+    """
+    if avg_chunk <= 0:
+        raise ValueError("avg_chunk must be positive")
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("pos", "tok"),
+        )
+        .withColumn(
+            "boundary",
+            (
+                F.expr(
+                    "cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)"
+                )
+                % avg_chunk
+                == 0
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = toks.withColumn(
+        "chunk_idx", F.coalesce(F.sum("boundary").over(w), F.lit(0))
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).alias("c_toks"),
+            F.sort_array(F.collect_list(F.struct("pos", "tok"))).alias(
+                "parts"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "c_toks",
+            F.md5(
+                F.array_join(
+                    F.expr("transform(parts, s -> s.tok)"), " "
+                )
+            ).alias("h"),
+        )
+    )
+    firsts = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
+    )
+    flagged = chunks.join(firsts, "h").select(
+        "doc_id",
+        "c_toks",
+        (
+            (F.col("first.doc_id") != F.col("doc_id"))
+            | (F.col("first.chunk_idx") != F.col("chunk_idx"))
+        ).cast("int").alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.sum("c_toks").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_chunks"),
+        F.round(
+            F.sum(F.col("is_dup") * F.col("c_toks"))
+            / F.sum("c_toks").cast("double"),
+            4,
+        ).alias("dup_token_frac"),
+    )
+
+
+def oracle_cdc_dedup(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    avg_chunk: int = 8,
+) -> str:
+    """DuckDB SQL computing exactly cdc_dedup()."""
+    return f"""
+        WITH toks AS (
+          SELECT q.doc_id, q.i - 1 AS pos, q.ts[q.i] AS tok
+          FROM (
+            SELECT doc_id, ts,
+                   unnest(generate_series(1, len(ts))) AS i
+            FROM (
+              SELECT {id_col} AS doc_id,
+                     list_filter(string_split_regex(
+                       trim(lower({text_col})), '\\s+'),
+                       t -> length(t) > 0) AS ts
+              FROM {table}
+            )
+          ) q
+        ), flags AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN CAST('0x' || substring(md5(tok), 1, 8)
+                             AS BIGINT) % {avg_chunk} = 0
+                      THEN 1 ELSE 0 END AS boundary
+          FROM toks
+        ), chunked AS (
+          SELECT doc_id, pos, tok,
+                 COALESCE(SUM(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS chunk_idx
+          FROM flags
+        ), chunks AS (
+          SELECT doc_id, chunk_idx, count(*) AS c_toks,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+          FROM chunked GROUP BY doc_id, chunk_idx
+        ), firsts AS (
+          SELECT h, min(struct_pack(doc_id := doc_id,
+                                    chunk_idx := chunk_idx)) AS first
+          FROM chunks GROUP BY h
+        ), flagged AS (
+          SELECT c.doc_id, c.c_toks,
+                 CASE WHEN f.first.doc_id <> c.doc_id
+                        OR f.first.chunk_idx <> c.chunk_idx
+                      THEN 1 ELSE 0 END AS is_dup
+          FROM chunks c JOIN firsts f USING (h)
+        )
+        SELECT doc_id,
+               CAST(SUM(c_toks) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dup_chunks,
+               round(SUM(is_dup * c_toks)
+                     / CAST(SUM(c_toks) AS DOUBLE), 4) AS dup_token_frac
+        FROM flagged GROUP BY doc_id
+    """
