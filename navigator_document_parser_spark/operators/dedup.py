@@ -912,9 +912,11 @@ def oracle_snapshot_dedup(
           JOIN obands o ON n.band = o.band AND n.key = o.key
         )
         SELECT nd.doc_id,
-               (md5(nd.text) IN (SELECT h FROM oldh)) AS exact_dup,
+               EXISTS (SELECT 1 FROM oldh o
+                       WHERE o.h = md5(nd.text)) AS exact_dup,
                (nr.doc_id IS NOT NULL) AS near_dup,
-               (md5(nd.text) NOT IN (SELECT h FROM oldh)
+               (NOT EXISTS (SELECT 1 FROM oldh o
+                            WHERE o.h = md5(nd.text))
                 AND nr.doc_id IS NULL) AS keep
         FROM newdoc nd LEFT JOIN near nr USING (doc_id)
     """
@@ -940,6 +942,7 @@ def bloom_words(
     m_bits: int = 1 << 16,
     num_hashes: int = 4,
     hash_col: str | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Distributed Bloom-filter bitmap over distinct content hashes.
 
@@ -953,14 +956,19 @@ def bloom_words(
     the corpus it summarizes is 100 TB.
 
     Pass ``hash_col`` when the input already carries md5 content hashes
-    (e.g. a materialized committed-snapshot index) to skip re-hashing.
+    (e.g. a materialized committed-snapshot index) to skip re-hashing;
+    add ``assume_distinct=True`` when the caller guarantees uniqueness
+    to skip the dedup exchange as well (bit_or is idempotent, so
+    duplicates only cost work, never correctness).
     """
     if m_bits <= 0 or num_hashes <= 0:
         raise ValueError("m_bits and num_hashes must be positive")
     if hash_col is not None:
-        h = df.select(F.col(hash_col).alias("h")).dropDuplicates(["h"])
+        h = df.select(F.col(hash_col).alias("h"))
     else:
-        h = df.select(F.md5(F.col(text_col)).alias("h")).dropDuplicates(["h"])
+        h = df.select(F.md5(F.col(text_col)).alias("h"))
+    if not assume_distinct:
+        h = h.dropDuplicates(["h"])
     pos = h.select(
         F.explode(
             F.array(
@@ -1023,7 +1031,7 @@ def bloom_snapshot_filter(
         .localCheckpoint(eager=True)
     )
     words = bloom_words(old_h, m_bits=m_bits, num_hashes=num_hashes,
-                        hash_col="h")
+                        hash_col="h", assume_distinct=True)
     new_h = new_df.select(F.col(id_col).alias("id"),
                           F.md5(F.col(text_col)).alias("h"))
     probe = (
@@ -1056,14 +1064,25 @@ def bloom_snapshot_filter(
         )
         .groupBy("id", "h")
         .agg(F.expr("bool_and(hit)").alias("bloom_hit"))
+        # barrier: probe feeds BOTH the verify branch and the final
+        # join; without it the whole corpus-sized probe pipeline (scan,
+        # k-way explode, broadcast join, bool_and aggregate) executes
+        # twice — confirmed as two disjoint HashAggregate chains in the
+        # physical plan (CLAUDE.md lessons 3/7)
+        .localCheckpoint(eager=True)
     )
     verified = (
         probe.filter(F.col("bloom_hit"))
         .join(old_h.withColumn("_e", F.lit(True)), "h", "left")
-        .select("id", F.coalesce("_e", F.lit(False)).alias("exact_dup"))
+        .select(
+            "id", "h", F.coalesce("_e", F.lit(False)).alias("exact_dup")
+        )
     )
+    # join back on (id, h), not id alone: a doc_id re-crawled twice in
+    # one batch with different contents must pair each content's
+    # bloom_hit with ITS OWN verify verdict, never the sibling's
     return (
-        probe.join(verified, "id", "left")
+        probe.join(verified, ["id", "h"], "left")
         .select(
             F.col("id").alias(id_col),
             "bloom_hit",
@@ -1087,7 +1106,11 @@ def oracle_bloom_snapshot_filter(
     """DuckDB SQL computing exactly bloom_snapshot_filter() where the new
     snapshot is ``SELECT doc_id, <new_text_sql> AS text`` over ``table``
     and the committed snapshot is ``table`` itself. Same md5-derived bit
-    positions, same 32-bit word packing, bit-identical booleans."""
+    positions, same 32-bit word packing, bit-identical booleans.
+
+    Membership tests use EXISTS, never ``h IN (SELECT ...)``: a NULL in
+    the committed hash set turns three-valued IN into NULL where the
+    Spark side's left-join + coalesce yields FALSE."""
     js = ", ".join(f"({j})" for j in range(num_hashes))
 
     def pos(h: str, j: str = "j") -> str:
@@ -1124,10 +1147,13 @@ def oracle_bloom_snapshot_filter(
         )
         SELECT doc_id,
                bloom_hit,
-               (bloom_hit AND h IN (SELECT h FROM oldh)) AS exact_dup,
-               (bloom_hit AND h NOT IN (SELECT h FROM oldh))
+               (bloom_hit AND EXISTS (SELECT 1 FROM oldh o
+                                      WHERE o.h = probe.h)) AS exact_dup,
+               (bloom_hit AND NOT EXISTS (SELECT 1 FROM oldh o
+                                          WHERE o.h = probe.h))
                  AS false_positive,
-               NOT (bloom_hit AND h IN (SELECT h FROM oldh)) AS keep
+               NOT (bloom_hit AND EXISTS (SELECT 1 FROM oldh o
+                                          WHERE o.h = probe.h)) AS keep
         FROM probe
     """
 

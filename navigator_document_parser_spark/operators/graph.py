@@ -137,17 +137,22 @@ def hits(
     them per iteration the un-truncated plan grows ~4^t — Catalyst
     analysis time explodes long before execution does (measured: 5
     iterations un-analyzable in minutes; this shape runs in seconds).
-    Magnitudes grow like (total edge weight)^t between checkpoints —
-    fine in doubles for any realistic host graph; a production run at
-    extreme weights can lower checkpoint_every and rescale at each
-    barrier without changing the result direction.
+    Magnitudes grow like (total edge weight)^(2t) between barriers —
+    fine in doubles for the handful of iterations HITS needs on any
+    realistic host graph. For long runs or extreme weights, set
+    checkpoint_every>0: each barrier materializes the scores AND
+    L1-rescales them (a uniform scalar, result direction unchanged), so
+    both lineage depth and magnitude are bounded. The rescale's
+    double-reference is safe there because it reads the just-written
+    checkpoint blocks, not the un-truncated subtree.
 
     Scale: two shuffles per iteration (hash agg on dst, then on src),
     map-side combine on both; no driver collects or counts anywhere.
     checkpoint_every=0 (default) runs the whole power iteration as ONE
-    linear DAG — right for the handful of iterations HITS needs; set it
-    >0 to truncate lineage (and bound magnitudes) for long runs.
+    linear DAG — right for the handful of iterations HITS needs.
     """
+    if iterations <= 0:
+        raise ValueError("iterations must be positive")
     w = (
         F.col(weight).cast("double")
         if weight is not None
@@ -162,6 +167,20 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def _l1(df: DataFrame, col: str) -> DataFrame:
+        # embeds df twice (scores + 1-row norm): call ONLY on a
+        # materialized checkpoint or once at the very end — inside the
+        # loop on raw lineage this doubling compounds to ~4^t
+        norm = df.agg(
+            F.coalesce(F.sum(col), F.lit(0.0)).alias("_norm")
+        )
+        return df.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("_norm") == 0.0, F.lit(0.0))
+            .otherwise(F.col(col) / F.col("_norm"))
+            .alias(col),
+        )
 
     # init hub = 1.0, NOT 1/n: the final L1 normalize cancels any
     # uniform init scale, and skipping the count() removes a driver
@@ -194,20 +213,11 @@ def hits(
             and (i + 1) % int(checkpoint_every) == 0
             and i + 1 < iterations
         ):
-            auths = auths.localCheckpoint(eager=True)
-            hubs = hubs.localCheckpoint(eager=True)
-
-    def _l1(df: DataFrame, col: str) -> DataFrame:
-        # the only double-embedded subtree in the whole plan (runs once)
-        norm = df.agg(
-            F.coalesce(F.sum(col), F.lit(0.0)).alias("_norm")
-        )
-        return df.crossJoin(F.broadcast(norm)).select(
-            "node",
-            F.when(F.col("_norm") == 0.0, F.lit(0.0))
-            .otherwise(F.col(col) / F.col("_norm"))
-            .alias(col),
-        )
+            # materialize, THEN rescale reading the checkpoint blocks:
+            # bounds lineage depth AND score magnitude at each barrier
+            # (the L1 factor is uniform, so results are unchanged)
+            auths = _l1(auths.localCheckpoint(eager=True), "authority")
+            hubs = _l1(hubs.localCheckpoint(eager=True), "hub")
 
     return _l1(auths, "authority").join(_l1(hubs, "hub"), "node").select(
         "node", "authority", "hub"

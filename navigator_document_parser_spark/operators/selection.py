@@ -39,6 +39,25 @@ from navigator_document_parser_spark.operators.text import (
 )
 
 
+def uniform_u(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1) draw from a row id: the first 32 bits
+    of md5('<salt>:' || id) / 2^32 — the single replayable-Bernoulli
+    primitive shared by mix_rebalance, temperature_mix and the text.py
+    hash_sample oracle family. One definition so a salt-format change
+    can never skew one sampler against another."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+
 def budget_select(
     df: DataFrame,
     token_budget: int,
@@ -144,20 +163,7 @@ def mix_rebalance(
             "keep_rate"
         ),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(f"{salt}:"), F.col("id").cast("string"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(4294967296.0)
-    )
+    u = uniform_u(F.col("id"), salt)
     return (
         df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
         .join(F.broadcast(rates), "grp")
@@ -388,20 +394,7 @@ def temperature_mix(
             ),
         ).alias("rate"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(f"{salt}:"), F.col("id").cast("string"))
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(4294967296.0)
-    )
+    u = uniform_u(F.col("id"), salt)
     return (
         df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
         .join(F.broadcast(rates), "grp")

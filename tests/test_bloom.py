@@ -94,3 +94,19 @@ def test_bloom_words_rejects_bad_params(spark):
         bloom_words(_corpus(spark, 5), m_bits=0)
     with pytest.raises(ValueError):
         bloom_words(_corpus(spark, 5), num_hashes=0)
+
+
+def test_duplicate_doc_ids_keep_their_own_verdicts(spark):
+    # one doc_id crawled twice in a batch: one content committed, one
+    # fresh — each row must pair its own bloom_hit with its own verify
+    old = _corpus(spark, 10)
+    new = spark.createDataFrame(
+        [(3, "committed document body 3"), (3, "a brand new page")],
+        "doc_id bigint, text string",
+    )
+    rows = bloom_snapshot_filter(new, old, m_bits=4096, num_hashes=3)
+    out = sorted(
+        (r["exact_dup"], r["keep"]) for r in rows.collect()
+    )
+    assert len(out) == 2
+    assert out == [(False, True), (True, False)]
