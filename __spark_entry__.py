@@ -38,6 +38,9 @@ from navigator_document_parser_spark.operators.dedup import (
 from navigator_document_parser_spark.operators.bpe import (
     oracle_bpe_train as _oracle_bpe_train,
 )
+from navigator_document_parser_spark.operators.layout import (
+    oracle_zorder_layout as _oracle_zorder_layout,
+)
 from navigator_document_parser_spark.operators.search import (
     oracle_bm25_search as _oracle_bm25_search,
     oracle_index_export as _oracle_index_export,
@@ -699,6 +702,20 @@ _FETCH_PLAN_SQL = (
     "'h' || CAST(doc_id % 23 AS VARCHAR) || '.example.org' AS host "
     "FROM documents"
 )
+
+
+def _zorder_layout(spark, sf):
+    """Z-order (Morton) clustering of documents on (n_chars, doc_id):
+    integer min-max scaling + bit interleave, the multi-dimensional
+    scan-pruning layout Delta's OPTIMIZE ZORDER writes
+    (operators/layout.py zorder_layout)."""
+    from navigator_document_parser_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    return zorder_layout(
+        _docs(spark, sf), "n_chars", "doc_id", bits=16, n_buckets=32
+    )
 
 
 def _fetch_schedule(spark, sf):
@@ -1591,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_export": _index_export,              # posting-block export
         "fetch_schedule": _fetch_schedule,          # politeness crawl slots
         "text_normalize": _text_normalize,          # unicode/ws cleanup
+        "zorder_layout": _zorder_layout,            # Morton-curve layout
         "bpe_train": _bpe_train,                    # learn BPE merges
         "url_filter": _url_filter,                  # canonicalize + blocklist
         "robots_filter": _robots_filter,            # REP longest-match rules
@@ -1838,6 +1856,9 @@ def oracle_sql() -> dict[str, str]:
         "index_export": _oracle_index_export(),
         "fetch_schedule": _oracle_fetch_schedule(_FETCH_PLAN_SQL, 8),
         "text_normalize": T.oracle_normalize_text(_MESSY_TEXT_SQL),
+        "zorder_layout": _oracle_zorder_layout(
+            "n_chars", "doc_id", bits=16, n_buckets=32
+        ),
         "bpe_train": _oracle_bpe_train(8),
         "url_filter": _oracle_filter_urls(_URL_BLOCKLIST, _URL_SYNTH_SQL),
         "robots_filter": _oracle_robots_filter(

@@ -103,6 +103,7 @@ OP_QUERIES = [
     "bpe_tokenize",
     "bpe_train",
     "text_normalize",
+    "zorder_layout",
     "budget_select",
     "mix_rebalance",
     "temperature_mix",
