@@ -1110,6 +1110,18 @@ def _embedding_neardup(spark, sf):
     return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)
 
 
+def _pq_encode(spark, sf):
+    """Product quantization over the embeddings table: 64-dim vectors
+    -> 4 codebook ids (8 centroids each, md5-deterministic — swap in
+    per-subspace trained k-means for production) + the exact ADC
+    reconstruction error (operators/similarity.py pq_encode)."""
+    from navigator_document_parser_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    return pq_encode(_emb(spark, sf), dim=64, n_subspaces=4, n_centroids=8)
+
+
 def _semdedup(spark, sf):
     """SemDeDup-style semantic dedup over the embeddings table:
     md5-deterministic centroids (oracle-expressible; swap in ivf_train
@@ -1647,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,    # == brute force
         "embedding_neardup": _embedding_neardup,
         "semdedup": _semdedup,                      # semantic cluster dedup
+        "pq_encode": _pq_encode,                    # product quantization
         "quantize_embeddings": _quantize_embeddings,
         "multimodal_features": _multimodal_features,  # oracle: python VALUES
         "multimodal_frames": _multimodal_frames,      # oracle: python VALUES
@@ -2343,6 +2356,13 @@ def oracle_sql() -> dict[str, str]:
         oracle_semdedup,
     )
 
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_pq_encode,
+    )
+
+    oracles["pq_encode"] = oracle_pq_encode(
+        dim=64, n_subspaces=4, n_centroids=8
+    )
     oracles["semdedup"] = oracle_semdedup(
         dim=64, n_clusters=8, threshold=0.35
     )

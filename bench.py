@@ -128,6 +128,7 @@ OP_QUERIES = [
     "knn_ivf",
     "embedding_neardup",
     "semdedup",
+    "pq_encode",
     "multimodal_features",
     "translate_pipeline",
     "events_hourly",
