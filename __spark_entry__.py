@@ -1122,6 +1122,20 @@ def _pq_encode(spark, sf):
     return pq_encode(_emb(spark, sf), dim=64, n_subspaces=4, n_centroids=8)
 
 
+def _knn_pq(spark, sf):
+    """ADC kNN over PQ codes (the IVF-PQ query path): corpus reduced
+    to 4 codebook ids, queries score via a broadcast literal distance
+    table — approximate vs true kNN but deterministic given the codes,
+    hence fully oracle-checked (operators/similarity.py knn_pq)."""
+    from navigator_document_parser_spark.operators.similarity import knn_pq
+
+    emb = _emb(spark, sf)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_pq(emb, queries, dim=64, n_subspaces=4, n_centroids=8, k=10)
+
+
 def _semdedup(spark, sf):
     """SemDeDup-style semantic dedup over the embeddings table:
     md5-deterministic centroids (oracle-expressible; swap in ivf_train
@@ -1660,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _embedding_neardup,
         "semdedup": _semdedup,                      # semantic cluster dedup
         "pq_encode": _pq_encode,                    # product quantization
+        "knn_pq": _knn_pq,                          # ADC search over codes
         "quantize_embeddings": _quantize_embeddings,
         "multimodal_features": _multimodal_features,  # oracle: python VALUES
         "multimodal_frames": _multimodal_frames,      # oracle: python VALUES
@@ -2357,11 +2372,15 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from navigator_document_parser_spark.operators.similarity import (
+        oracle_knn_pq,
         oracle_pq_encode,
     )
 
     oracles["pq_encode"] = oracle_pq_encode(
         dim=64, n_subspaces=4, n_centroids=8
+    )
+    oracles["knn_pq"] = oracle_knn_pq(
+        dim=64, n_subspaces=4, n_centroids=8, k=10
     )
     oracles["semdedup"] = oracle_semdedup(
         dim=64, n_clusters=8, threshold=0.35

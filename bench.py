@@ -129,6 +129,7 @@ OP_QUERIES = [
     "embedding_neardup",
     "semdedup",
     "pq_encode",
+    "knn_pq",
     "multimodal_features",
     "translate_pipeline",
     "events_hourly",

@@ -17,7 +17,7 @@ oracle (DuckDB list_cosine_similarity) at 4dp rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1012,4 +1012,209 @@ def oracle_pq_encode(
         SELECT vec_id, {codes},
                round({err}, 6) AS recon_err
         FROM a
+    """
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate kNN by asymmetric distance computation (ADC) over PQ
+    codes — the actual IVF-PQ query path: the corpus is represented
+    only by its n_subspaces codebook ids, and a query scores a vector
+    as sum_s table_q[s][code_s], where table_q is the query's
+    precomputed distance to every codebook centroid.
+
+    Although the RESULT is approximate (quantization error vs true
+    kNN), the COMPUTATION is deterministic given the codes, so the
+    whole operator is oracle-checkable — unlike knn_ivf, whose probe
+    set depends on trained centroids.
+
+    Engine parity: the per-(query, subspace, centroid) distances are
+    computed on the DRIVER in left-associated Python float64 (queries
+    are the tiny side — the same collect knn_lsh's hyperplanes rely
+    on) and injected as a literal broadcast table; Python's
+    left-to-right accumulation performs the identical IEEE op sequence
+    as the oracle's SQL fold, so the literals match bit-for-bit. The
+    final distance is the explicit left-associated sum of the
+    n_subspaces conditional-aggregate columns — never sum() over rows,
+    whose accumulation order is partition-dependent.
+
+    100 TB shape: codes come from pq_encode's fused Arrow path (one
+    matmul per subspace, zero shuffle); the query side is a broadcast
+    of nq * m * k' literal rows; scoring is one broadcast equi-join on
+    (s, code) + one (query, vec) hash aggregate with map-side combine;
+    ranking is the standard per-query top-k window.
+
+    Returns (query_id, rank, vec_id, dist).
+    """
+    if dim % n_subspaces != 0:
+        raise ValueError("dim must divide evenly into n_subspaces")
+    sub = dim // n_subspaces
+    books = [
+        [
+            _unit(_hyperplane(sub, s * n_centroids + c, seed))
+            for c in range(n_centroids)
+        ]
+        for s in range(n_subspaces)
+    ]
+    spark = embeddings.sparkSession
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    adc = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        for s in range(n_subspaces):
+            xs = qv[s * sub : (s + 1) * sub]
+            for c, cent in enumerate(books[s]):
+                d = 0.0
+                for x, ce in zip(xs, cent):
+                    d = d + (x - ce) * (x - ce)
+                adc.append((int(r["qid"]), s + 1, c + 1, d))
+    adc_df = spark.createDataFrame(
+        adc, "qid bigint, s int, code int, d double"
+    )
+
+    codes = pq_encode(
+        embeddings,
+        dim,
+        n_subspaces=n_subspaces,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        recon="fused",
+    ).select(
+        id_col,
+        *[f"code_{s + 1}" for s in range(n_subspaces)],
+    )
+    stack = ", ".join(
+        f"{s + 1}, code_{s + 1}" for s in range(n_subspaces)
+    )
+    unpivoted = codes.select(
+        F.col(id_col),
+        F.expr(f"stack({n_subspaces}, {stack}) AS (s, code)"),
+    )
+    per_sub = (
+        unpivoted.join(F.broadcast(adc_df), ["s", "code"])
+        .groupBy("qid", id_col)
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("s") == s + 1, F.col("d"))
+                ).alias(f"d{s + 1}")
+                for s in range(n_subspaces)
+            ]
+        )
+    )
+    dist = F.col("d1")
+    for s in range(1, n_subspaces):
+        dist = dist + F.col(f"d{s + 1}")
+    scored = per_sub.select(
+        F.col("qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(dist, 6).alias("dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "dist")
+    )
+
+
+def oracle_knn_pq(
+    dim: int,
+    n_subspaces: int = 4,
+    n_centroids: int = 8,
+    k: int = 10,
+    seed: int = 11,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_filter: str = "vec_id < 5",
+) -> str:
+    """DuckDB SQL computing exactly knn_pq() with queries drawn from
+    ``table`` rows matching ``query_filter``: codes via the pq_encode
+    oracle ladder, ADC distances via the identical left-associated
+    fold over the query vectors."""
+    sub = dim // n_subspaces
+    books = [
+        [
+            _unit(_hyperplane(sub, s * n_centroids + c, seed))
+            for c in range(n_centroids)
+        ]
+        for s in range(n_subspaces)
+    ]
+
+    def fold(s: int, cent: list[float]) -> str:
+        terms = " + ".join(
+            f"(qv[{s * sub + d + 1}] - ({cent[d]!r}))"
+            f" * (qv[{s * sub + d + 1}] - ({cent[d]!r}))"
+            for d in range(sub)
+        )
+        return f"(0.0 + {terms})"
+
+    arms = []
+    for s in range(n_subspaces):
+        for c, cent in enumerate(books[s]):
+            arms.append(
+                f"SELECT qid, {s + 1} AS s, {c + 1} AS code, "
+                f"{fold(s, cent)} AS d FROM q"
+            )
+    adc = "\n          UNION ALL\n          ".join(arms)
+    pq_sql = oracle_pq_encode(
+        dim,
+        n_subspaces=n_subspaces,
+        n_centroids=n_centroids,
+        seed=seed,
+        table=table,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    unpiv = "\n          UNION ALL\n          ".join(
+        f"SELECT vec_id, {s + 1} AS s, code_{s + 1} AS code FROM pq"
+        for s in range(n_subspaces)
+    )
+    dsum = " + ".join(f"d{s + 1}" for s in range(n_subspaces))
+    dcols = ", ".join(
+        f"SUM(CASE WHEN u.s = {s + 1} THEN a.d END) AS d{s + 1}"
+        for s in range(n_subspaces)
+    )
+    return f"""
+        WITH q AS (
+          SELECT {id_col} AS qid, CAST({vec_col} AS DOUBLE[]) AS qv
+          FROM {table} WHERE {query_filter}
+        ), adc AS (
+          {adc}
+        ), pq AS ({pq_sql}
+        ), unpiv AS (
+          {unpiv}
+        ), agg AS (
+          SELECT a.qid, u.vec_id, {dcols}
+          FROM unpiv u JOIN adc a ON a.s = u.s AND a.code = u.code
+          GROUP BY a.qid, u.vec_id
+        ), scored AS (
+          SELECT qid AS query_id, vec_id, round({dsum}, 6) AS dist
+          FROM agg
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rank AS BIGINT) AS rank, vec_id, dist
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY dist ASC, vec_id ASC) AS rank
+          FROM scored
+        )
+        WHERE rank <= {k}
     """
