@@ -1110,6 +1110,53 @@ def _embedding_neardup(spark, sf):
     return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)
 
 
+def _hll_distinct(spark, sf):
+    """HyperLogLog per-language vocabulary-size estimate (p=8, integer
+    rho via binary-string length, dyadic harmonic sum — exact across
+    engines; operators/sketches.py hll_distinct)."""
+    from navigator_document_parser_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    toks = _docs(spark, sf).select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    return hll_distinct(toks, group_col="lang", value_col="tok", p=8)
+
+
+def _kmv_distinct(spark, sf):
+    """KMV (k minimum values) per-language vocabulary estimate, k=32;
+    exact-count fallback for groups under k distinct hashes
+    (operators/sketches.py kmv_distinct)."""
+    from navigator_document_parser_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    toks = _docs(spark, sf).select(
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    )
+    return kmv_distinct(toks, group_col="lang", value_col="tok", k=32)
+
+
+_SKETCH_TOKENS_SQL = (
+    "SELECT lang, unnest(list_filter(string_split_regex("
+    "trim(lower(text)), '\\s+'), t -> length(t) > 0)) AS tok "
+    "FROM documents"
+)
+
+
 def _pq_encode(spark, sf):
     """Product quantization over the embeddings table: 64-dim vectors
     -> 4 codebook ids (8 centroids each, md5-deterministic — swap in
@@ -1675,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _semdedup,                      # semantic cluster dedup
         "pq_encode": _pq_encode,                    # product quantization
         "knn_pq": _knn_pq,                          # ADC search over codes
+        "hll_distinct": _hll_distinct,              # HyperLogLog sketch
+        "kmv_distinct": _kmv_distinct,              # KMV distinct sketch
         "quantize_embeddings": _quantize_embeddings,
         "multimodal_features": _multimodal_features,  # oracle: python VALUES
         "multimodal_frames": _multimodal_frames,      # oracle: python VALUES
@@ -2381,6 +2430,17 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["knn_pq"] = oracle_knn_pq(
         dim=64, n_subspaces=4, n_centroids=8, k=10
+    )
+    from navigator_document_parser_spark.operators.sketches import (
+        oracle_hll_distinct,
+        oracle_kmv_distinct,
+    )
+
+    oracles["hll_distinct"] = oracle_hll_distinct(
+        value_col="tok", table=f"({_SKETCH_TOKENS_SQL})", p=8
+    )
+    oracles["kmv_distinct"] = oracle_kmv_distinct(
+        value_col="tok", table=f"({_SKETCH_TOKENS_SQL})", k=32
     )
     oracles["semdedup"] = oracle_semdedup(
         dim=64, n_clusters=8, threshold=0.35

@@ -112,6 +112,8 @@ OP_QUERIES = [
     "hits_hosts",
     "domain_quality",
     "corpus_report",
+    "hll_distinct",
+    "kmv_distinct",
     "dedup_exact",
     "dedup_incremental",
     "dedup_bloom",

@@ -1,0 +1,234 @@
+"""Cardinality sketches: HyperLogLog and KMV distinct-count estimation.
+
+A 100 TB corpus job asks "how many distinct tokens / urls / hosts per
+group" constantly; exact count_distinct shuffles every distinct value.
+These sketches bound the state at m registers (HLL) or k minima (KMV)
+per group — the aggregate state a production pipeline merges across
+snapshots instead of recounting.
+
+Engine parity is exact by construction, not by tolerance:
+  - hashes are the repo's portable md5 32-bit primitive;
+  - register selection and the rank rho use INTEGER paths only — rho
+    comes from the length of the binary string of the hash remainder
+    (conv(r,10,2) / bin(r)), never floor(log2(r)) whose libm boundary
+    behavior differs;
+  - the HLL harmonic sum adds 2^-rho terms: dyadic rationals whose
+    partial sums stay below 53 significand bits at m=256, so every
+    partial sum is EXACT and the float sum is order-independent —
+    safe under any shuffle order;
+  - alpha_m is computed once in Python and injected into both engines
+    as the same repr literal;
+  - only the final estimate (one ln() in the linear-counting branch,
+    one division) is rounded (4dp) before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _u32_sql(col: str, dialect: str) -> str:
+    if dialect == "spark":
+        return (
+            f"cast(conv(substring(md5(cast({col} as string)), 1, 8), 16, 10)"
+            f" as bigint)"
+        )
+    return (
+        f"CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT)"
+    )
+
+
+def _alpha(m: int) -> float:
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "text",
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (Flajolet 2007).
+
+    register = top p hash bits, rho = leading-zero rank of the
+    remaining B = 32-p bits (via binary-string length — integer-exact).
+    Small-range (linear counting) correction applies below 2.5m, the
+    regime register-zero counts make reliable.
+
+    100 TB shape: ONE hash aggregate keyed (group, register) with
+    map-side combine — state is at most m rows per group however many
+    distinct values stream through — then an m-bounded per-group
+    reduction. This is the mergeable-state layout: union of snapshots =
+    max of registers.
+
+    Returns (grp, v_zero, estimate) with estimate rounded to 4dp.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    b = 32 - p
+    alpha = _alpha(m)
+    u = _u32_sql(value_col, "spark")
+    regs = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(f"({u}) div {1 << b}").alias("reg"),
+            F.expr(f"({u}) % {1 << b}").alias("r"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("r") == 0, F.lit(b + 1)).otherwise(
+                F.lit(b + 1) - F.length(F.expr("conv(r, 10, 2)"))
+            ),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    per_grp = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("pow(2.0, -mx)")).alias("ssum"),
+    )
+    est_raw = F.lit(alpha * m * m) / (
+        F.col("ssum") + (F.lit(m) - F.col("used"))
+    )
+    v_zero = (F.lit(m) - F.col("used")).cast("bigint")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero)
+    return per_grp.select(
+        "grp",
+        v_zero.alias("v_zero"),
+        F.round(
+            F.when(
+                (est_raw <= 2.5 * m) & (v_zero > 0), linear
+            ).otherwise(est_raw),
+            4,
+        ).alias("estimate"),
+    )
+
+
+def oracle_hll_distinct(
+    group_col: str = "lang",
+    value_col: str = "text",
+    table: str = "documents",
+    p: int = 8,
+) -> str:
+    """DuckDB SQL computing exactly hll_distinct()."""
+    m = 1 << p
+    b = 32 - p
+    alpha = _alpha(m)
+    u = _u32_sql(value_col, "duckdb")
+    return f"""
+        WITH h AS (
+          SELECT {group_col} AS grp,
+                 ({u}) // {1 << b} AS reg,
+                 ({u}) % {1 << b} AS r
+          FROM {table}
+        ), rho AS (
+          SELECT grp, reg,
+                 CASE WHEN r = 0 THEN {b + 1}
+                      ELSE {b + 1} - length(bin(r)) END AS rho
+          FROM h
+        ), regs AS (
+          SELECT grp, reg, max(rho) AS mx FROM rho GROUP BY grp, reg
+        ), per_grp AS (
+          SELECT grp, count(*) AS used,
+                 SUM(pow(2.0, -mx)) AS ssum
+          FROM regs GROUP BY grp
+        )
+        SELECT grp,
+               CAST({m} - used AS BIGINT) AS v_zero,
+               round(
+                 CASE WHEN ({alpha * m * m!r} / (ssum + ({m} - used)))
+                        <= {2.5 * m!r}
+                       AND ({m} - used) > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / ({m} - used))
+                      ELSE {alpha * m * m!r} / (ssum + ({m} - used))
+                 END, 4) AS estimate
+        FROM per_grp
+    """
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "text",
+    k: int = 32,
+) -> DataFrame:
+    """KMV (k minimum values) distinct estimate per group: keep the k
+    smallest distinct hash fractions u in (0,1]; the k-th smallest
+    estimates density, n ≈ (k-1)/u_k (Bar-Yossef 2002). Groups with
+    fewer than k distinct hashes report their exact distinct count
+    (the sketch IS the value set there).
+
+    100 TB shape: distinct-hash dedup is one (grp, u) aggregate; the
+    k-th minimum is a per-group window over at most the distinct
+    hashes — production keeps only k minima per partition first (a
+    map-side top-k) so the exchange is k rows per group per mapper.
+
+    Returns (grp, n_kept, estimate 4dp).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    u32 = _u32_sql(value_col, "spark")
+    hashes = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            # (u32 + 1) / 2^32: strictly positive so (k-1)/u_k is finite
+            ((F.expr(u32) + 1) / F.lit(4294967296.0)).alias("u"),
+        )
+        .dropDuplicates(["grp", "u"])
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("u").asc())
+    ranked = hashes.withColumn("rk", F.row_number().over(w))
+    per_grp = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max(F.when(F.col("rk") == k, F.col("u"))).alias("uk"),
+    )
+    return per_grp.select(
+        "grp",
+        F.least(F.col("n_distinct"), F.lit(k))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.round(
+            F.when(
+                F.col("n_distinct") < k,
+                F.col("n_distinct").cast("double"),
+            ).otherwise(F.lit(float(k - 1)) / F.col("uk")),
+            4,
+        ).alias("estimate"),
+    )
+
+
+def oracle_kmv_distinct(
+    group_col: str = "lang",
+    value_col: str = "text",
+    table: str = "documents",
+    k: int = 32,
+) -> str:
+    """DuckDB SQL computing exactly kmv_distinct()."""
+    u32 = _u32_sql(value_col, "duckdb")
+    return f"""
+        WITH h AS (
+          SELECT DISTINCT {group_col} AS grp,
+                 (({u32}) + 1) / 4294967296.0 AS u
+          FROM {table}
+        ), ranked AS (
+          SELECT grp, u,
+                 row_number() OVER (PARTITION BY grp ORDER BY u ASC)
+                   AS rk
+          FROM h
+        ), per_grp AS (
+          SELECT grp, count(*) AS n_distinct,
+                 max(CASE WHEN rk = {k} THEN u END) AS uk
+          FROM ranked GROUP BY grp
+        )
+        SELECT grp,
+               CAST(least(n_distinct, {k}) AS BIGINT) AS n_kept,
+               round(CASE WHEN n_distinct < {k}
+                          THEN CAST(n_distinct AS DOUBLE)
+                          ELSE {float(k - 1)!r} / uk END, 4) AS estimate
+        FROM per_grp
+    """
