@@ -1156,6 +1156,25 @@ _SKETCH_TOKENS_SQL = (
     "FROM documents"
 )
 
+_CMS_TERMS = ["table", "hash", "join", "window", "spark", "neverseen"]
+
+
+def _cms_counts(spark, sf):
+    """Count-min sketch point estimates (d=4, w=256) for a fixed term
+    list over the token stream — bounded d*w counter state, min-of-rows
+    lookup (operators/sketches.py cms_counts)."""
+    from navigator_document_parser_spark.operators.sketches import cms_counts
+
+    toks = _docs(spark, sf).select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok")
+    )
+    return cms_counts(toks, _CMS_TERMS, value_col="tok")
+
 
 def _pq_encode(spark, sf):
     """Product quantization over the embeddings table: 64-dim vectors
@@ -1724,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": _knn_pq,                          # ADC search over codes
         "hll_distinct": _hll_distinct,              # HyperLogLog sketch
         "kmv_distinct": _kmv_distinct,              # KMV distinct sketch
+        "cms_counts": _cms_counts,                  # count-min estimates
         "quantize_embeddings": _quantize_embeddings,
         "multimodal_features": _multimodal_features,  # oracle: python VALUES
         "multimodal_frames": _multimodal_frames,      # oracle: python VALUES
@@ -2441,6 +2461,13 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["kmv_distinct"] = oracle_kmv_distinct(
         value_col="tok", table=f"({_SKETCH_TOKENS_SQL})", k=32
+    )
+    from navigator_document_parser_spark.operators.sketches import (
+        oracle_cms_counts,
+    )
+
+    oracles["cms_counts"] = oracle_cms_counts(
+        _CMS_TERMS, value_col="tok", table=f"({_SKETCH_TOKENS_SQL})"
     )
     oracles["semdedup"] = oracle_semdedup(
         dim=64, n_clusters=8, threshold=0.35

@@ -114,6 +114,7 @@ OP_QUERIES = [
     "corpus_report",
     "hll_distinct",
     "kmv_distinct",
+    "cms_counts",
     "dedup_exact",
     "dedup_incremental",
     "dedup_bloom",

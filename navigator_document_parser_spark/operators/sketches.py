@@ -232,3 +232,129 @@ def oracle_kmv_distinct(
                           ELSE {float(k - 1)!r} / uk END, 4) AS estimate
         FROM per_grp
     """
+
+
+def cms_counts(
+    df: DataFrame,
+    terms: list[str],
+    value_col: str = "tok",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) point estimates
+    for ``terms``: d x w counters built in ONE hash aggregate (state
+    bounded at d*w rows regardless of stream size — the mergeable
+    sum-of-counters layout), then each queried term reads its d cells
+    and takes the min. Estimates always >= the true count; collisions
+    only ever inflate.
+
+    Row hashes are the portable md5 primitive seeded per row
+    (md5('<row>:' || value)), so the DuckDB oracle builds the
+    bit-identical counter table.
+
+    Returns (term, est_count).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    spark = df.sparkSession
+
+    def cell_sql(row: int, col: str, dialect: str) -> str:
+        if dialect == "spark":
+            return (
+                f"cast(conv(substring(md5('{row}:' || cast({col} as string)),"
+                f" 1, 8), 16, 10) as bigint) % {width}"
+            )
+        return (
+            f"CAST('0x' || substring(md5('{row}:' || CAST({col} AS VARCHAR)),"
+            f" 1, 8) AS BIGINT) % {width}"
+        )
+
+    counters = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row"),
+                            F.expr(cell_sql(r, value_col, "spark")).alias(
+                                "cell"
+                            ),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rc")
+        )
+        .groupBy("rc.row", "rc.cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    qrows = []
+    for t in sorted(set(terms)):
+        qrows.append((t,))
+    qdf = spark.createDataFrame(qrows, "term string")
+    lookups = qdf.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.expr(cell_sql(r, "term", "spark")).alias("cell"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("term", "rc.row", "rc.cell")
+    return (
+        lookups.join(F.broadcast(counters), ["row", "cell"], "left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0)))
+            .cast("bigint")
+            .alias("est_count")
+        )
+    )
+
+
+def oracle_cms_counts(
+    terms: list[str],
+    value_col: str = "tok",
+    table: str = "documents",
+    depth: int = 4,
+    width: int = 256,
+) -> str:
+    """DuckDB SQL computing exactly cms_counts()."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    def cell(row: int, col: str) -> str:
+        return (
+            f"CAST('0x' || substring(md5('{row}:' || CAST({col} AS VARCHAR)),"
+            f" 1, 8) AS BIGINT) % {width}"
+        )
+
+    stream_arms = "\n          UNION ALL\n          ".join(
+        f"SELECT {r} AS row, {cell(r, value_col)} AS cell FROM {table}"
+        for r in range(depth)
+    )
+    qvals = ", ".join(f"({sql_quote(t)})" for t in sorted(set(terms)))
+    lookup_arms = "\n          UNION ALL\n          ".join(
+        f"SELECT term, {r} AS row, {cell(r, 'term')} AS cell FROM q"
+        for r in range(depth)
+    )
+    return f"""
+        WITH stream AS (
+          {stream_arms}
+        ), counters AS (
+          SELECT row, cell, count(*) AS cnt FROM stream
+          GROUP BY row, cell
+        ), q(term) AS (VALUES {qvals}),
+        lookups AS (
+          {lookup_arms}
+        )
+        SELECT l.term,
+               CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+        FROM lookups l LEFT JOIN counters c
+          ON c.row = l.row AND c.cell = l.cell
+        GROUP BY l.term
+    """

@@ -55,3 +55,41 @@ def test_rejects_bad_params(spark):
         hll_distinct(df, p=2)
     with pytest.raises(ValueError):
         kmv_distinct(df, k=1)
+
+
+def test_cms_overestimates_never_under(spark):
+    from navigator_document_parser_spark.operators.sketches import (
+        cms_counts,
+    )
+
+    rows = (
+        [("g", "hot")] * 500
+        + [("g", f"tail{i}") for i in range(300)]
+        + [("g", "warm")] * 40
+    )
+    df = spark.createDataFrame(rows, "lang string, tok string").select(
+        F.col("tok")
+    )
+    out = {
+        r["term"]: r["est_count"]
+        for r in cms_counts(
+            df, ["hot", "warm", "absent"], depth=4, width=128
+        ).collect()
+    }
+    # CMS estimates are always >= truth; with d=4/w=128 over 840 items
+    # the inflation stays below the eps*N bound (~2.7*840/128 ≈ 18)
+    assert 500 <= out["hot"] <= 540
+    assert 40 <= out["warm"] <= 80
+    assert 0 <= out["absent"] <= 40
+
+
+def test_cms_rejects_bad_params(spark):
+    from navigator_document_parser_spark.operators.sketches import (
+        cms_counts,
+    )
+
+    df = spark.createDataFrame([("x",)], "tok string")
+    with pytest.raises(ValueError):
+        cms_counts(df, ["x"], depth=0)
+    with pytest.raises(ValueError):
+        cms_counts(df, ["x"], width=1)
