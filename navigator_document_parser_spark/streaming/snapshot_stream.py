@@ -143,3 +143,79 @@ def start_snapshot_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def flag_with_bloom(
+    stream_df: DataFrame,
+    committed: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-prefiltered streaming variant of flag_against_snapshot's
+    exact stage (batch twin: operators.dedup.bloom_snapshot_filter).
+
+    The committed corpus is represented by its m_bits/32-row bitmap
+    (bloom_words) — per micro-batch that's a broadcast of a few KB
+    instead of a join against every committed hash. Stream rows stay
+    1-row-in/1-row-out: the k probe positions are computed COLUMN-WISE
+    (k word-index/mask column pairs, one broadcast join each), never by
+    explode + re-aggregate, which would need a state store. The exact
+    verify join condition carries the stream-side bloom_hit predicate,
+    so only "maybe committed" rows probe the committed hash set — and
+    because Bloom filters have no false negatives, exact_dup is
+    bit-identical to the unfiltered join.
+
+    Returns (id, bloom_hit, exact_dup, false_positive, keep).
+    """
+    from ..operators.dedup import _bloom_pos_sql, bloom_words
+
+    old_h = committed.select(
+        F.md5(F.col(text_col)).alias("h")
+    ).dropDuplicates(["h"])
+    words = bloom_words(
+        old_h, m_bits=m_bits, num_hashes=num_hashes,
+        hash_col="h", assume_distinct=True,
+    )
+
+    s = stream_df.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_h")
+    )
+    hit = F.lit(True)
+    for j in range(num_hashes):
+        pos = _bloom_pos_sql(j, "_h", m_bits)
+        wj = words.select(
+            F.col("word_idx").alias(f"_wi{j}"),
+            F.col("word").alias(f"_w{j}"),
+        )
+        s = (
+            s.withColumn(f"_m{j}",
+                         F.expr(f"shiftleft(1L, cast(({pos}) % 32 as int))"))
+            .join(
+                F.broadcast(wj),
+                F.expr(f"({pos}) div 32") == F.col(f"_wi{j}"),
+                "left",
+            )
+            .drop(f"_wi{j}")
+        )
+        hit = hit & (
+            (F.coalesce(F.col(f"_w{j}"), F.lit(0)).bitwiseAND(
+                F.col(f"_m{j}")
+            ))
+            == F.col(f"_m{j}")
+        )
+    s = s.withColumn("_bloom", hit)
+    verified = s.join(
+        old_h.withColumn("_e", F.lit(True)),
+        (s["_h"] == old_h["h"]) & s["_bloom"],
+        "left",
+    )
+    exact = F.coalesce(F.col("_e"), F.lit(False))
+    return verified.select(
+        F.col("_id").alias(id_col),
+        F.col("_bloom").alias("bloom_hit"),
+        exact.alias("exact_dup"),
+        (F.col("_bloom") & ~exact).alias("false_positive"),
+        (~exact).alias("keep"),
+    )

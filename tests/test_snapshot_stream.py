@@ -125,3 +125,83 @@ def test_snapshot_stream_matches_batch(spark):
             old.unpersist()
         if new is not None:
             new.unpersist()
+
+
+def test_bloom_flagging_matches_batch_operator(spark):
+    """flag_with_bloom (stream-static shape, runs identically on batch
+    DataFrames) must agree with bloom_snapshot_filter row-for-row,
+    including at a saturated tiny filter where false positives abound."""
+    from navigator_document_parser_spark.operators.dedup import (
+        bloom_snapshot_filter,
+    )
+    from navigator_document_parser_spark.streaming.snapshot_stream import (
+        flag_with_bloom,
+    )
+
+    committed = spark.createDataFrame(
+        [(f"u{i}", f"committed page {i} body") for i in range(40)],
+        "url string, text string",
+    )
+    new = _new_crawl(committed)
+    for m_bits in (64, 1 << 12):
+        got = {
+            r["url"]: (r["bloom_hit"], r["exact_dup"],
+                       r["false_positive"], r["keep"])
+            for r in flag_with_bloom(
+                new, committed, m_bits=m_bits, num_hashes=3
+            ).collect()
+        }
+        want = {
+            r["url"]: (r["bloom_hit"], r["exact_dup"],
+                       r["false_positive"], r["keep"])
+            for r in bloom_snapshot_filter(
+                new, committed, id_col="url",
+                m_bits=m_bits, num_hashes=3,
+            ).collect()
+        }
+        assert got == want, m_bits
+
+
+def test_bloom_flagging_runs_as_a_real_stream(spark):
+    """availableNow file stream through flag_with_bloom == batch run."""
+    from navigator_document_parser_spark.streaming.snapshot_stream import (
+        flag_with_bloom,
+    )
+
+    base = tempfile.mkdtemp(prefix="bloomstream-")
+    try:
+        in_dir = os.path.join(base, "in")
+        out_dir = os.path.join(base, "out")
+        ck_dir = os.path.join(base, "ck")
+        committed = spark.createDataFrame(
+            [(f"u{i}", f"snapshot body {i}") for i in range(30)],
+            "url string, text string",
+        )
+        new = _new_crawl(committed)
+        new.write.parquet(in_dir)
+        stream = spark.readStream.schema(
+            "url string, text string"
+        ).parquet(in_dir)
+        q = (
+            flag_with_bloom(stream, committed, m_bits=4096, num_hashes=3)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["url"]: (r["exact_dup"], r["keep"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        want = {
+            r["url"]: (r["exact_dup"], r["keep"])
+            for r in flag_with_bloom(
+                new, committed, m_bits=4096, num_hashes=3
+            ).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
