@@ -894,7 +894,13 @@ def pq_encode(
         ]
         for s in range(n_subspaces)
     ]
-    out = embeddings.select(F.col(id_col), F.col(vec_col).alias("v"))
+    # cast to double BEFORE any arithmetic: v[d]*v[d] on a float array
+    # multiplies in single precision (promotion happens after), while
+    # the oracle's CAST(.. AS DOUBLE[]) multiplies doubles — one such
+    # ulp flipped a 6dp rounding boundary in 500 rows
+    out = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
     if recon == "fused":
         enc = _pq_encode_udf(books)
         out = out.withColumn("_enc", enc(F.col("v")))
@@ -913,25 +919,28 @@ def pq_encode(
             F.element_at(probe(F.slice(F.col("v"), s * sub + 1, sub)), 1),
         )
 
-    def dist_sql(s: int, cent: list[float], base: int) -> str:
-        # Spark array indexing is 0-based ([base+d]); the oracle's
-        # twin uses 1-based. Terms left-associated in dimension order.
-        terms = " + ".join(
-            f"(v[{base + d}] - ({cent[d]!r})) * (v[{base + d}] - ({cent[d]!r}))"
-            for d in range(sub)
-        )
-        return f"(0.0 + {terms})"
+    # recon_err via the expanded identity: ||x_s - c||^2 = ||x_s||^2
+    # - 2 x_s.c + 1 (unit centroids). The ||x||^2 fold is shared across
+    # subspaces and each CASE arm is a 16-term dot — ~2.5x fewer ops
+    # than folding (v-c)^2 per arm, small enough that codegen compiles
+    # instead of falling back to interpreted on a too-large method.
+    # Spark array indexing is 0-based; the oracle twin uses 1-based.
+    def dot_case(s: int, cents: list[list[float]], base: int) -> str:
+        whens = []
+        for c, cent in enumerate(cents):
+            terms = " + ".join(
+                f"v[{base + d}]*({cent[d]!r})" for d in range(sub)
+            )
+            whens.append(f"WHEN {c + 1} THEN (0.0 + {terms})")
+        return f"(CASE code_{s + 1} {' '.join(whens)} END)"
 
-    cases = []
-    for s, cents in enumerate(books):
-        whens = " ".join(
-            f"WHEN {c + 1} THEN {dist_sql(s, cent, s * sub)}"
-            for c, cent in enumerate(cents)
-        )
-        cases.append(f"(CASE code_{s + 1} {whens} END)")
-    err = cases[0]
-    for c in cases[1:]:
-        err = f"({err} + {c})"
+    xx = "(0.0 + " + " + ".join(
+        f"v[{d}]*v[{d}]" for d in range(dim)
+    ) + ")"
+    dots = dot_case(0, books[0], 0)
+    for s in range(1, n_subspaces):
+        dots = f"({dots} + {dot_case(s, books[s], s * sub)})"
+    err = f"(({xx} - 2.0 * {dots}) + {float(n_subspaces)!r})"
     return out.select(
         id_col,
         *[f"code_{s + 1}" for s in range(n_subspaces)],
@@ -966,13 +975,6 @@ def oracle_pq_encode(
         )
         return f"(0.0 + {terms})"
 
-    def dist_sql(s: int, cent: list[float]) -> str:
-        terms = " + ".join(
-            f"(v[{s * sub + d + 1}] - ({cent[d]!r}))"
-            f" * (v[{s * sub + d + 1}] - ({cent[d]!r}))"
-            for d in range(sub)
-        )
-        return f"(0.0 + {terms})"
 
     score_cols = []
     ladders = []
@@ -992,13 +994,17 @@ def oracle_pq_encode(
             f"CASE {ladder} ELSE {n_centroids} END AS code_{s + 1}"
         )
         whens = " ".join(
-            f"WHEN {c + 1} THEN {dist_sql(s, cent)}"
+            f"WHEN {c + 1} THEN {dot_sql(s, cent)}"
             for c, cent in enumerate(cents)
         )
         dist_cases.append(f"(CASE code_{s + 1} {whens} END)")
-    err = dist_cases[0]
+    xx = "(0.0 + " + " + ".join(
+        f"v[{d + 1}]*v[{d + 1}]" for d in range(dim)
+    ) + ")"
+    dots = dist_cases[0]
     for c in dist_cases[1:]:
-        err = f"({err} + {c})"
+        dots = f"({dots} + {c})"
+    err = f"(({xx} - 2.0 * {dots}) + {float(n_subspaces)!r})"
     codes = ", ".join(f"code_{s + 1}" for s in range(n_subspaces))
     return f"""
         WITH v AS (
