@@ -62,6 +62,9 @@ def query(spark, input_path: str, mode: str, terms: list[str], k: int):
     )
 
     docs = spark.read.parquet(input_path)
+    # the operators index lower(text) tokens; fold query terms to match
+    # or a capitalized term silently matches nothing
+    terms = [t.lower() for t in terms]
     if mode == "keyword":
         return keyword_search(docs, [(0, terms)], k=k)
     if mode == "bm25":

@@ -927,13 +927,13 @@ def oracle_snapshot_dedup(
 # --------------------------------------------------------------------------
 
 def _bloom_pos_sql(j: int, h_expr: str, m_bits: int) -> str:
-    """Bit position j for content hash ``h_expr``: the first 8 hex chars
-    of md5('j:' || h) as a 32-bit integer, mod ``m_bits``. Identical in
-    Spark and DuckDB (the oracle uses CAST('0x'||hex AS BIGINT))."""
-    return (
-        f"cast(conv(substring(md5('{j}:' || {h_expr}), 1, 8), 16, 10) "
-        f"as bigint) % {m_bits}"
-    )
+    """Bit position j for content hash ``h_expr``: the shared portable
+    md5-u32 primitive (operators.md5_u32_sql) of 'j:' || h, mod
+    ``m_bits``."""
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    inner = f"'{j}:' || {h_expr}"
+    return f"{md5_u32_sql(inner, 'spark')} % {m_bits}"
 
 
 def bloom_words(
@@ -1114,10 +1114,10 @@ def oracle_bloom_snapshot_filter(
     js = ", ".join(f"({j})" for j in range(num_hashes))
 
     def pos(h: str, j: str = "j") -> str:
-        return (
-            f"CAST('0x' || substring(md5(CAST({j} AS VARCHAR) || ':' || {h}),"
-            f" 1, 8) AS BIGINT) % {m_bits}"
-        )
+        from navigator_document_parser_spark.operators import md5_u32_sql
+
+        inner = f"CAST({j} AS VARCHAR) || ':' || {h}"
+        return f"{md5_u32_sql(inner, 'duckdb')} % {m_bits}"
 
     return f"""
         WITH newdoc AS (

@@ -8,10 +8,11 @@ curve locality in BOTH dimensions, so min/max file statistics prune
 scans for either predicate. This module computes the curve position and
 the range bucket a writer would repartitionByRange on.
 
-Everything is INTEGER math — min/max scaling uses integer
-multiply-then-div (never a float ratio), and the interleave is a sum of
-shifted bit tests — so the DuckDB oracle reproduces every value
-bit-for-bit and a re-layout of the same data is byte-stable.
+Everything is INTEGER math — min/max scaling is divide-first by a
+bucket width (never a float ratio, never a range-sized multiply), and
+the interleave is a sum of shifted bit tests — so the DuckDB oracle
+reproduces every value bit-for-bit and a re-layout of the same data is
+byte-stable.
 """
 
 from __future__ import annotations
@@ -21,13 +22,17 @@ from pyspark.sql import functions as F
 
 
 def _scale_sql(col: str, mn: str, mx: str, bits: int) -> str:
-    """Integer min-max scale of ``col`` into [0, 2^bits): exact in both
-    engines because the only division is integer div. Degenerate range
-    (max == min) maps everything to 0."""
-    top = (1 << bits) - 1
+    """Integer scale of ``col`` into [0, 2^bits) by bucket width
+    ``((max-min) div 2^bits) + 1``: divide-first, so no intermediate
+    ever exceeds the data's own range — the multiply-first form
+    (col-mn)*(2^bits-1) overflows INT64 for wide dimensions (epoch
+    microseconds over a few years already exceed 2^63/65535; DuckDB
+    errors, non-ANSI Spark silently wraps). Exact in both engines;
+    degenerate range (max == min) needs no special case (width 1,
+    everything maps to 0)."""
+    m = 1 << bits
     return (
-        f"CASE WHEN {mx} = {mn} THEN 0 "
-        f"ELSE (({col} - {mn}) * {top}) div ({mx} - {mn}) END"
+        f"(({col} - {mn}) div ((({mx} - {mn}) div {m}) + 1))"
     )
 
 
@@ -78,6 +83,9 @@ def zorder_layout(
         raise ValueError("bits must be in [1, 31]")
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
+    if n_buckets > (1 << 62) >> (2 * bits):
+        # zvalue < 2^(2*bits); the bucket multiply must stay in INT64
+        raise ValueError("n_buckets too large for 2*bits curve width")
     stats = df.agg(
         F.min(dim_a).cast("bigint").alias("mna"),
         F.max(dim_a).cast("bigint").alias("mxa"),

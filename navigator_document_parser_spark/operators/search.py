@@ -496,11 +496,12 @@ def index_export(
             F.sort_array(F.collect_list("doc_id")).alias("docs"),
         )
     )
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
     return blocks.select(
-        F.expr(
-            f"cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint)"
-            f" % {n_shards}"
-        ).alias("shard"),
+        F.expr(f"{md5_u32_sql('term', 'spark')} % {n_shards}").alias(
+            "shard"
+        ),
         "term",
         F.col("block_id").cast("bigint").alias("block_id"),
         F.col("block_df").cast("bigint").alias("block_df"),
@@ -521,6 +522,9 @@ def oracle_index_export(
     block_size: int = 128,
 ) -> str:
     """DuckDB SQL computing exactly index_export()."""
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    shard_expr = md5_u32_sql("term", "duckdb")
     return f"""
         WITH w AS (
           SELECT DISTINCT {id_col} AS doc_id,
@@ -534,8 +538,7 @@ def oracle_index_export(
                  list_sort(list(doc_id)) AS docs
           FROM w GROUP BY term, doc_id // {block_size}
         )
-        SELECT CAST('0x' || substring(md5(term), 1, 8) AS BIGINT)
-                 % {n_shards} AS shard,
+        SELECT {shard_expr} % {n_shards} AS shard,
                term,
                CAST(block_id AS BIGINT) AS block_id,
                CAST(block_df AS BIGINT) AS block_df,

@@ -1078,6 +1078,13 @@ def knn_pq(
     ).collect()
     adc = []
     for r in qrows:
+        if not isinstance(r["qid"], int):
+            # the literal adc table and the oracle's CAST both assume
+            # integer query ids; fail loudly instead of coercing
+            raise TypeError(
+                f"knn_pq requires integer {query_id_col!r} values, "
+                f"got {type(r['qid']).__name__}"
+            )
         qv = [float(x) for x in r["qv"]]
         for s in range(n_subspaces):
             xs = qv[s * sub : (s + 1) * sub]

@@ -27,17 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from navigator_document_parser_spark.operators import md5_u32_sql
+
 
 def _u32_sql(col: str, dialect: str) -> str:
-    if dialect == "spark":
-        return (
-            f"cast(conv(substring(md5(cast({col} as string)), 1, 8), 16, 10)"
-            f" as bigint)"
-        )
-    return (
-        f"CAST('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8)"
-        f" AS BIGINT)"
-    )
+    cast = "string" if dialect == "spark" else "VARCHAR"
+    return md5_u32_sql(f"cast({col} as {cast})", dialect)
 
 
 def _alpha(m: int) -> float:
@@ -259,15 +254,9 @@ def cms_counts(
     spark = df.sparkSession
 
     def cell_sql(row: int, col: str, dialect: str) -> str:
-        if dialect == "spark":
-            return (
-                f"cast(conv(substring(md5('{row}:' || cast({col} as string)),"
-                f" 1, 8), 16, 10) as bigint) % {width}"
-            )
-        return (
-            f"CAST('0x' || substring(md5('{row}:' || CAST({col} AS VARCHAR)),"
-            f" 1, 8) AS BIGINT) % {width}"
-        )
+        cast = "string" if dialect == "spark" else "VARCHAR"
+        inner = f"'{row}:' || cast({col} as {cast})"
+        return f"{md5_u32_sql(inner, dialect)} % {width}"
 
     counters = (
         df.select(
@@ -328,10 +317,8 @@ def oracle_cms_counts(
     from navigator_document_parser_spark.operators import sql_quote
 
     def cell(row: int, col: str) -> str:
-        return (
-            f"CAST('0x' || substring(md5('{row}:' || CAST({col} AS VARCHAR)),"
-            f" 1, 8) AS BIGINT) % {width}"
-        )
+        inner = f"'{row}:' || CAST({col} AS VARCHAR)"
+        return f"{md5_u32_sql(inner, 'duckdb')} % {width}"
 
     stream_arms = "\n          UNION ALL\n          ".join(
         f"SELECT {r} AS row, {cell(r, value_col)} AS cell FROM {table}"

@@ -254,11 +254,10 @@ def fetch_schedule(
 
     if n_workers <= 0:
         raise ValueError("n_workers must be positive")
-    worker = (
-        F.expr(
-            f"cast(conv(substring(md5({host_col}), 1, 8), 16, 10) "
-            f"as bigint) % {n_workers}"
-        )
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    worker = F.expr(
+        f"{md5_u32_sql(host_col, 'spark')} % {n_workers}"
     ).alias("worker")
     base = df.select(
         F.col(url_col).alias("url"),
@@ -284,12 +283,14 @@ def oracle_fetch_schedule(
 ) -> str:
     """DuckDB SQL computing exactly fetch_schedule() over ``plan_sql``
     (a subquery yielding url, host)."""
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    worker_expr = md5_u32_sql("host", "duckdb")
     return f"""
         WITH plan AS ({plan_sql}),
         base AS (
           SELECT url, host,
-                 CAST('0x' || substring(md5(host), 1, 8) AS BIGINT)
-                   % {n_workers} AS worker
+                 {worker_expr} % {n_workers} AS worker
           FROM plan
         ), seq AS (
           SELECT *, CAST(row_number() OVER (

@@ -171,13 +171,20 @@ def flag_with_bloom(
     """
     from ..operators.dedup import _bloom_pos_sql, bloom_words
 
-    old_h = committed.select(
-        F.md5(F.col(text_col)).alias("h")
-    ).dropDuplicates(["h"])
+    # the static side feeds 1 (verify) + num_hashes (bitmap) join
+    # branches and is re-planned per micro-batch; materialize it ONCE
+    # like the batch twin's checkpoint (review finding: without the
+    # barrier each differently-aliased broadcast branch can re-run the
+    # committed scan + md5 + dedup per micro-batch)
+    old_h = (
+        committed.select(F.md5(F.col(text_col)).alias("h"))
+        .dropDuplicates(["h"])
+        .localCheckpoint(eager=True)
+    )
     words = bloom_words(
         old_h, m_bits=m_bits, num_hashes=num_hashes,
         hash_col="h", assume_distinct=True,
-    )
+    ).localCheckpoint(eager=True)
 
     s = stream_df.select(
         F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_h")

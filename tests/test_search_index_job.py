@@ -32,7 +32,10 @@ def test_build_and_query_roundtrip(spark, tmp_path):
 
     kw = query(spark, src, "keyword", ["climate"], k=5).collect()
     assert {r["doc_id"] for r in kw} == {1, 2}
-    bm = query(spark, src, "bm25", ["climate", "policy"], k=5).collect()
+    bm = sorted(
+        query(spark, src, "bm25", ["climate", "policy"], k=5).collect(),
+        key=lambda r: r["rank"],
+    )
     assert bm[0]["doc_id"] == 1  # policy only in doc 1 -> ranks first
     ph = query(
         spark, src, "phrase", ["climate", "adaptation"], k=5

@@ -21,9 +21,11 @@ def test_interleave_matches_reference(spark):
     xs = [x for _, x, _ in rows]
     ys = [y for _, _, y in rows]
     mna, mxa, mnb, mxb = min(xs), max(xs), min(ys), max(ys)
+    wa = (mxa - mna) // 256 + 1
+    wb = (mxb - mnb) // 256 + 1
     for i, x, y in rows:
-        za = (x - mna) * 255 // (mxa - mna)
-        zb = (y - mnb) * 255 // (mxb - mnb)
+        za = (x - mna) // wa
+        zb = (y - mnb) // wb
         z = _py_interleave(za, zb, 8)
         r = out[i]
         assert (r["za"], r["zb"], r["zvalue"]) == (za, zb, z)
@@ -66,3 +68,16 @@ def test_rejects_bad_params(spark):
         zorder_layout(df, "x", "y", bits=40)
     with pytest.raises(ValueError):
         zorder_layout(df, "x", "y", n_buckets=0)
+
+
+def test_wide_range_dimension_no_overflow(spark):
+    # epoch-microsecond-scale ranges overflowed the old multiply-first
+    # scaling (review finding); divide-first must stay exact
+    rows = [(i, 1_700_000_000_000_000 + i * 141_410_000_000, i)
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, x bigint, y bigint")
+    out = zorder_layout(df, "x", "y", bits=16, n_buckets=8).collect()
+    zas = [r["za"] for r in out]
+    assert all(0 <= z < (1 << 16) for z in zas)
+    assert len(set(zas)) > 1  # still discriminates
+    assert all(r["zvalue"] >= 0 for r in out)
