@@ -1301,6 +1301,91 @@ def _events_hourly(spark, sf):
     )
 
 
+def _events_gapfill(spark, sf):
+    """Time-series resample + gap-fill: hourly buckets per event_type on
+    a COMPLETE global grid (types x hours cross join of two tiny
+    broadcast sides), zero-filled counts and forward-filled value sums
+    (last non-null over an ordered per-type window — bounded partitions,
+    one shuffle). The missing-bucket handling BI pipelines need before
+    charting or anomaly detection; sums rounded 4dp pre-fill so the
+    forward-filled value is the rounded observation on both engines."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    agg = (
+        e.select(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket_ts"),
+            "value",
+        )
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(t0, t1, interval 1 hour)")
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(agg, ["event_type", "bucket_ts"], "left")
+        .select(
+            "event_type",
+            "bucket_ts",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias(
+                "n_events"
+            ),
+            F.last("value_sum", ignorenulls=True)
+            .over(w)
+            .alias("filled_value"),
+        )
+    )
+
+
+_EVENTS_GAPFILL_ORACLE = """
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             count(*) AS n_events, round(sum(value), 4) AS value_sum
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, g.bucket_ts
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+          AS bucket_ts
+        FROM bounds
+      ) g
+    )
+    SELECT g.event_type, g.bucket_ts,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+           last_value(a.value_sum IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid g LEFT JOIN agg a
+      ON a.event_type = g.event_type AND a.bucket_ts = g.bucket_ts
+"""
+
+
 def _events_sessionize(spark, sf):
     """Gap-based sessionization (30-min inactivity) — the batch analog of
     the streaming stateful operator; pure window functions."""
@@ -1761,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _corpus_report,            # ROLLUP grouping sets
         "corpus_sample": _corpus_sample,            # stratified hash sample
         "events_hourly": _events_hourly,
+        "events_gapfill": _events_gapfill,          # resample + fwd fill
         "events_sessionize": _events_sessionize,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
@@ -2288,6 +2374,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "events_gapfill": _EVENTS_GAPFILL_ORACLE,
         "events_sessionize": """
             WITH g AS (
               SELECT user_id, event_id, ts, value,

@@ -140,6 +140,7 @@ OP_QUERIES = [
     "events_funnel",
     "events_retention",
     "json_extract",
+    "events_gapfill",
     "events_sessionize",
     "events_topk_per_type",
     "q1_pricing_summary",
