@@ -1386,6 +1386,77 @@ _EVENTS_GAPFILL_ORACLE = """
 """
 
 
+def _events_anomaly(spark, sf):
+    """Rolling anomaly detection over the gap-filled hourly series:
+    trailing-24h mean/std of the event count per type, z-score flag at
+    |z| > 3. The window sums are INTEGER (counts), so mean and variance
+    derive from exact sums with one fixed-order float division each —
+    deterministic across engines without tolerance."""
+    from pyspark.sql.window import Window
+
+    counts = _events_gapfill(spark, sf).select(
+        "event_type", "bucket_ts", "n_events"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(-23, 0)
+    )
+    stats = counts.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    )
+    mean = F.col("s").cast("double") / F.col("nw")
+    var = (
+        F.col("ss").cast("double") / F.col("nw") - mean * mean
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(
+        std > 0, F.round((F.col("n_events") - mean) / std, 4)
+    )
+    return stats.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        z.alias("z_score"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+_EVENTS_ANOMALY_ORACLE = """
+    WITH filled AS ({gapfill}),
+    stats AS (
+      SELECT event_type, bucket_ts, n_events,
+             SUM(n_events) OVER w AS s,
+             SUM(n_events * n_events) OVER w AS ss,
+             COUNT(*) OVER w AS nw
+      FROM filled
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    ), scored AS (
+      SELECT event_type, bucket_ts, n_events,
+             CASE WHEN sqrt(greatest(
+                      CAST(ss AS DOUBLE)/nw
+                      - (CAST(s AS DOUBLE)/nw)*(CAST(s AS DOUBLE)/nw),
+                      0.0)) > 0
+                  THEN round((n_events - CAST(s AS DOUBLE)/nw)
+                       / sqrt(greatest(
+                           CAST(ss AS DOUBLE)/nw
+                           - (CAST(s AS DOUBLE)/nw)*(CAST(s AS DOUBLE)/nw),
+                           0.0)), 4)
+             END AS z_score
+      FROM stats
+    )
+    SELECT event_type, bucket_ts, n_events, z_score,
+           COALESCE(abs(z_score) > 3.0, FALSE) AS is_anomaly
+    FROM scored
+""".replace("{gapfill}", _EVENTS_GAPFILL_ORACLE)
+
+
 def _events_sessionize(spark, sf):
     """Gap-based sessionization (30-min inactivity) — the batch analog of
     the streaming stateful operator; pure window functions."""
@@ -1847,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _corpus_sample,            # stratified hash sample
         "events_hourly": _events_hourly,
         "events_gapfill": _events_gapfill,          # resample + fwd fill
+        "events_anomaly": _events_anomaly,          # rolling z-score flag
         "events_sessionize": _events_sessionize,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
@@ -2375,6 +2447,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_gapfill": _EVENTS_GAPFILL_ORACLE,
+        "events_anomaly": _EVENTS_ANOMALY_ORACLE,
         "events_sessionize": """
             WITH g AS (
               SELECT user_id, event_id, ts, value,

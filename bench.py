@@ -141,6 +141,7 @@ OP_QUERIES = [
     "events_retention",
     "json_extract",
     "events_gapfill",
+    "events_anomaly",
     "events_sessionize",
     "events_topk_per_type",
     "q1_pricing_summary",

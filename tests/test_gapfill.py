@@ -37,3 +37,40 @@ def test_gapfill_grid_zero_and_forward_fill(spark, tmp_path):
     v0, v2 = out[("view", 0)], out[("view", 2)]
     assert v0["n_events"] == 0 and v0["filled_value"] is None
     assert v2["n_events"] == 1 and v2["filled_value"] == 1.0
+
+
+def test_anomaly_flags_spike(spark, tmp_path):
+    import datetime
+
+    import __spark_entry__ as E
+
+    rows = []
+    eid = 0
+    # steady 2-3 events/hour for 30 hours (NOT constant: a zero-variance
+    # window yields std=0 and a null z by design), then a 40-event spike
+    for h in range(30):
+        for j in range(2 + h % 2):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1, 0, 5 * j + 1)
+                 + datetime.timedelta(hours=h),
+                 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    for j in range(40):
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 2, 6, j % 60),
+             2, "click", 1.0, "{}")
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+    out = E.queries()["events_anomaly"](spark, sf).collect()
+    spike = [r for r in out if r["n_events"] >= 40]
+    assert spike and all(r["is_anomaly"] for r in spike)
+    steady = [r for r in out if r["n_events"] == 2 and r["z_score"] is not None]
+    assert steady and not any(r["is_anomaly"] for r in steady)
