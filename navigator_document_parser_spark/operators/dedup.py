@@ -1235,6 +1235,11 @@ def cdc_dedup(
                 )
             ).alias("h"),
         )
+        # barrier: chunks feeds BOTH the first-occurrence aggregate and
+        # the flag join-back — without it the whole scan -> explode ->
+        # boundary window -> chunk aggregate subtree executes twice
+        # (caught by the plan-shape test: two Window nodes)
+        .localCheckpoint(eager=True)
     )
     firsts = chunks.groupBy("h").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("first")

@@ -1605,3 +1605,82 @@ def test_bpe_and_sentences_fuzz_vs_reference(spark):
             if seg.strip()
         ]
         assert sorted(srows.get(doc_id, [])) == want, (doc_id, repr(text))
+
+
+def test_session4_ops_plan_shapes(spark):
+    """Pin the scale shapes of the round-4 session additions:
+    bloom_snapshot_filter probes via a BROADCAST join (the bitmap is
+    m/32 rows) and never nested-loops; phrase/bm25 keep the vocabulary
+    predicate and no cartesian path; index_export groups on (term,
+    block) — an aggregate, no window; zorder is a map-only projection
+    above one 1-row stats broadcast; hll/cms are pure hash aggregates
+    with no window or BNLJ; knn_pq joins the literal ADC table by
+    broadcast."""
+    from navigator_document_parser_spark.operators.dedup import (
+        bloom_snapshot_filter,
+        cdc_dedup,
+    )
+    from navigator_document_parser_spark.operators.layout import (
+        zorder_layout,
+    )
+    from navigator_document_parser_spark.operators.search import (
+        bm25_search,
+        index_export,
+        phrase_search,
+    )
+    from navigator_document_parser_spark.operators.sketches import (
+        cms_counts,
+        hll_distinct,
+    )
+
+    docs = load(spark, "documents")
+
+    p = bloom_snapshot_filter(docs.limit(50), docs)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+    p = phrase_search(docs, [(0, ["fast", "table"])])
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # anchor-vote conjunction: aggregates, not an n-way self-join of
+    # postings (a 2-token phrase would show >= 2 joins of the corpus)
+    assert plan.count("FileScan parquet") <= 1
+
+    p = bm25_search(docs, [(0, ["hash", "join"])], k=5)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoop") <= 1  # 1-row stats attach
+
+    p = index_export(docs)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 0  # blocks via aggregate only
+    assert "CartesianProduct" not in plan
+
+    p = zorder_layout(docs, "n_chars", "doc_id", bits=8, n_buckets=4)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    # one 1-row min/max broadcast; corpus side never shuffles
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "CartesianProduct" not in plan
+
+    for q in (
+        hll_distinct(docs, p=6),
+        cms_counts(docs.selectExpr("text AS tok"), ["x"], width=64),
+    ):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") == 0
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    p = cdc_dedup(docs, avg_chunk=8)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    # the chunk table is checkpointed ONCE (it feeds the first-occurrence
+    # aggregate AND the join-back; un-barriered, the scan -> explode ->
+    # boundary-window subtree appeared twice) — downstream of the
+    # barrier there is no Window node and no parquet re-scan, and the
+    # first-occurrence rule stays an aggregate over the chunk hash
+    assert "Window [" not in plan
+    assert plan.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in plan  # reads the checkpoint
+    assert "HashAggregate" in plan
