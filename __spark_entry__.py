@@ -32,6 +32,7 @@ from navigator_document_parser_spark.operators.dedup import (
 from navigator_document_parser_spark.operators.dedup import (
     oracle_bloom_snapshot_filter as _oracle_bloom_snapshot_filter,
     oracle_cdc_dedup as _oracle_cdc_dedup,
+    oracle_snapshot_diff as _oracle_snapshot_diff,
     oracle_paragraph_dedup as _oracle_paragraph_dedup,
     oracle_snapshot_dedup as _oracle_snapshot_dedup,
 )
@@ -449,6 +450,32 @@ def _dedup_cdc(spark, sf):
     from navigator_document_parser_spark.operators.dedup import cdc_dedup
 
     return cdc_dedup(_docs(spark, sf), avg_chunk=8)
+
+
+_SNAPSHOT_DIFF_NEW_SQL = (
+    "SELECT doc_id, " + _SNAPSHOT_NEW_TEXT_SQL + " AS text, source "
+    "FROM documents WHERE doc_id % 17 <> 3 "
+    "UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, "
+    "'brand new page ' || CAST(doc_id AS VARCHAR) AS text, source "
+    "FROM documents WHERE doc_id % 29 = 0"
+)
+
+
+def _snapshot_diff(spark, sf):
+    """Crawl-snapshot audit: per-source added/removed/changed/unchanged
+    counts between the committed corpus and a synthetic new crawl
+    (re-crawls + edits + 1/17 dropped + 1/29 new pages) — ONE full-outer
+    id join shipping only md5 hashes + one group aggregate
+    (operators/dedup.py snapshot_diff)."""
+    from navigator_document_parser_spark.operators.dedup import snapshot_diff
+
+    old = _docs(spark, sf)
+    old.createOrReplaceTempView("documents")
+    new = spark.sql(
+        _SNAPSHOT_DIFF_NEW_SQL.replace("AS VARCHAR", "AS STRING")
+    )
+    return snapshot_diff(new, old)
 
 
 def _dedup_paragraphs(spark, sf):
@@ -1886,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "dedup_bloom": _dedup_bloom,
         "dedup_cdc": _dedup_cdc,
+        "snapshot_diff": _snapshot_diff,
         "dedup_paragraphs": _dedup_paragraphs,
         "dedup_substring": _dedup_substring,
         "dedup_components": _dedup_components,
@@ -2359,6 +2387,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _oracle_snapshot_dedup(_SNAPSHOT_NEW_TEXT_SQL),
         "dedup_bloom": _oracle_bloom_snapshot_filter(_SNAPSHOT_NEW_TEXT_SQL),
         "dedup_cdc": _oracle_cdc_dedup(avg_chunk=8),
+        "snapshot_diff": _oracle_snapshot_diff(_SNAPSHOT_DIFF_NEW_SQL),
         "dedup_paragraphs": _oracle_paragraph_dedup(),
         "dedup_substring": """
             WITH toks AS (

@@ -119,6 +119,7 @@ OP_QUERIES = [
     "dedup_incremental",
     "dedup_bloom",
     "dedup_cdc",
+    "snapshot_diff",
     "dedup_paragraphs",
     "dedup_substring",
     "dedup_minhash_pairs",

@@ -1321,3 +1321,100 @@ def oracle_cdc_dedup(
                      / CAST(SUM(c_toks) AS DOUBLE), 4) AS dup_token_frac
         FROM flagged GROUP BY doc_id
     """
+
+
+def snapshot_diff(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """Snapshot audit: classify every document id across two crawls as
+    added / removed / changed / unchanged and aggregate counts per
+    ``group_col`` (host/source) — the monthly-crawl health report read
+    before committing a snapshot (a spike in 'removed' or 'changed' for
+    one host usually means a site redesign or a crawler bug, not real
+    content change).
+
+    100 TB shape: ONE full-outer equi-join on the id (changed-ness via
+    md5 comparison, no text shipped through the join beyond the two
+    32-char hashes) + one hash aggregate on the group; both map-side
+    combinable.
+
+    Returns (grp, n_added, n_removed, n_changed, n_unchanged).
+    """
+    n = new_df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("nh"),
+        *( [F.col(group_col).alias("ngrp")] if group_col else [] ),
+    )
+    o = old_df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("oh"),
+        *( [F.col(group_col).alias("ogrp")] if group_col else [] ),
+    )
+    j = n.join(o, "id", "full_outer")
+    grp = (
+        F.coalesce("ngrp", "ogrp") if group_col else F.lit("all")
+    ).alias("grp")
+    status = (
+        F.when(F.col("oh").isNull(), F.lit("added"))
+        .when(F.col("nh").isNull(), F.lit("removed"))
+        .when(F.col("nh") == F.col("oh"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(grp, status.alias("status"))
+        .groupBy("grp")
+        .agg(
+            F.sum((F.col("status") == "added").cast("int"))
+            .cast("bigint").alias("n_added"),
+            F.sum((F.col("status") == "removed").cast("int"))
+            .cast("bigint").alias("n_removed"),
+            F.sum((F.col("status") == "changed").cast("int"))
+            .cast("bigint").alias("n_changed"),
+            F.sum((F.col("status") == "unchanged").cast("int"))
+            .cast("bigint").alias("n_unchanged"),
+        )
+    )
+
+
+def oracle_snapshot_diff(
+    new_table_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    table: str = "documents",
+) -> str:
+    """DuckDB SQL computing exactly snapshot_diff() where the new
+    snapshot is ``new_table_sql`` (a subquery with id/text/group cols)
+    and the old snapshot is ``table``."""
+    return f"""
+        WITH n AS (
+          SELECT {id_col} AS id, md5({text_col}) AS nh,
+                 {group_col} AS ngrp
+          FROM ({new_table_sql})
+        ), o AS (
+          SELECT {id_col} AS id, md5({text_col}) AS oh,
+                 {group_col} AS ogrp
+          FROM {table}
+        ), j AS (
+          SELECT COALESCE(n.ngrp, o.ogrp) AS grp,
+                 CASE WHEN o.oh IS NULL THEN 'added'
+                      WHEN n.nh IS NULL THEN 'removed'
+                      WHEN n.nh = o.oh THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM n FULL OUTER JOIN o USING (id)
+        )
+        SELECT grp,
+               CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed,
+               CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unchanged
+        FROM j GROUP BY grp
+    """
