@@ -765,6 +765,29 @@ def _index_export(spark, sf):
     return index_export(_docs(spark, sf), n_shards=8, block_size=128)
 
 
+def _index_merge(spark, sf):
+    """Incremental index maintenance: the committed index covers 9/10
+    of the corpus; the remaining tenth merges in, rebuilding only the
+    touched posting blocks. The oracle is the FROM-SCRATCH full-corpus
+    index — merge correctness as an engine-independent invariant
+    (operators/search.py index_merge)."""
+    from navigator_document_parser_spark.operators.search import (
+        index_export,
+        index_merge,
+    )
+
+    d = _docs(spark, sf)
+    old_idx = index_export(
+        d.filter(F.col("doc_id") % 10 != 7), n_shards=8, block_size=128
+    )
+    return index_merge(
+        old_idx,
+        d.filter(F.col("doc_id") % 10 == 7),
+        n_shards=8,
+        block_size=128,
+    )
+
+
 def _bm25_search(spark, sf):
     """Disjunctive BM25 top-10 per query (k1=1.2, b=0.75), ranked on the
     4dp-rounded score so cross-engine double math can't flip an order
@@ -1881,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _phrase_search,            # positional phrase match
         "bm25_search": _bm25_search,                # BM25 ranked retrieval
         "index_export": _index_export,              # posting-block export
+        "index_merge": _index_merge,                # incremental update
         "fetch_schedule": _fetch_schedule,          # politeness crawl slots
         "text_normalize": _text_normalize,          # unicode/ws cleanup
         "zorder_layout": _zorder_layout,            # Morton-curve layout
@@ -2137,6 +2161,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _oracle_phrase_search(_PHRASE_QUERIES),
         "bm25_search": _oracle_bm25_search(_SEARCH_QUERIES),
         "index_export": _oracle_index_export(),
+        # merge(index(9/10), last tenth) must equal the from-scratch
+        # full-corpus index — the oracle IS index_export's oracle
+        "index_merge": _oracle_index_export(),
         "fetch_schedule": _oracle_fetch_schedule(_FETCH_PLAN_SQL, 8),
         "text_normalize": T.oracle_normalize_text(_MESSY_TEXT_SQL),
         "zorder_layout": _oracle_zorder_layout(

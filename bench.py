@@ -95,6 +95,7 @@ OP_QUERIES = [
     "bm25_search",
     "phrase_search",
     "index_export",
+    "index_merge",
     "url_filter",
     "robots_filter",
     "fetch_schedule",

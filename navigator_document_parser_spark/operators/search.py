@@ -547,3 +547,95 @@ def oracle_index_export(
                            ELSE docs[i] - docs[i-1] END) AS postings
         FROM b
     """
+
+
+def index_merge(
+    old_index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    block_size: int = 128,
+) -> DataFrame:
+    """Incrementally fold newly crawled documents into an existing
+    index_export() table — the monthly-delta maintenance path: only the
+    (term, block) posting blocks a new document actually touches are
+    decoded and rebuilt; every other block passes through UNTOUCHED
+    (anti-join), so the cost scales with the delta, not the index.
+
+    Invariant (pytest + oracle): merge(index(old docs), new docs) is
+    row-identical to index_export(all docs) — the DuckDB oracle for the
+    contract query is literally the from-scratch full-corpus oracle,
+    an engine-independent correctness statement rather than a mirrored
+    formulation.
+
+    100 TB shape: the new-doc postings are delta-sized; affected blocks
+    arrive via one semi-join on (term, block_id), are delta-DECODED
+    with a bounded per-block window (groups <= block_size rows), merged
+    and re-encoded by the same aggregate as index_export. Shard ids
+    are recomputed from the same md5 primitive, so stable.
+    """
+    if n_shards <= 0 or block_size <= 0:
+        raise ValueError("n_shards and block_size must be positive")
+    from navigator_document_parser_spark.operators import md5_u32_sql
+    from pyspark.sql.window import Window as W
+
+    new_words = (
+        new_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("term"),
+        )
+        .dropDuplicates(["term", "doc_id"])
+        .withColumn("block_id", F.expr(f"doc_id div {block_size}"))
+        # feeds the semi-join, the anti-join and the union: one scan
+        .localCheckpoint(eager=True)
+    )
+    keys = new_words.select("term", "block_id").dropDuplicates()
+
+    untouched = old_index.join(keys, ["term", "block_id"], "left_anti")
+    affected_old = old_index.join(keys, ["term", "block_id"], "leftsemi")
+    decoded_old = (
+        affected_old.select(
+            "term", "block_id", F.posexplode("postings").alias("i", "gap")
+        )
+        .withColumn(
+            "doc_id",
+            F.sum("gap").over(
+                W.partitionBy("term", "block_id").orderBy("i")
+            ),
+        )
+        .select("term", "block_id", "doc_id")
+    )
+    rebuilt = (
+        decoded_old.unionByName(
+            new_words.select("term", "block_id", "doc_id")
+        )
+        .dropDuplicates(["term", "block_id", "doc_id"])
+        .groupBy("term", "block_id")
+        .agg(
+            F.count(F.lit(1)).alias("block_df"),
+            F.sort_array(F.collect_list("doc_id")).alias("docs"),
+        )
+        .select(
+            F.expr(f"{md5_u32_sql('term', 'spark')} % {n_shards}").alias(
+                "shard"
+            ),
+            "term",
+            F.col("block_id").cast("bigint").alias("block_id"),
+            F.col("block_df").cast("bigint").alias("block_df"),
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.when(i == 0, x).otherwise(
+                    x - F.element_at(F.col("docs"), i)
+                ),
+            ).alias("postings"),
+        )
+    )
+    return untouched.select(
+        "shard", "term", "block_id", "block_df", "postings"
+    ).unionByName(rebuilt)

@@ -44,3 +44,60 @@ def test_rejects_bad_params(spark):
         index_export(df, n_shards=0)
     with pytest.raises(ValueError):
         index_export(df, block_size=0)
+
+
+def test_index_merge_equals_from_scratch(spark):
+    from navigator_document_parser_spark.operators.search import (
+        index_export,
+        index_merge,
+    )
+
+    rows = [
+        (i, f"alpha beta w{i % 7} w{i % 3} shared")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    old = df.filter("doc_id % 4 != 1")
+    delta = df.filter("doc_id % 4 = 1")
+    merged = index_merge(
+        index_export(old, n_shards=4, block_size=10),
+        delta,
+        n_shards=4,
+        block_size=10,
+    )
+    scratch = index_export(df, n_shards=4, block_size=10)
+    m = {
+        (r["term"], r["block_id"]): (r["shard"], r["block_df"],
+                                     r["postings"])
+        for r in merged.collect()
+    }
+    s = {
+        (r["term"], r["block_id"]): (r["shard"], r["block_df"],
+                                     r["postings"])
+        for r in scratch.collect()
+    }
+    assert m == s
+
+
+def test_index_merge_leaves_untouched_blocks_alone(spark):
+    from navigator_document_parser_spark.operators.search import (
+        index_export,
+        index_merge,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "onlyold terms here"), (25, "other block words")],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [(26, "other block words")], "doc_id bigint, text string"
+    )
+    idx = index_export(old, n_shards=2, block_size=10)
+    merged = {
+        (r["term"], r["block_id"]): r["postings"]
+        for r in index_merge(idx, delta, n_shards=2,
+                             block_size=10).collect()
+    }
+    # block 0 terms untouched; 'other'/'block'/'words' block 2 rebuilt
+    assert merged[("onlyold", 0)] == [1]
+    assert merged[("other", 2)] == [25, 1]  # delta-encoded [25, 26]
