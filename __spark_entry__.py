@@ -1860,6 +1860,57 @@ def _multimodal_frames_oracle_sql(n: int = 200, n_frames: int = 4,
     )
 
 
+def _multimodal_audio_oracle_sql(n: int = 200, window_bytes: int = 64,
+                                 hop_bytes: int = 32) -> str:
+    """Independent pure-Python re-derivation of window_audio_samples
+    over synth_media as a VALUES literal (same technique as the frames
+    oracle — md5-of-binary chains are not derivable in DuckDB SQL)."""
+    import hashlib as _hl
+
+    rows = []
+    for i in range(n):
+        if i % 3 != 1:  # kinds cycle image/audio/video; audio is i%3==1
+            continue
+        size = 64 + (i * 37) % 512
+        payload = (
+            _hl.md5(f"media{i}".encode()).digest() * (size // 16 + 1)
+        )[:size]
+        n_wins = (
+            0 if size < window_bytes
+            else 1 + (size - window_bytes) // hop_bytes
+        )
+        for k in range(n_wins):
+            start = k * hop_bytes
+            win = payload[start:start + window_bytes]
+            rows.append(
+                f"({i}, {k}, {start}, '{_hl.md5(win).hexdigest()}')"
+            )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(win_idx AS BIGINT) AS win_idx, "
+        "CAST(start_byte AS BIGINT) AS start_byte, content_hash "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(media_id, "
+        "win_idx, start_byte, content_hash)"
+    )
+
+
+def _multimodal_audio(spark, sf):
+    """Audio sample-window fan-out (variable 1->N mapInPandas; PCM
+    decode is the documented stub boundary, the window byte-ranges and
+    content hashes are pure md5-chain math — hash-checked against the
+    python VALUES oracle)."""
+    from navigator_document_parser_spark.operators.multimodal import (
+        synth_media,
+        window_audio_samples,
+    )
+
+    _ensure_workers_can_import(spark)
+    media = synth_media(spark, 200, partitions=4)
+    return window_audio_samples(media, window_bytes=64, hop_bytes=32).select(
+        "media_id", "win_idx", "start_byte", "content_hash"
+    )
+
+
 def _multimodal_frames(spark, sf):
     """Video frame-sampling fan-out (mapInPandas 1->N shape; the raster
     decode is the documented stub boundary, but frame timestamps and
@@ -1955,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _quantize_embeddings,
         "multimodal_features": _multimodal_features,  # oracle: python VALUES
         "multimodal_frames": _multimodal_frames,      # oracle: python VALUES
+        "multimodal_audio": _multimodal_audio,        # audio window fan-out
         "events_asof_join": _events_asof_join,        # custom AS-OF join
         "events_range_join": _events_range_join,      # custom range join
         # --- position 51+: oracle-checked relational block -----------
@@ -2452,6 +2504,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _lsh_oracle_sql(),
         "multimodal_features": _multimodal_features_oracle_sql(),
         "multimodal_frames": _multimodal_frames_oracle_sql(),
+        "multimodal_audio": _multimodal_audio_oracle_sql(),
         "knn_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings WHERE vec_id < 5),

@@ -136,6 +136,7 @@ OP_QUERIES = [
     "pq_encode",
     "knn_pq",
     "multimodal_features",
+    "multimodal_audio",
     "translate_pipeline",
     "events_hourly",
     "events_pivot",

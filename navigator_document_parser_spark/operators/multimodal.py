@@ -198,6 +198,58 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4,
     )
 
 
+AUDIO_WINDOW_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("win_idx", LongType(), False),
+    StructField("start_byte", LongType(), False),
+    StructField("window", BinaryType(), False),
+    StructField("content_hash", StringType(), False),
+])
+
+
+def window_audio_samples(media: DataFrame, window_bytes: int = 64,
+                         hop_bytes: int = 32) -> DataFrame:
+    """Audio windowing: each audio row fans out to its overlapping
+    sample windows (window/hop in bytes — the stub treats the payload
+    as raw PCM; a real pipeline decodes the container first, same stub
+    boundary as _fake_raster). Only FULL windows are emitted, so the
+    fan-out count varies with payload size — the variable 1->N shape
+    mapInPandas exists for, completing the image(resize)/video(frames)/
+    audio(windows) plumbing triple.
+    """
+    if window_bytes <= 0 or hop_bytes <= 0:
+        raise ValueError("window_bytes and hop_bytes must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw) if raw is not None else b""
+                n_wins = (
+                    0
+                    if len(payload) < window_bytes
+                    else 1 + (len(payload) - window_bytes) // hop_bytes
+                )
+                for k in range(n_wins):
+                    start = k * hop_bytes
+                    win = payload[start:start + window_bytes]
+                    rows.append({
+                        "media_id": media_id,
+                        "win_idx": k,
+                        "start_byte": start,
+                        "window": win,
+                        "content_hash": hashlib.md5(win).hexdigest(),
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_WINDOW_SCHEMA.fields],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_WINDOW_SCHEMA
+    )
+
+
 def synth_media(spark, n: int, partitions: int = 4) -> DataFrame:
     """Deterministic fake media table (payload bytes from row id)."""
 

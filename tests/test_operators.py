@@ -1684,3 +1684,38 @@ def test_session4_ops_plan_shapes(spark):
     assert plan.count("FileScan parquet") == 0
     assert "Scan ExistingRDD" in plan  # reads the checkpoint
     assert "HashAggregate" in plan
+
+
+def test_audio_windowing_fanout(spark):
+    """window_audio_samples: variable 1->N fan-out, only full windows,
+    hop-overlapped byte ranges, md5 content hashes."""
+    import hashlib
+
+    from navigator_document_parser_spark.operators.multimodal import (
+        synth_media,
+        window_audio_samples,
+    )
+
+    media = synth_media(spark, 30, partitions=2)
+    out = window_audio_samples(
+        media, window_bytes=64, hop_bytes=32
+    ).collect()
+    src = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter("kind = 'audio'").collect()
+    }
+    assert out and {r["media_id"] for r in out} <= set(src)
+    per_media = {}
+    for r in out:
+        per_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in per_media.items():
+        payload = src[mid]
+        expect = 1 + (len(payload) - 64) // 32
+        assert len(rows) == expect
+        for r in rows:
+            start = r["start_byte"]
+            win = payload[start:start + 64]
+            assert len(win) == 64  # full windows only
+            assert r["content_hash"] == hashlib.md5(win).hexdigest()
+    # sizes vary by id -> fan-out genuinely variable
+    assert len({len(v) for v in per_media.values()}) > 1
