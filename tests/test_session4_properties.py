@@ -142,3 +142,88 @@ def test_bloom_membership_superset_of_exact(spark):
         for r in rows:
             if r["exact_dup"]:
                 assert r["bloom_hit"], (m_bits, r)
+
+
+def test_bloom_bitmaps_or_merge(spark):
+    """Mergeability claim: bit_or of two snapshots' bitmaps equals the
+    bitmap of the union — the property that lets a production store
+    maintain the filter incrementally."""
+    from pyspark.sql import functions as F2
+    from navigator_document_parser_spark.operators.dedup import (
+        bloom_words,
+    )
+
+    a = spark.createDataFrame(
+        [(f"doc a {i}",) for i in range(40)], "text string"
+    )
+    b = spark.createDataFrame(
+        [(f"doc b {i}",) for i in range(40)], "text string"
+    )
+    both = a.unionByName(b)
+    wa = bloom_words(a, m_bits=2048, num_hashes=3)
+    wb = bloom_words(b, m_bits=2048, num_hashes=3)
+    merged = {
+        r["word_idx"]: r["w"]
+        for r in wa.unionByName(wb)
+        .groupBy("word_idx")
+        .agg(F2.expr("bit_or(word)").alias("w"))
+        .collect()
+    }
+    direct = {
+        r["word_idx"]: r["word"]
+        for r in bloom_words(both, m_bits=2048, num_hashes=3).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_registers_max_merge(spark):
+    """Union-of-snapshots = max-of-registers: merging two register
+    tables by max gives the same estimate as sketching the union."""
+    from navigator_document_parser_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    a = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(300)], "lang string, text string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"y{i}") for i in range(300)]
+        + [("g", f"x{i}") for i in range(100)],  # overlap
+        "lang string, text string",
+    )
+    # the operator's register table isn't exposed; the observable
+    # mergeability consequence: estimate(union) is NOT the sum of the
+    # parts (overlap collapses) and equals the direct union sketch
+    direct = hll_distinct(a.unionByName(b), p=8).collect()[0]["estimate"]
+    again = hll_distinct(b.unionByName(a), p=8).collect()[0]["estimate"]
+    assert direct == again  # order/duplication invariant
+    ea = hll_distinct(a, p=8).collect()[0]["estimate"]
+    eb = hll_distinct(b, p=8).collect()[0]["estimate"]
+    assert direct < ea + eb  # overlap collapsed
+
+
+def test_index_merge_random_splits(spark):
+    from navigator_document_parser_spark.operators.search import (
+        index_export,
+        index_merge,
+    )
+
+    docs = _rand_docs(21, 60, max_len=15)
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    for frac_mod in (2, 3, 5):
+        old = df.filter(f"doc_id % {frac_mod} != 0")
+        delta = df.filter(f"doc_id % {frac_mod} = 0")
+        merged = {
+            (r["term"], r["block_id"]): (r["block_df"], r["postings"])
+            for r in index_merge(
+                index_export(old, n_shards=4, block_size=16),
+                delta, n_shards=4, block_size=16,
+            ).collect()
+        }
+        scratch = {
+            (r["term"], r["block_id"]): (r["block_df"], r["postings"])
+            for r in index_export(
+                df, n_shards=4, block_size=16
+            ).collect()
+        }
+        assert merged == scratch, frac_mod
