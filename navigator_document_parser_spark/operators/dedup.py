@@ -1344,14 +1344,21 @@ def snapshot_diff(
 
     Returns (grp, n_added, n_removed, n_changed, n_unchanged).
     """
+    # presence markers, NOT hash nullness: md5(NULL text) is NULL, so
+    # classifying on oh/nh nullness would call a null-text doc present
+    # in both crawls "added"/"removed" and break the partition-of-ids
+    # invariant (review finding). Equality is null-safe for the same
+    # reason.
     n = new_df.select(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col)).alias("nh"),
+        F.lit(1).alias("nmark"),
         *( [F.col(group_col).alias("ngrp")] if group_col else [] ),
     )
     o = old_df.select(
         F.col(id_col).alias("id"),
         F.md5(F.col(text_col)).alias("oh"),
+        F.lit(1).alias("omark"),
         *( [F.col(group_col).alias("ogrp")] if group_col else [] ),
     )
     j = n.join(o, "id", "full_outer")
@@ -1359,9 +1366,9 @@ def snapshot_diff(
         F.coalesce("ngrp", "ogrp") if group_col else F.lit("all")
     ).alias("grp")
     status = (
-        F.when(F.col("oh").isNull(), F.lit("added"))
-        .when(F.col("nh").isNull(), F.lit("removed"))
-        .when(F.col("nh") == F.col("oh"), F.lit("unchanged"))
+        F.when(F.col("omark").isNull(), F.lit("added"))
+        .when(F.col("nmark").isNull(), F.lit("removed"))
+        .when(F.col("nh").eqNullSafe(F.col("oh")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return (
@@ -1401,11 +1408,12 @@ def oracle_snapshot_diff(
           FROM {table}
         ), j AS (
           SELECT COALESCE(n.ngrp, o.ogrp) AS grp,
-                 CASE WHEN o.oh IS NULL THEN 'added'
-                      WHEN n.nh IS NULL THEN 'removed'
-                      WHEN n.nh = o.oh THEN 'unchanged'
+                 CASE WHEN o.id IS NULL THEN 'added'
+                      WHEN n.id IS NULL THEN 'removed'
+                      WHEN n.nh IS NOT DISTINCT FROM o.oh
+                        THEN 'unchanged'
                       ELSE 'changed' END AS status
-          FROM n FULL OUTER JOIN o USING (id)
+          FROM n FULL OUTER JOIN o ON n.id = o.id
         )
         SELECT grp,
                CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)

@@ -556,30 +556,49 @@ def index_merge(
     text_col: str = "text",
     n_shards: int = 8,
     block_size: int = 128,
+    materialize_old: bool = True,
 ) -> DataFrame:
     """Incrementally fold newly crawled documents into an existing
-    index_export() table — the monthly-delta maintenance path: only the
-    (term, block) posting blocks a new document actually touches are
-    decoded and rebuilt; every other block passes through UNTOUCHED
-    (anti-join), so the cost scales with the delta, not the index.
+    index_export() table — the monthly-delta maintenance path: only
+    posting blocks in the delta's doc ranges are decoded and rebuilt;
+    every other block passes through UNTOUCHED (anti-join), so the
+    cost scales with the delta, not the index.
 
-    Invariant (pytest + oracle): merge(index(old docs), new docs) is
-    row-identical to index_export(all docs) — the DuckDB oracle for the
-    contract query is literally the from-scratch full-corpus oracle,
-    an engine-independent correctness statement rather than a mirrored
-    formulation.
+    The new crawl is AUTHORITATIVE for its doc ids: every old posting
+    of a re-crawled id is dropped before the merge, so changed and
+    even emptied documents converge — the invariant (pytest + oracle)
+    merge(index(old docs), new docs) == index_export(old-minus-delta
+    union new docs) holds for overlapping deltas, not just disjoint
+    ones. The DuckDB oracle for the contract query is literally the
+    from-scratch full-corpus oracle — an engine-independent
+    correctness statement rather than a mirrored formulation.
 
-    100 TB shape: the new-doc postings are delta-sized; affected blocks
-    arrive via one semi-join on (term, block_id), are delta-DECODED
-    with a bounded per-block window (groups <= block_size rows), merged
-    and re-encoded by the same aggregate as index_export. Shard ids
-    are recomputed from the same md5 primitive, so stable.
+    100 TB shape: touched blocks are selected by doc-range block id
+    alone (a re-crawl must be able to DELETE a term the new version no
+    longer contains, which a (term, block) key cannot see), so the
+    rebuild cost is every term in the delta's doc-range blocks —
+    bounded by the delta's ranges, never the index. Affected blocks
+    are delta-DECODED with a bounded per-block window (groups <=
+    block_size rows), purged of delta ids (anti-join), merged with the
+    new postings and re-encoded by the same aggregate as index_export.
+    old_index is eagerly checkpointed — it feeds the untouched
+    anti-join AND the affected semi-join (the cdc_dedup dual-consumer
+    lesson); pass an already-materialized table with
+    ``materialize_old=False`` to skip the copy.
     """
     if n_shards <= 0 or block_size <= 0:
         raise ValueError("n_shards and block_size must be positive")
     from navigator_document_parser_spark.operators import md5_u32_sql
     from pyspark.sql.window import Window as W
 
+    if materialize_old:
+        old_index = old_index.localCheckpoint(eager=True)
+    new_ids = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+        .withColumn("block_id", F.expr(f"doc_id div {block_size}"))
+        .localCheckpoint(eager=True)  # purge anti-join + block keys
+    )
     new_words = (
         new_docs.select(
             F.col(id_col).alias("doc_id"),
@@ -592,13 +611,14 @@ def index_merge(
         )
         .dropDuplicates(["term", "doc_id"])
         .withColumn("block_id", F.expr(f"doc_id div {block_size}"))
-        # feeds the semi-join, the anti-join and the union: one scan
         .localCheckpoint(eager=True)
     )
-    keys = new_words.select("term", "block_id").dropDuplicates()
+    # block ids come from the doc IDS (not the token table): an empty
+    # re-crawled doc has no tokens but must still purge its postings
+    delta_blocks = new_ids.select("block_id").dropDuplicates()
 
-    untouched = old_index.join(keys, ["term", "block_id"], "left_anti")
-    affected_old = old_index.join(keys, ["term", "block_id"], "leftsemi")
+    untouched = old_index.join(delta_blocks, ["block_id"], "left_anti")
+    affected_old = old_index.join(delta_blocks, ["block_id"], "leftsemi")
     decoded_old = (
         affected_old.select(
             "term", "block_id", F.posexplode("postings").alias("i", "gap")
@@ -610,6 +630,8 @@ def index_merge(
             ),
         )
         .select("term", "block_id", "doc_id")
+        # the new crawl owns its ids: stale postings drop here
+        .join(new_ids.select("doc_id"), ["doc_id"], "left_anti")
     )
     rebuilt = (
         decoded_old.unionByName(

@@ -101,3 +101,40 @@ def test_index_merge_leaves_untouched_blocks_alone(spark):
     # block 0 terms untouched; 'other'/'block'/'words' block 2 rebuilt
     assert merged[("onlyold", 0)] == [1]
     assert merged[("other", 2)] == [25, 1]  # delta-encoded [25, 26]
+
+
+def test_index_merge_recrawl_changed_and_emptied_docs(spark):
+    """The new crawl is authoritative: changed text drops stale
+    postings, an emptied doc vanishes from the index entirely."""
+    from navigator_document_parser_spark.operators.search import (
+        index_export,
+        index_merge,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "apple pie"), (2, "apple cake"), (3, "cherry")],
+        "doc_id bigint, text string",
+    )
+    delta = spark.createDataFrame(
+        [(1, "banana pie"), (3, "")],  # doc 1 changed, doc 3 emptied
+        "doc_id bigint, text string",
+    )
+    merged = {
+        (r["term"], r["block_id"]): (r["block_df"], r["postings"])
+        for r in index_merge(
+            index_export(old, n_shards=2, block_size=10),
+            delta, n_shards=2, block_size=10,
+        ).collect()
+    }
+    full = spark.createDataFrame(
+        [(1, "banana pie"), (2, "apple cake"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    scratch = {
+        (r["term"], r["block_id"]): (r["block_df"], r["postings"])
+        for r in index_export(full, n_shards=2, block_size=10).collect()
+    }
+    assert merged == scratch
+    assert ("apple", 0) in merged and merged[("apple", 0)][1] == [2]
+    assert ("cherry", 0) not in merged  # emptied doc fully purged
+    assert merged[("banana", 0)][1] == [1]

@@ -58,3 +58,21 @@ def test_ungrouped_mode(spark):
     rows = snapshot_diff(new, old, group_col=None).collect()
     assert len(rows) == 1 and rows[0]["grp"] == "all"
     assert rows[0]["n_unchanged"] == 1
+
+
+def test_null_text_classified_by_presence_not_hash(spark):
+    """md5(NULL) is NULL; classification must come from id presence
+    (review finding). A null-text doc present in both crawls is
+    'changed' (vs text) or 'unchanged' (vs null), never added/removed."""
+    old = spark.createDataFrame(
+        [(1, None, "s"), (2, None, "s"), (3, "x", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(1, "now has text", "s"), (2, None, "s"), (3, None, "s")],
+        "doc_id bigint, text string, source string",
+    )
+    r = snapshot_diff(new, old).collect()[0]
+    assert (r["n_added"], r["n_removed"]) == (0, 0)
+    assert r["n_changed"] == 2      # null->text and text->null
+    assert r["n_unchanged"] == 1    # null->null is null-safe equal
