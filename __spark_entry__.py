@@ -1756,6 +1756,69 @@ def _q3_revenue_top10(spark, sf):
     return j.orderBy(F.col("revenue").desc(), F.col("orderkey").asc()).limit(10)
 
 
+def _q5_local_supplier(spark, sf):
+    """TPC-H Q5 shape: revenue per nation where customer and supplier
+    share the nation, one region, one order year — the 6-table join
+    whose ordering Catalyst must get right: region/nation broadcast up
+    the chain, the selective o_orderdate predicate pushed to the orders
+    scan, lineitem joined last on the shrunken keys."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    r = spark.read.parquet(f"{sf}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def _q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: the pushed-filter showcase — three selective
+    scan predicates, zero joins, one global aggregate."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _multimodal_features(spark, sf):
     from navigator_document_parser_spark.operators.multimodal import (
         extract_media_features,
@@ -2031,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_per_type": _events_topk_per_type,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_revenue_top10": _q3_revenue_top10,
+        "q5_local_supplier": _q5_local_supplier,
+        "q6_forecast_revenue": _q6_forecast_revenue,
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -2684,6 +2749,32 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q5_local_supplier": """
+            SELECT n.n_name AS nation,
+                   round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= '1996-01-01'
+              AND o.o_orderdate < '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01'
+              AND l_shipdate < '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "q3_revenue_top10": """
             WITH rev AS (

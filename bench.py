@@ -149,6 +149,8 @@ OP_QUERIES = [
     "events_topk_per_type",
     "q1_pricing_summary",
     "q3_revenue_top10",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
 ]
 
 

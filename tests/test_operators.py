@@ -1719,3 +1719,22 @@ def test_audio_windowing_fanout(spark):
             assert r["content_hash"] == hashlib.md5(win).hexdigest()
     # sizes vary by id -> fan-out genuinely variable
     assert len({len(v) for v in per_media.values()}) > 1
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark):
+    """The Q6 shape exists to prove scan hygiene: all three predicates
+    reach the parquet scan as PushedFilters and only the 4 referenced
+    columns of 11 are read."""
+    import __spark_entry__ as E
+
+    plan = (
+        E.queries()["q6_forecast_revenue"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan = next(
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    )
+    assert "PushedFilters: [IsNotNull" in scan
+    assert "l_shipdate" in scan and "l_discount" in scan
+    cols = scan.split("FileScan parquet [")[1].split("]")[0].split(",")
+    assert len(cols) == 4  # column pruning: 4 of 11
