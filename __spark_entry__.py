@@ -45,6 +45,7 @@ from navigator_document_parser_spark.operators.layout import (
 from navigator_document_parser_spark.operators.search import (
     oracle_bm25_search as _oracle_bm25_search,
     oracle_index_export as _oracle_index_export,
+    oracle_index_lookup as _oracle_index_lookup,
     oracle_keyword_search as _oracle_keyword_search,
     oracle_phrase_search as _oracle_phrase_search,
 )
@@ -786,6 +787,24 @@ def _index_merge(spark, sf):
         n_shards=8,
         block_size=128,
     )
+
+
+_INDEX_LOOKUP_TERMS = ["hash", "join", "table"]
+
+
+def _index_lookup(spark, sf):
+    """Conjunctive retrieval served FROM the materialized posting
+    index (build -> decode -> intersect; zero corpus access); the
+    oracle is a raw-corpus tokenize-and-test scan, so the whole
+    build->serve loop cross-validates (operators/search.py
+    index_lookup)."""
+    from navigator_document_parser_spark.operators.search import (
+        index_export,
+        index_lookup,
+    )
+
+    idx = index_export(_docs(spark, sf), n_shards=8, block_size=128)
+    return index_lookup(idx, _INDEX_LOOKUP_TERMS)
 
 
 def _bm25_search(spark, sf):
@@ -2019,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _bm25_search,                # BM25 ranked retrieval
         "index_export": _index_export,              # posting-block export
         "index_merge": _index_merge,                # incremental update
+        "index_lookup": _index_lookup,              # serve from the index
         "fetch_schedule": _fetch_schedule,          # politeness crawl slots
         "text_normalize": _text_normalize,          # unicode/ws cleanup
         "zorder_layout": _zorder_layout,            # Morton-curve layout
@@ -2281,6 +2301,7 @@ def oracle_sql() -> dict[str, str]:
         # merge(index(9/10), last tenth) must equal the from-scratch
         # full-corpus index — the oracle IS index_export's oracle
         "index_merge": _oracle_index_export(),
+        "index_lookup": _oracle_index_lookup(_INDEX_LOOKUP_TERMS),
         "fetch_schedule": _oracle_fetch_schedule(_FETCH_PLAN_SQL, 8),
         "text_normalize": T.oracle_normalize_text(_MESSY_TEXT_SQL),
         "zorder_layout": _oracle_zorder_layout(

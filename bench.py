@@ -96,6 +96,7 @@ OP_QUERIES = [
     "phrase_search",
     "index_export",
     "index_merge",
+    "index_lookup",
     "url_filter",
     "robots_filter",
     "fetch_schedule",

@@ -661,3 +661,80 @@ def index_merge(
     return untouched.select(
         "shard", "term", "block_id", "block_df", "postings"
     ).unionByName(rebuilt)
+
+
+def index_lookup(
+    index: DataFrame,
+    terms: Sequence[str],
+) -> DataFrame:
+    """Serve a conjunctive (AND) query FROM the materialized index —
+    the production read path for index_export/index_merge output: no
+    corpus access at all. Posting blocks for the query terms are
+    selected by equi-join (term pushdown prunes everything else),
+    delta-decoded with the bounded per-block window, and a doc matches
+    iff it appears under every distinct query term.
+
+    The contract oracle re-derives the answer from the RAW DOCUMENTS
+    with a tokenize-and-test scan — a different algorithm over a
+    different input that must produce the same docs, cross-validating
+    both the index construction and this read path.
+
+    Returns (doc_id, n_terms) for matching docs.
+    """
+    distinct_terms = sorted(set(terms))
+    if not distinct_terms:
+        raise ValueError("terms must be non-empty")
+    from pyspark.sql.window import Window as W
+
+    spark = index.sparkSession
+    tdf = spark.createDataFrame(
+        [(t,) for t in distinct_terms], "term string"
+    )
+    blocks = index.join(F.broadcast(tdf), "term")
+    decoded = (
+        blocks.select(
+            "term", "block_id", F.posexplode("postings").alias("i", "gap")
+        )
+        .withColumn(
+            "doc_id",
+            F.sum("gap").over(
+                W.partitionBy("term", "block_id").orderBy("i")
+            ),
+        )
+        .select("term", "doc_id")
+    )
+    return (
+        decoded.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("n_terms"))
+        .filter(F.col("n_terms") == len(distinct_terms))
+        .select("doc_id", F.col("n_terms").cast("bigint").alias("n_terms"))
+    )
+
+
+def oracle_index_lookup(
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for index_lookup — deliberately a raw-corpus
+    tokenize-and-test scan, NOT an index decode: the two paths must
+    agree for the whole build->serve loop to be correct."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    distinct_terms = sorted(set(terms))
+    preds = " AND ".join(
+        f"list_contains(toks, {sql_quote(t)})" for t in distinct_terms
+    )
+    return f"""
+        WITH t AS (
+          SELECT {id_col} AS doc_id,
+                 list_filter(string_split_regex(
+                   trim(lower({text_col})), '\\s+'),
+                   x -> length(x) > 0) AS toks
+          FROM {table}
+        )
+        SELECT doc_id,
+               CAST({len(distinct_terms)} AS BIGINT) AS n_terms
+        FROM t WHERE {preds}
+    """

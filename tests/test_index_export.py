@@ -138,3 +138,34 @@ def test_index_merge_recrawl_changed_and_emptied_docs(spark):
     assert ("apple", 0) in merged and merged[("apple", 0)][1] == [2]
     assert ("cherry", 0) not in merged  # emptied doc fully purged
     assert merged[("banana", 0)][1] == [1]
+
+
+def test_index_lookup_serves_conjunctive_queries(spark):
+    from navigator_document_parser_spark.operators.search import (
+        index_export,
+        index_lookup,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana"),
+            (3, "apple"),
+            (15, "banana apple banana"),  # second block, repeated term
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = index_export(docs, n_shards=4, block_size=10)
+    got = {
+        r["doc_id"]: r["n_terms"]
+        for r in index_lookup(idx, ["apple", "banana"]).collect()
+    }
+    assert got == {1: 2, 2: 2, 15: 2}
+    # duplicate query terms collapse; single-term works across blocks
+    one = {r["doc_id"] for r in
+           index_lookup(idx, ["banana", "banana"]).collect()}
+    assert one == {1, 2, 15}
+    assert index_lookup(idx, ["absent"]).collect() == []
+    with _pytest.raises(ValueError):
+        index_lookup(idx, [])
