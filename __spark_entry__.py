@@ -44,6 +44,7 @@ from navigator_document_parser_spark.operators.layout import (
 )
 from navigator_document_parser_spark.operators.search import (
     oracle_bm25_search as _oracle_bm25_search,
+    oracle_boolean_search as _oracle_boolean_search,
     oracle_index_export as _oracle_index_export,
     oracle_index_lookup as _oracle_index_lookup,
     oracle_keyword_search as _oracle_keyword_search,
@@ -58,6 +59,7 @@ from navigator_document_parser_spark.operators.urls import (
 )
 from navigator_document_parser_spark.operators.selection import (
     oracle_budget_select as _oracle_budget_select,
+    oracle_host_split as _oracle_host_split,
     oracle_importance_select as _oracle_importance_select,
     oracle_mix_rebalance as _oracle_mix_rebalance,
     oracle_temperature_mix as _oracle_temperature_mix,
@@ -526,6 +528,18 @@ def _corpus_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def _host_split(spark, sf):
+    """Leakage-safe train/val/test split: hash the HOST (all pages of a
+    site share a split, so same-site near-dups can't straddle the
+    train/eval boundary), 90/5/5 via the shared md5 Bernoulli
+    (operators/selection.py host_split)."""
+    from navigator_document_parser_spark.operators.selection import (
+        host_split,
+    )
+
+    return host_split(_docs(spark, sf), val_frac=0.05, test_frac=0.05)
+
+
 def _budget_select(spark, sf):
     """Per-language token-budget selection: fill ~1,500 BPE-ish tokens
     per language with the highest-quality documents first (the
@@ -680,6 +694,28 @@ def _keyword_search(spark, sf):
     from navigator_document_parser_spark.operators.search import keyword_search
 
     return keyword_search(_docs(spark, sf), _SEARCH_QUERIES, k=10)
+
+
+_BOOLEAN_QUERIES = [
+    # (query_id, must, should, must_not)
+    (0, ["table", "hash"], [], ["spark"]),
+    (1, ["join"], ["window", "sort"], []),
+    (2, [], ["merge", "batch"], ["slow"]),
+    (3, ["scan"], ["fast"], ["agg", "stream"]),
+]
+
+
+def _boolean_search(spark, sf):
+    """Boolean retrieval (MUST / SHOULD / MUST_NOT) over the inverted
+    index: same one-scan vocabulary-filtered postings as keyword_search,
+    negation as a candidate-row flag (never a corpus anti-scan), ranked
+    by positive-term tf — integer-exact (operators/search.py
+    boolean_search)."""
+    from navigator_document_parser_spark.operators.search import (
+        boolean_search,
+    )
+
+    return boolean_search(_docs(spark, sf), _BOOLEAN_QUERIES, k=10)
 
 
 _PHRASE_QUERIES = [
@@ -872,6 +908,21 @@ def _lm_rarity(spark, sf):
     return T.lm_rarity(_docs(spark, sf))
 
 
+def _top_ngrams(spark, sf):
+    """Corpus-wide top-20 trigrams (WIMBD-style corpus audit): one
+    count aggregate + TakeOrderedAndProject top-k — never a global
+    window sort (operators/text.py top_ngrams)."""
+    return T.top_ngrams(_docs(spark, sf), n=3, k=20)
+
+
+def _ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail perplexity terciles per language: rank by
+    the lm_rarity fraction, split by integer rank thresholds — the
+    Common Crawl LM-quality stratification step (operators/text.py
+    ccnet_buckets)."""
+    return T.ccnet_buckets(_docs(spark, sf))
+
+
 def _corpus_report(spark, sf):
     """Multi-level corpus report via ROLLUP(lang, source): per-(lang,
     source) stats plus per-lang and grand totals in one aggregation pass
@@ -1033,6 +1084,91 @@ def _pagerank_hosts_oracle_sql(damping: float = 0.85,
     """
 
 
+def _anchor_text(spark, sf):
+    """Top-3 anchor texts per link target over the same deterministic
+    host link graph as pagerank_hosts, anchors drawn from the linking
+    doc's own tokens ((doc_id % 3)+1-th token; 'link' when the doc is
+    too short) — the Common Crawl anchor-text-dataset shape
+    (operators/graph.py anchor_text_topk)."""
+    from navigator_document_parser_spark.operators.graph import (
+        anchor_text_topk,
+    )
+
+    d = _docs(spark, sf)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    raw = F.try_element_at(toks, (F.col("doc_id") % 3 + 1).cast("int"))
+    edges = d.select(
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 40).cast("string")
+        ).alias("dst_host"),
+        F.when(
+            raw.isNull() | (raw == ""), F.lit("link")
+        ).otherwise(raw).alias("anchor"),
+    )
+    return anchor_text_topk(edges, k=3)
+
+
+_ANCHOR_TEXT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), e AS (
+      SELECT 'h' || CAST((d.doc_id * 7 + 3) % 40 AS VARCHAR) AS dst_host,
+             CASE WHEN tk.t[CAST(d.doc_id % 3 AS INTEGER) + 1] IS NULL
+                    OR tk.t[CAST(d.doc_id % 3 AS INTEGER) + 1] = ''
+                  THEN 'link'
+                  ELSE tk.t[CAST(d.doc_id % 3 AS INTEGER) + 1] END AS anchor
+      FROM documents d JOIN toks tk USING (doc_id)
+    ), counts AS (
+      SELECT dst_host, anchor, count(*) AS n_links
+      FROM e GROUP BY dst_host, anchor
+    )
+    SELECT dst_host, anchor, CAST(n_links AS BIGINT) AS n_links,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY dst_host
+               ORDER BY n_links DESC, anchor ASC) AS rank
+      FROM counts
+    )
+    WHERE rank <= 3
+"""
+
+
+# ring clusters: 7 communities ('c0'..'c6'), each a ring of <= 9 nodes —
+# multi-community output AND a diameter the 5 fixed rounds fully cover
+_HOST_COMMUNITY_EDGES_SQL = """
+    SELECT 'c' || CAST(doc_id % 7 AS VARCHAR)
+             || 'n' || CAST((doc_id // 7) % 9 AS VARCHAR) AS src_host,
+           'c' || CAST(doc_id % 7 AS VARCHAR)
+             || 'n' || CAST(((doc_id // 7) + 1) % 9 AS VARCHAR) AS dst_host
+    FROM documents
+"""
+
+
+def _host_communities(spark, sf):
+    """Fixed-round min-label propagation over a deterministic clustered
+    host graph (7 ring communities): the site-cluster grouping step a
+    crawl pipeline runs before per-community caps (operators/graph.py
+    label_propagation; oracle = the same 5 rounds unrolled as CTEs)."""
+    from navigator_document_parser_spark.operators.graph import (
+        label_propagation,
+    )
+
+    d = _docs(spark, sf)
+    edges = d.select(
+        F.concat(
+            F.lit("c"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("n"), F.expr("(doc_id div 7) % 9").cast("string"),
+        ).alias("src_host"),
+        F.concat(
+            F.lit("c"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("n"), F.expr("((doc_id div 7) + 1) % 9").cast("string"),
+        ).alias("dst_host"),
+    )
+    return label_propagation(edges, iterations=5)
+
+
 def _hits_hosts(spark, sf):
     """HITS hubs/authorities over the same deterministic host link
     graph as pagerank_hosts: 5 iterations, L1 normalization (no sqrt —
@@ -1173,6 +1309,28 @@ def _knn_cosine(spark, sf):
     return out.select(
         "query_id", "vec_id", "sim", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+def _bitext_mine(spark, sf):
+    """Margin-based bitext mining (CCMatrix/LASER shape): vec_id % 3
+    partitions the embedding table into a 'source-language' and a
+    'target-language' side; each source vector takes its best target
+    iff it beats both an absolute cosine floor and a top-2 margin
+    (operators/similarity.py bitext_margin_mine)."""
+    from navigator_document_parser_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    emb = _emb(spark, sf)
+    src = emb.filter(F.col("vec_id") % 3 != 0)
+    tgt = emb.filter(F.col("vec_id") % 3 == 0)
+    return bitext_margin_mine(src, tgt, min_sim=0.3, min_margin=0.02)
+
+
+_BITEXT_SRC_SQL = ("SELECT vec_id, embedding FROM embeddings "
+                   "WHERE vec_id % 3 <> 0")
+_BITEXT_TGT_SQL = ("SELECT vec_id, embedding FROM embeddings "
+                   "WHERE vec_id % 3 = 0")
 
 
 def _embedding_neardup(spark, sf):
@@ -2034,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": _host_cap,                      # per-origin cap
         "tfidf_top_terms": _tfidf_top_terms,        # corpus analytics
         "keyword_search": _keyword_search,          # inverted-index top-k
+        "boolean_search": _boolean_search,          # MUST/SHOULD/NOT retrieval
         "phrase_search": _phrase_search,            # positional phrase match
         "bm25_search": _bm25_search,                # BM25 ranked retrieval
         "index_export": _index_export,              # posting-block export
@@ -2047,14 +2206,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _robots_filter,            # REP longest-match rules
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
         "lm_rarity": _lm_rarity,                    # bigram-LM rarity gate
+        "ccnet_buckets": _ccnet_buckets,            # head/middle/tail terciles
+        "top_ngrams": _top_ngrams,                  # WIMBD corpus audit
         "c4_filters": _c4_filters,                  # C4 heuristic cleaning
         "importance_select": _importance_select,    # DSIR-style selection
         "pagerank_hosts": _pagerank_hosts,          # host link-graph rank
         "hits_hosts": _hits_hosts,                  # hubs & authorities
+        "anchor_text": _anchor_text,                # CC anchor-text top-k
+        "host_communities": _host_communities,      # label propagation
         "domain_quality": _domain_quality,          # rank x quality join
         "split_sentences": _split_sentences,        # sentence segmentation
         "bpe_tokenize": _bpe_tokenize,              # BPE subword stats
         "chunk_windows": _chunk_windows,            # RAG overlap chunking
+        "host_split": _host_split,                  # leakage-safe split
         "budget_select": _budget_select,            # per-lang token budget
         "mix_rebalance": _mix_rebalance,            # uniform-lang data mix
         "temperature_mix": _temperature_mix,        # mT5-style lang mix
@@ -2080,6 +2244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _knn_lsh,                # oracle: deterministic planes
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,    # == brute force
         "embedding_neardup": _embedding_neardup,
+        "bitext_mine": _bitext_mine,                # margin-based alignment
         "semdedup": _semdedup,                      # semantic cluster dedup
         "pq_encode": _pq_encode,                    # product quantization
         "knn_pq": _knn_pq,                          # ADC search over codes
@@ -2295,6 +2460,7 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": T.oracle_cap_per_group(),
         "tfidf_top_terms": T.oracle_tfidf(),
         "keyword_search": _oracle_keyword_search(_SEARCH_QUERIES),
+        "boolean_search": _oracle_boolean_search(_BOOLEAN_QUERIES),
         "phrase_search": _oracle_phrase_search(_PHRASE_QUERIES),
         "bm25_search": _oracle_bm25_search(_SEARCH_QUERIES),
         "index_export": _oracle_index_export(),
@@ -2314,6 +2480,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ml_quality_score": T.oracle_ml_quality(),
         "lm_rarity": T.oracle_lm_rarity(),
+        "ccnet_buckets": T.oracle_ccnet_buckets(),
+        "top_ngrams": T.oracle_top_ngrams(n=3, k=20),
         "c4_filters": T.oracle_c4_filters(
             table="synth",
             prelude_cte="""
@@ -2363,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE {T.oracle_hash_sample(0.25,
                                         strata={'en': 0.5, 'zh': 0.05})}
         """,
+        "host_split": _oracle_host_split(),
         "budget_select": _oracle_budget_select(1500),
         "mix_rebalance": _oracle_mix_rebalance(),
         "temperature_mix": _oracle_temperature_mix(
@@ -2815,8 +2984,21 @@ def oracle_sql() -> dict[str, str]:
     # full-probe IVF provably equals brute force (pytest-pinned), so it
     # shares the exact knn_cosine oracle
     oracles["knn_ivf_fullprobe"] = oracles["knn_cosine"]
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_bitext_margin_mine as _oracle_bitext_margin_mine,
+    )
+    oracles["bitext_mine"] = _oracle_bitext_margin_mine(
+        _BITEXT_SRC_SQL, _BITEXT_TGT_SQL, min_sim=0.3, min_margin=0.02
+    )
     oracles["pagerank_hosts"] = _pagerank_hosts_oracle_sql()
     oracles["hits_hosts"] = _hits_hosts_oracle_sql()
+    oracles["anchor_text"] = _ANCHOR_TEXT_ORACLE
+    from navigator_document_parser_spark.operators.graph import (
+        oracle_label_propagation as _oracle_label_propagation,
+    )
+    oracles["host_communities"] = _oracle_label_propagation(
+        _HOST_COMMUNITY_EDGES_SQL, iterations=5
+    )
     from navigator_document_parser_spark.operators.similarity import (
         oracle_semdedup,
     )

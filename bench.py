@@ -91,7 +91,9 @@ OP_QUERIES = [
     "ml_quality_score",
     "lm_rarity",
     "c4_filters",
+    "top_ngrams",
     "keyword_search",
+    "boolean_search",
     "bm25_search",
     "phrase_search",
     "index_export",
@@ -109,9 +111,13 @@ OP_QUERIES = [
     "budget_select",
     "mix_rebalance",
     "temperature_mix",
+    "host_split",
+    "ccnet_buckets",
     "importance_select",
     "pagerank_hosts",
     "hits_hosts",
+    "anchor_text",
+    "host_communities",
     "domain_quality",
     "corpus_report",
     "hll_distinct",
@@ -132,6 +138,7 @@ OP_QUERIES = [
     "knn_cosine",
     "knn_lsh",
     "knn_ivf",
+    "bitext_mine",
     "embedding_neardup",
     "semdedup",
     "pq_encode",

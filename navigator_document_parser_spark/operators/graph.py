@@ -222,3 +222,134 @@ def hits(
     return _l1(auths, "authority").join(_l1(hubs, "hub"), "node").select(
         "node", "authority", "hub"
     )
+
+
+def anchor_text_topk(
+    edges: DataFrame,
+    k: int = 3,
+    dst: str = "dst_host",
+    anchor: str = "anchor",
+) -> DataFrame:
+    """Top-``k`` anchor texts per link target — the Common Crawl
+    "anchor text dataset" shape (what other pages call a page is a
+    ranking/labeling signal search and curation both consume).
+
+    edges: one row per (src page/host, dst, anchor text) link. Count
+    per (dst, anchor), rank per dst by (count desc, anchor asc) —
+    deterministic ties — keep k.
+
+    100 TB shape: one hash aggregate (map-side partial combine absorbs
+    per-page repeats) + one per-dst top-k window over the already
+    aggregated rows (bounded by distinct anchors per target, not link
+    count). A mega-hub target with millions of distinct anchors is the
+    skew case; the count aggregate has already collapsed duplicates,
+    and AQE splits any residual straggler partition.
+
+    Returns (dst_host, anchor, n_links, rank).
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        edges.select(F.col(dst).alias("dst_host"),
+                     F.col(anchor).alias("anchor"))
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("dst_host", "anchor",
+                F.col("n_links").cast("bigint").alias("n_links"), "rank")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Synchronous min-label propagation over the UNDIRECTED host graph
+    — the cheap community detector crawl pipelines use to group hosts
+    into site clusters (mirror farms, link rings) before per-community
+    caps. Exactly ``iterations`` synchronized rounds (NOT run to
+    fixpoint, so the unrolled-CTE oracle replays it step for step):
+      l_0(v)   = v
+      l_{t+1}(v) = min(l_t(v), min over neighbors u of l_t(u))
+    After enough rounds this converges to connected components (see
+    dedup.connected_components for the fixpoint variant with its
+    batched-round scale story); the fixed-round form is the bounded-
+    cost approximation that is one shuffle per round.
+
+    100 TB shape: per round ONE edge-join + min-aggregate (string min
+    has a map-side partial combine); label lineage truncated every
+    ``checkpoint_every`` rounds like pagerank. Returns (node, community).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(int(iterations)):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("a", "node")
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % int(checkpoint_every) == 0
+            and i + 1 < iterations
+        ):
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def oracle_label_propagation(edges_sql: str, iterations: int = 5) -> str:
+    """DuckDB replica of label_propagation: the same symmetrized edge
+    set, one chained CTE per synchronized round (mirrors the pagerank
+    oracle's unrolled power iteration). ``edges_sql`` must yield
+    (src_host, dst_host) rows."""
+    step = """
+        l{t1} AS (
+          SELECT l.node,
+                 least(l.label, coalesce(m.mn, l.label)) AS label
+          FROM l{t0} l
+          LEFT JOIN (SELECT s.a AS node, min(l2.label) AS mn
+                     FROM sym s JOIN l{t0} l2 ON l2.node = s.b
+                     GROUP BY s.a) m
+            ON m.node = l.node
+        )"""
+    steps = ", ".join(
+        step.format(t0=t, t1=t + 1) for t in range(int(iterations))
+    )
+    return f"""
+        WITH e AS ({edges_sql}),
+        sym AS (
+          SELECT src_host AS a, dst_host AS b FROM e
+          UNION
+          SELECT dst_host, src_host FROM e
+        ),
+        l0 AS (
+          SELECT DISTINCT a AS node, a AS label FROM sym
+        ), {steps}
+        SELECT node, label AS community FROM l{iterations}
+    """

@@ -738,3 +738,166 @@ def oracle_index_lookup(
                CAST({len(distinct_terms)} AS BIGINT) AS n_terms
         FROM t WHERE {preds}
     """
+
+
+# ---- boolean retrieval (MUST / SHOULD / MUST_NOT) --------------------------
+
+def boolean_search(
+    df: DataFrame,
+    queries: Iterable[tuple[int, Sequence[str], Sequence[str], Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Boolean retrieval over the same postings table keyword_search
+    builds: each query is (query_id, must, should, must_not). A document
+    matches iff every ``must`` term occurs, at least one ``should`` term
+    occurs (when the list is non-empty), and no ``must_not`` term occurs.
+    Matches rank by total tf over the positive (must + should) terms,
+    ties by ascending doc_id — fully deterministic and integer-exact, so
+    the DuckDB oracle hash-matches.
+
+    Every query needs >= 1 positive term: a pure-negation query ("all
+    docs except ...") would require a full corpus anti-scan per query —
+    reject it loudly rather than silently scanning 100 TB.
+
+    100 TB shape: identical to keyword_search — the corpus is scanned
+    once, filtered to the union vocabulary BEFORE the tf aggregate
+    (candidate state is |vocab| x matching docs, not corpus tokens);
+    the query table broadcasts; negation is NOT an anti-join against
+    the corpus but a flag on the already-joined candidate rows (a doc
+    containing only negated terms never ranks, and a doc containing
+    none of the query's terms was never a candidate).
+    """
+    spark = df.sparkSession
+    qrows = []
+    vocab: set[str] = set()
+    for qid, must, should, must_not in queries:
+        m, s, n = sorted(set(must)), sorted(set(should)), sorted(set(must_not))
+        if not m and not s:
+            raise ValueError(
+                f"query {qid}: needs at least one must/should term "
+                "(pure negation would scan the whole corpus)"
+            )
+        overlap = (set(m) | set(s)) & set(n)
+        if overlap:
+            raise ValueError(f"query {qid}: terms {overlap} both positive "
+                             "and negated")
+        vocab.update(m, s, n)
+        for t in m:
+            qrows.append((int(qid), t, "must", len(m), len(s)))
+        for t in s:
+            qrows.append((int(qid), t, "should", len(m), len(s)))
+        for t in n:
+            qrows.append((int(qid), t, "not", len(m), len(s)))
+    qdf = spark.createDataFrame(
+        qrows,
+        "query_id bigint, term string, kind string, "
+        "n_must int, n_should int",
+    )
+
+    tf = term_postings(df, id_col, text_col, vocabulary=sorted(vocab))
+    cand = (
+        tf.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.max("n_must").alias("n_must"),
+            F.max("n_should").alias("n_should"),
+            F.sum(
+                F.when(F.col("kind") == "must", 1).otherwise(0)
+            ).alias("must_hit"),
+            F.max(
+                F.when(F.col("kind") == "should", 1).otherwise(0)
+            ).alias("should_hit"),
+            F.max(
+                F.when(F.col("kind") == "not", 1).otherwise(0)
+            ).alias("not_hit"),
+            F.sum(
+                F.when(F.col("kind") != "not", F.col("tf")).otherwise(0)
+            ).alias("sum_tf"),
+        )
+        .filter(
+            (F.col("must_hit") == F.col("n_must"))
+            & ((F.col("n_should") == 0) | (F.col("should_hit") == 1))
+            & (F.col("not_hit") == 0)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sum_tf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            F.col("sum_tf").cast("bigint").alias("sum_tf"),
+        )
+    )
+
+
+def oracle_boolean_search(
+    queries: Iterable[tuple[int, Sequence[str], Sequence[str], Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    k: int = 10,
+) -> str:
+    """DuckDB replica of boolean_search (same relational shape — VALUES
+    query table joined to a tf aggregate, flag-based negation — so every
+    count/tf stays integer)."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    vals = []
+    for qid, must, should, must_not in queries:
+        m, s, n = sorted(set(must)), sorted(set(should)), sorted(set(must_not))
+        for t in m:
+            vals.append(f"({int(qid)}, {sql_quote(t)}, 'must', "
+                        f"{len(m)}, {len(s)})")
+        for t in s:
+            vals.append(f"({int(qid)}, {sql_quote(t)}, 'should', "
+                        f"{len(m)}, {len(s)})")
+        for t in n:
+            vals.append(f"({int(qid)}, {sql_quote(t)}, 'not', "
+                        f"{len(m)}, {len(s)})")
+    values = ", ".join(vals)
+    return f"""
+        WITH q(query_id, term, kind, n_must, n_should) AS (VALUES {values}),
+        w AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(string_split_regex(
+                   trim(lower({text_col})), '\\s+')) AS term
+          FROM {table}
+        ), tf AS (
+          SELECT term, doc_id, count(*) AS tf
+          FROM w
+          WHERE length(term) > 0
+            AND EXISTS (SELECT 1 FROM q WHERE q.term = w.term)
+          GROUP BY term, doc_id
+        ), cand AS (
+          SELECT q.query_id, tf.doc_id,
+                 max(q.n_must) AS n_must,
+                 max(q.n_should) AS n_should,
+                 sum(CASE WHEN q.kind = 'must' THEN 1 ELSE 0 END)
+                   AS must_hit,
+                 max(CASE WHEN q.kind = 'should' THEN 1 ELSE 0 END)
+                   AS should_hit,
+                 max(CASE WHEN q.kind = 'not' THEN 1 ELSE 0 END) AS not_hit,
+                 sum(CASE WHEN q.kind <> 'not' THEN tf.tf ELSE 0 END)
+                   AS sum_tf
+          FROM tf JOIN q USING (term)
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rank AS BIGINT) AS rank,
+               doc_id,
+               CAST(sum_tf AS BIGINT) AS sum_tf
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY sum_tf DESC, doc_id ASC) AS rank
+          FROM cand
+          WHERE must_hit = n_must
+            AND (n_should = 0 OR should_hit = 1)
+            AND not_hit = 0
+        )
+        WHERE rank <= {k}
+    """

@@ -443,3 +443,61 @@ def oracle_temperature_mix(
                   AS BIGINT) / 4294967296.0 < r.rate) AS keep
         FROM {table} d JOIN rates r ON d.{group_col} = r.grp
     """
+
+
+def host_split(
+    df: DataFrame,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the draw hashes the HOST, not
+    the document, so every page of a site lands in the same split —
+    near-duplicates and boilerplate within a site can never straddle
+    the train/eval boundary (the standard web-data eval-contamination
+    guard; doc-level splits leak via same-site near-dups even after
+    dedup). Same replayable md5 Bernoulli as every sampler here
+    (uniform_u): re-running any shard reproduces the split exactly,
+    and changing fractions moves whole hosts monotonically
+    (test grows into val, val into train — never a reshuffle).
+
+    u < test_frac -> test; u < test_frac + val_frac -> val; else train.
+
+    100 TB shape: a pure codegen'd projection — no shuffle, no state,
+    no host table to build or broadcast. Returns (doc_id, host, split).
+    """
+    u = uniform_u(F.col(host_col), salt)
+    split = (
+        F.when(u < F.lit(float(test_frac)), F.lit("test"))
+        .when(u < F.lit(float(test_frac) + float(val_frac)), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        split.alias("split"),
+    )
+
+
+def oracle_host_split(
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    salt: str = "split",
+    table: str = "documents",
+) -> str:
+    u = (
+        f"(CAST('0x' || substring(md5('{salt}:' || "
+        f"CAST({host_col} AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+    )
+    t, v = float(test_frac), float(val_frac)
+    return f"""
+        SELECT {id_col} AS doc_id, {host_col} AS host,
+               CASE WHEN {u} < {t!r} THEN 'test'
+                    WHEN {u} < {t + v!r} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM {table}
+    """

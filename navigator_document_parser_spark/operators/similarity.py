@@ -1231,3 +1231,103 @@ def oracle_knn_pq(
         )
         WHERE rank <= {k}
     """
+
+
+# ---- margin-based bitext mining (CCMatrix / LASER alignment shape) ---------
+
+def bitext_margin_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    min_sim: float = 0.3,
+    min_margin: float = 0.02,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based parallel-corpus mining: for every source-language
+    vector, score the top-2 target-language neighbors by cosine and
+    accept the best as a translation pair iff it clears BOTH an
+    absolute similarity floor and a margin over the runner-up — the
+    CCMatrix/LASER margin criterion (an embedding in a dense crowd of
+    equally-similar targets is topic overlap, not a translation; a
+    clear margin is the alignment signal). Difference margin (s1 - s2)
+    rather than the ratio so negative cosines can't flip the
+    inequality; sims are 4dp-rounded doubles, so s1 - s2 and every
+    comparison are engine-exact.
+
+    This is the EXACT baseline (the knn_bruteforce of mining): the
+    source side broadcasts, the target corpus streams, O(|src| x |tgt|)
+    scored rows but only (src_id, tgt_id, sim) wide. At mining scale
+    (10^9 x 10^9) both sides are large: block both through the same
+    LSH band join (knn_lsh) or IVF routing (knn_ivf) and apply this
+    same top-2 margin per block — the criterion composes unchanged.
+
+    Returns (src_id, tgt_id, sim, margin) for accepted pairs.
+    """
+    q = F.broadcast(
+        src.select(
+            F.col(id_col).alias("src_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    scored = tgt.alias("t").crossJoin(q).select(
+        "src_id",
+        F.col(f"t.{id_col}").alias("tgt_id"),
+        cosine(F.col(f"t.{vec_col}"), F.col("qvec")).alias("sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("sim").desc(), F.col("tgt_id").asc()
+    )
+    top2 = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 2
+    )
+    best = top2.groupBy("src_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("tgt_id"))).alias("tgt_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("sim"))).alias("sim"),
+        F.max(F.when(F.col("rank") == 2, F.col("sim"))).alias("sim2"),
+    )
+    margin = F.round(
+        F.col("sim") - F.coalesce(F.col("sim2"), F.lit(-1.0)), 4
+    )
+    return (
+        best.select("src_id", "tgt_id", "sim", margin.alias("margin"))
+        .filter(
+            (F.col("sim") >= F.lit(float(min_sim)))
+            & (F.col("margin") >= F.lit(float(min_margin)))
+        )
+    )
+
+
+def oracle_bitext_margin_mine(
+    src_sql: str,
+    tgt_sql: str,
+    min_sim: float = 0.3,
+    min_margin: float = 0.02,
+) -> str:
+    """DuckDB replica of bitext_margin_mine. ``src_sql`` / ``tgt_sql``
+    must yield (vec_id, embedding) rows; the same 4dp cosine, top-2
+    window, and difference margin."""
+    return f"""
+        WITH s AS ({src_sql}), t AS ({tgt_sql}),
+        scored AS (
+          SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                 round(list_cosine_similarity(
+                   CAST(t.embedding AS DOUBLE[]),
+                   CAST(s.embedding AS DOUBLE[])), 4) AS sim
+          FROM t CROSS JOIN s
+        ), top2 AS (
+          SELECT *, row_number() OVER (PARTITION BY src_id
+                   ORDER BY sim DESC, tgt_id ASC) AS rank
+          FROM scored
+          QUALIFY rank <= 2
+        ), best AS (
+          SELECT src_id,
+                 max(CASE WHEN rank = 1 THEN tgt_id END) AS tgt_id,
+                 max(CASE WHEN rank = 1 THEN sim END) AS sim,
+                 max(CASE WHEN rank = 2 THEN sim END) AS sim2
+          FROM top2 GROUP BY src_id
+        )
+        SELECT src_id, tgt_id, sim,
+               round(sim - coalesce(sim2, -1.0), 4) AS margin
+        FROM best
+        WHERE sim >= {float(min_sim)!r}
+          AND round(sim - coalesce(sim2, -1.0), 4) >= {float(min_margin)!r}
+    """

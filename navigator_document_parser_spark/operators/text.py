@@ -1109,6 +1109,171 @@ def oracle_lm_rarity(
     """
 
 
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_count: int = 5,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, rank documents by
+    the lm_rarity bigram-rarity fraction (the engine's integer-exact
+    perplexity proxy) and split into head / middle / tail terciles —
+    the exact shape CCNet uses to stratify Common Crawl by LM quality
+    before sampling (head = most in-distribution).
+
+    Bucketing is RANK-based, not threshold-based, so it is deterministic
+    and engine-exact: rn*3 <= n -> head, rn*3 <= 2n -> middle, else
+    tail (ties on rare_frac break by ascending doc_id; rare_frac itself
+    is a 4dp-rounded double identical across engines).
+
+    100 TB shape: lm_rarity's bigram count-join (its scale story), then
+    ONE narrow per-language window over (doc_id, lang, rare_frac) rows
+    — the window input is one row per document, not per token. Skewed
+    language sizes (en >> all) are fine: row_number over a billion-row
+    partition is a single sorted scan, and if that ever binds, the
+    rank can be computed against a percentile-bucketed pre-aggregate.
+
+    Returns (doc_id, lang, rare_frac, bucket).
+    """
+    from pyspark.sql.window import Window
+
+    lm = lm_rarity(df, id_col=id_col, text_col=text_col,
+                   min_count=min_count)
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(lang_col).alias("lang"))
+    j = base.join(lm.select("doc_id", "rare_frac"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("rare_frac").asc(), F.col("doc_id").asc()
+    )
+    cnt = Window.partitionBy("lang")
+    ranked = j.select(
+        "doc_id", "lang", "rare_frac",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select("doc_id", "lang", "rare_frac",
+                         bucket.alias("bucket"))
+
+
+def oracle_ccnet_buckets(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    table: str = "documents",
+    min_count: int = 5,
+) -> str:
+    lm = oracle_lm_rarity(id_col=id_col, text_col=text_col, table=table,
+                          min_count=min_count)
+    return f"""
+        WITH lm AS (SELECT doc_id, rare_frac FROM ({lm}) t),
+        j AS (
+          SELECT d.{id_col} AS doc_id, d.{lang_col} AS lang, lm.rare_frac
+          FROM {table} d JOIN lm ON lm.doc_id = d.{id_col}
+        ), ranked AS (
+          SELECT doc_id, lang, rare_frac,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY rare_frac ASC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM j
+        )
+        SELECT doc_id, lang, rare_frac,
+               CASE WHEN rn * 3 <= n THEN 'head'
+                    WHEN rn * 3 <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ranked
+    """
+
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams — the WIMBD-style "what's
+    in my big data" audit (the first thing to look at before training:
+    boilerplate n-grams at the top mean the cleaning missed a template).
+
+    100 TB shape: positional n-gram explode -> ONE count aggregate with
+    map-side partial combine, then a global top-k via orderBy(...).
+    limit(k) — Spark plans that as TakeOrderedAndProject (each partition
+    keeps its local k, the driver merges k x partitions rows), NOT a
+    single-partition window sort over every distinct n-gram. The
+    row_number pass runs over the k survivors only.
+
+    Deterministic: ties break by ngram string ascending. Returns
+    (ngram, cnt, rank).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    # barrier: element_at over a COMPUTED array re-inlines the split per
+    # use after CollapseProject (CLAUDE.md lessons 2/3) — same guard as
+    # lm_rarity's bigram transform
+    base = base.localCheckpoint(eager=True)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at("t", (i + j + 1).cast("int")) for j in range(n)],
+        ),
+    )
+    counts = (
+        base.filter(F.size("t") >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+    return counts.select(
+        "ngram",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
+def oracle_top_ngrams(
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS doc_id,
+                 string_split_regex(trim(lower({text_col})), '\\s+') AS t
+          FROM {table}
+        ), pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, length(t) - {n - 1})) AS i
+          FROM toks WHERE length(t) >= {n}
+        ), counts AS (
+          SELECT {gram} AS ngram, count(*) AS cnt
+          FROM pos GROUP BY 1
+        )
+        SELECT ngram, CAST(cnt AS BIGINT) AS cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, ngram ASC)
+                    AS BIGINT) AS rank
+        FROM counts
+        ORDER BY cnt DESC, ngram ASC
+        LIMIT {k}
+    """
+
+
 # ---- overlapping window chunking (RAG / retrieval prep) --------------------
 
 # Priority-ordered BPE merge table (classic high-frequency English
