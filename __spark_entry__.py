@@ -2168,6 +2168,87 @@ def _multimodal_frames(spark, sf):
     )
 
 
+def _dedup_containment(spark, sf):
+    """Asymmetric shingle containment (|A∩B|/|A|) — the
+    snippet-inside-page duplication Jaccard misses; deliberately
+    length-band-free, inverted-index formulation
+    (operators/dedup.py containment_pairs)."""
+    from navigator_document_parser_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(_docs(spark, sf), threshold=0.3)
+
+
+def _quantile_sketch(spark, sf):
+    """Mergeable log2-histogram quantiles of doc length per language,
+    with the exact order statistic alongside as the error audit
+    (operators/sketches.py quantile_hist)."""
+    from navigator_document_parser_spark.operators.sketches import (
+        quantile_hist,
+    )
+
+    return quantile_hist(_docs(spark, sf))
+
+
+def _crawl_depth(spark, sf):
+    """Multi-source BFS crawl depth from seed hosts over a two-layer
+    directed link graph (source hosts -> 'h<k>' content hosts -> back
+    to source hosts, so real multi-hop paths exist); 4 bounded rounds,
+    integer sentinel for unreached (operators/graph.py bfs_depth)."""
+    from navigator_document_parser_spark.operators.graph import bfs_depth
+
+    d = _docs(spark, sf)
+    fwd = d.select(
+        F.col("source").alias("src_host"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 40).cast("string")
+        ).alias("dst_host"),
+    )
+    back = d.select(
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 40).cast("string")
+        ).alias("src_host"),
+        F.concat(
+            F.lit("src"), ((F.col("doc_id") * 11 + 5) % 20).cast("string")
+        ).alias("dst_host"),
+    )
+    return bfs_depth(fwd.union(back), seeds=["src0", "src1"], rounds=4)
+
+
+_CRAWL_DEPTH_EDGES_SQL = """
+    SELECT source AS src_host,
+           'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst_host
+    FROM documents
+    UNION ALL
+    SELECT 'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR),
+           'src' || CAST((doc_id * 11 + 5) % 20 AS VARCHAR)
+    FROM documents
+"""
+
+
+def _embed_hash(spark, sf):
+    """Hashing-trick document embeddings (16-dim signed token-count
+    vectors, pure integer — the model-free on-cluster text embedder;
+    operators/similarity.py feature_hash_embed)."""
+    from navigator_document_parser_spark.operators.similarity import (
+        feature_hash_embed,
+    )
+
+    return feature_hash_embed(_docs(spark, sf))
+
+
+def _hybrid_search(spark, sf):
+    """Hybrid retrieval: BM25 + feature-hash-cosine fused by
+    reciprocal-rank fusion (rank-only math — engine-exact;
+    operators/search.py hybrid_search_rrf)."""
+    from navigator_document_parser_spark.operators.search import (
+        hybrid_search_rrf,
+    )
+
+    return hybrid_search_rrf(_docs(spark, sf), _SEARCH_QUERIES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's CORRECTNESS artifact records only the
     first 50 entries, so oracle-checked queries come first (all 50
@@ -2257,6 +2338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": _multimodal_audio,        # audio window fan-out
         "events_asof_join": _events_asof_join,        # custom AS-OF join
         "events_range_join": _events_range_join,      # custom range join
+        # --- position 51+: oracle-checked, beyond the recorded slots --
+        "dedup_containment": _dedup_containment,    # asymmetric overlap
+        "quantile_sketch": _quantile_sketch,        # log2-histogram + audit
+        "crawl_depth": _crawl_depth,                # multi-source BFS
+        "embed_hash": _embed_hash,                  # hashing-trick embed
+        "hybrid_search": _hybrid_search,            # BM25 + dense RRF
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3047,4 +3134,41 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY source) q
           ON pr.node = q.source
     """
+    oracles["dedup_containment"] = f"""
+        {_SHINGLE_CTE}
+        SELECT id_a, id_b, inter, cont_a, cont_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(length(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+                 round(length(list_intersect(a.s, b.s)) * 1.0
+                       / length(a.s), 4) AS cont_a,
+                 round(length(list_intersect(a.s, b.s)) * 1.0
+                       / length(b.s), 4) AS cont_b
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE length(a.s) > 0 AND length(b.s) > 0
+        )
+        WHERE greatest(cont_a, cont_b) >= 0.3
+    """
+    from navigator_document_parser_spark.operators.sketches import (
+        oracle_quantile_hist,
+    )
+
+    oracles["quantile_sketch"] = oracle_quantile_hist()
+    from navigator_document_parser_spark.operators.graph import (
+        oracle_bfs_depth,
+    )
+
+    oracles["crawl_depth"] = oracle_bfs_depth(
+        _CRAWL_DEPTH_EDGES_SQL, seeds=["src0", "src1"], rounds=4
+    )
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_feature_hash_embed,
+    )
+
+    oracles["embed_hash"] = oracle_feature_hash_embed()
+    from navigator_document_parser_spark.operators.search import (
+        oracle_hybrid_search_rrf,
+    )
+
+    oracles["hybrid_search"] = oracle_hybrid_search_rrf(_SEARCH_QUERIES)
     return oracles

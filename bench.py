@@ -95,6 +95,7 @@ OP_QUERIES = [
     "keyword_search",
     "boolean_search",
     "bm25_search",
+    "hybrid_search",
     "phrase_search",
     "index_export",
     "index_merge",
@@ -116,6 +117,7 @@ OP_QUERIES = [
     "importance_select",
     "pagerank_hosts",
     "hits_hosts",
+    "crawl_depth",
     "anchor_text",
     "host_communities",
     "domain_quality",
@@ -123,6 +125,7 @@ OP_QUERIES = [
     "hll_distinct",
     "kmv_distinct",
     "cms_counts",
+    "quantile_sketch",
     "dedup_exact",
     "dedup_incremental",
     "dedup_bloom",
@@ -133,11 +136,13 @@ OP_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_components",
     "fuzzy_dedup_corpus",
     "knn_cosine",
     "knn_lsh",
     "knn_ivf",
+    "embed_hash",
     "bitext_mine",
     "embedding_neardup",
     "semdedup",

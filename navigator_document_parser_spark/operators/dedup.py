@@ -532,6 +532,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (Broder's other resemblance
+    measure): cont_a = |A ∩ B| / |A| — the fraction of A's 3-gram
+    shingles that also occur in B. Jaccard misses the
+    snippet-inside-page case (a 50-word article quoted verbatim in a
+    3,000-word page has tiny Jaccard but containment ~1.0), which is
+    exactly the template/quotation duplication web corpora are full of
+    — so this deliberately does NOT length-band: the interesting pairs
+    have very different lengths. Blocking is (lang, shared shingle)
+    via the same inverted-index formulation as ngram_jaccard_pairs
+    (cost = sum over shingles of df(s)^2 within a language, never
+    unconstrained N^2; a stopword-only shingle shared by everything is
+    bounded by shingle distinctness within the 3-gram space).
+
+    Keeps pairs where EITHER direction clears ``threshold``. All
+    counts integer; ratios rounded to 4dp — engine-exact.
+
+    Returns (id_a, id_b, inter, cont_a, cont_b).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lg"),
+        word_shingles(F.col(text_col)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # same eager lineage barrier as ngram_jaccard_pairs: the shingle
+    # expression must be computed once, post-shuffle, not re-inlined at
+    # the scan below both self-join branches (CLAUDE.md lessons 3/7).
+    base = base.localCheckpoint(eager=True)
+
+    inv = base.filter(F.col("n_sh") > 0).select(
+        "id", "lg", "n_sh", F.explode("sh").alias("s")
+    )
+    a = inv.select(
+        F.col("id").alias("id_a"), "lg", "s", F.col("n_sh").alias("na")
+    )
+    b = inv.select(
+        F.col("id").alias("id_b"), "lg", "s", F.col("n_sh").alias("nb")
+    )
+    inter = (
+        a.join(b, ["lg", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    cont_a = F.round(F.col("i").cast("double") / F.col("na"), 4)
+    cont_b = F.round(F.col("i").cast("double") / F.col("nb"), 4)
+    return (
+        inter.select(
+            "id_a", "id_b",
+            F.col("i").cast("bigint").alias("inter"),
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .filter(
+            F.greatest("cont_a", "cont_b") >= F.lit(float(threshold))
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # exact substring (duplicated span) detection
 # --------------------------------------------------------------------------

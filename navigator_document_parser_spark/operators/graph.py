@@ -353,3 +353,126 @@ def oracle_label_propagation(edges_sql: str, iterations: int = 5) -> str:
         ), {steps}
         SELECT node, label AS community FROM l{iterations}
     """
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: list[str],
+    rounds: int = 4,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Multi-source BFS over the DIRECTED link graph: crawl depth from
+    a seed list — the frontier-discovery question every crawl planner
+    asks (what is reachable within r hops, and how deep is each host).
+    Exactly ``rounds`` synchronized relaxations (bounded, so the
+    unrolled-CTE oracle replays it step for step):
+      d_0(v)     = 0 if v in seeds else UNREACHED
+      d_{t+1}(v) = min(d_t(v), min over edges u->v of d_t(u) + 1)
+    UNREACHED is an integer sentinel (not NULL): Spark's least() skips
+    NULLs while engines differ on NULL handling in min-aggregates over
+    empty frontiers — the sentinel keeps every comparison pure integer
+    and identical everywhere. Hosts still at the sentinel after the
+    last round are dropped (unreached within ``rounds``).
+
+    100 TB shape: per round ONE join (labels to edge sources) + ONE
+    min-aggregate (map-side partial combine) — the textbook Pregel
+    round expressed as DataFrame ops; label lineage truncated every
+    ``checkpoint_every`` rounds exactly like pagerank/label_propagation.
+
+    Returns (host, depth).
+    """
+    _UNREACHED = 1 << 30
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        sym.select(F.col("a").alias("node"))
+        .union(sym.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    seed_set = sorted(set(seeds))
+    labels = nodes.select(
+        "node",
+        F.when(F.col("node").isin(seed_set), F.lit(0))
+        .otherwise(F.lit(_UNREACHED))
+        .cast("int")
+        .alias("dist"),
+    )
+    for i in range(int(rounds)):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy("b")
+            .agg(F.min(F.col("dist") + 1).alias("nbr_min"))
+            .withColumnRenamed("b", "node")
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce("nbr_min", F.col("dist")),
+                ).alias("dist"),
+            )
+        )
+        if (
+            checkpoint_every
+            and (i + 1) % int(checkpoint_every) == 0
+            and i + 1 < rounds
+        ):
+            labels = labels.localCheckpoint(eager=True)
+    return (
+        labels.filter(F.col("dist") < _UNREACHED)
+        .select(
+            F.col("node").alias("host"),
+            F.col("dist").cast("bigint").alias("depth"),
+        )
+    )
+
+
+def oracle_bfs_depth(
+    edges_sql: str, seeds: list[str], rounds: int = 4
+) -> str:
+    """DuckDB replica of bfs_depth: same sentinel, one chained CTE per
+    synchronized round. ``edges_sql`` must yield (src_host, dst_host)."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    unreached = 1 << 30
+    seed_vals = ", ".join(
+        f"({sql_quote(s)})" for s in sorted(set(seeds))
+    )
+    step = """
+        d{t1} AS (
+          SELECT d.node,
+                 least(d.dist, coalesce(m.mn, d.dist)) AS dist
+          FROM d{t0} d
+          LEFT JOIN (SELECT e.b AS node, min(d2.dist + 1) AS mn
+                     FROM e JOIN d{t0} d2 ON d2.node = e.a
+                     GROUP BY e.b) m
+            ON m.node = d.node
+        )"""
+    steps = ", ".join(
+        step.format(t0=t, t1=t + 1) for t in range(int(rounds))
+    )
+    return f"""
+        WITH raw AS ({edges_sql}),
+        e AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM raw),
+        nodes AS (
+          SELECT a AS node FROM e UNION SELECT b FROM e
+        ),
+        seeds(node) AS (VALUES {seed_vals}),
+        d0 AS (
+          SELECT n.node,
+                 CASE WHEN EXISTS (SELECT 1 FROM seeds s
+                                   WHERE s.node = n.node)
+                      THEN 0 ELSE {unreached} END AS dist
+          FROM nodes n
+        ), {steps}
+        SELECT node AS host, CAST(dist AS BIGINT) AS depth
+        FROM d{rounds}
+        WHERE dist < {unreached}
+    """

@@ -901,3 +901,185 @@ def oracle_boolean_search(
         )
         WHERE rank <= {k}
     """
+
+
+# ---- hybrid retrieval: BM25 + dense, reciprocal-rank fusion ----------------
+
+def _fh_query_vec(terms: Sequence[str], dim: int) -> list[int]:
+    from navigator_document_parser_spark.operators.similarity import (
+        _fh_token,
+    )
+
+    qv = [0] * dim
+    for t in sorted(set(terms)):
+        b, s = _fh_token(t, dim)
+        qv[b] += s
+    return qv
+
+
+def hybrid_search_rrf(
+    df: DataFrame,
+    queries: Iterable[tuple[int, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k_cand: int = 20,
+    dim: int = 16,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 (sparse) and cosine over feature-hash
+    embeddings (dense), fused by reciprocal-rank fusion
+    (Cormack et al. 2009): rrf(d) = sum over systems of
+    1 / (rrf_k + rank_sys(d)) over each system's top ``k_cand``.
+    RRF needs only RANKS, which is what makes it engine-exact here:
+    both input rankings are already deterministic (BM25 on the
+    4dp-rounded score, dense on the 4dp-rounded integer-math cosine,
+    ties by doc_id), and 1/(60+r) is one exact-rounded IEEE division
+    of small integers — identical everywhere, no score calibration
+    between systems needed (the whole reason RRF is the production
+    default for hybrid).
+
+    100 TB shape: the sparse side is bm25_search (vocabulary-filtered
+    postings); the dense side is ONE broadcast of |queries| literal
+    vectors against the feature_hash_embed aggregate (integer dot in
+    codegen) with per-query top-k_cand; fusion is a full-outer join of
+    two <= |queries| * k_cand row tables — driver-free throughout. A
+    real ANN index (knn_lsh / knn_ivf) slots into the dense side
+    unchanged: RRF consumes ranks, not scores.
+
+    Returns (query_id, rank, doc_id, rrf).
+    """
+    from navigator_document_parser_spark.operators.similarity import (
+        feature_hash_embed,
+    )
+
+    spark = df.sparkSession
+    qlist = [(int(qid), list(terms)) for qid, terms in queries]
+
+    sparse = bm25_search(
+        df, qlist, id_col=id_col, text_col=text_col, k=k_cand
+    ).select("query_id", "doc_id", F.col("rank").alias("r_sparse"))
+
+    vecs = feature_hash_embed(df, id_col=id_col, text_col=text_col,
+                              dim=dim)
+    qrows = []
+    for qid, terms in qlist:
+        qv = _fh_query_vec(terms, dim)
+        qn = sum(x * x for x in qv)
+        qrows.append(tuple([qid] + qv + [qn]))
+    qschema = (
+        "query_id bigint, "
+        + ", ".join(f"qv{j} bigint" for j in range(dim))
+        + ", qnorm_sq bigint"
+    )
+    qdf = spark.createDataFrame(qrows, qschema)
+
+    dot = sum(
+        (F.col(f"v{j}") * F.col(f"qv{j}") for j in range(dim)),
+        F.lit(0).cast("bigint"),
+    )
+    sim = F.when(
+        (F.col("norm_sq") == 0) | (F.col("qnorm_sq") == 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            dot.cast("double")
+            / F.sqrt((F.col("norm_sq") * F.col("qnorm_sq")).cast("double")),
+            4,
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id").asc()
+    )
+    dense = (
+        vecs.crossJoin(F.broadcast(qdf))
+        .select("query_id", "doc_id", sim.alias("sim"))
+        .withColumn("r_dense", F.row_number().over(wd))
+        .filter(F.col("r_dense") <= k_cand)
+        .select("query_id", "doc_id", "r_dense")
+    )
+
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full").select(
+        "query_id", "doc_id",
+        (
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_sparse")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("r_dense")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", F.round("rrf", 6).alias("rrf"))
+    )
+
+
+def oracle_hybrid_search_rrf(
+    queries: Iterable[tuple[int, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    k: int = 10,
+    k_cand: int = 20,
+    dim: int = 16,
+    rrf_k: int = 60,
+) -> str:
+    """DuckDB replica of hybrid_search_rrf: the bm25 oracle and the
+    feature-hash-embed oracle as CTEs, same literal query vectors, same
+    1/(rrf_k + rank) fusion."""
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_feature_hash_embed,
+    )
+
+    qlist = [(int(qid), list(terms)) for qid, terms in queries]
+    sparse = oracle_bm25_search(
+        qlist, id_col=id_col, text_col=text_col, table=table, k=k_cand
+    )
+    emb = oracle_feature_hash_embed(
+        id_col=id_col, text_col=text_col, table=table, dim=dim
+    )
+    qvals = []
+    for qid, terms in qlist:
+        qv = _fh_query_vec(terms, dim)
+        qn = sum(x * x for x in qv)
+        qvals.append(
+            "(" + ", ".join(str(x) for x in [qid] + qv + [qn]) + ")"
+        )
+    qcols = "query_id, " + ", ".join(
+        f"qv{j}" for j in range(dim)
+    ) + ", qnorm_sq"
+    dot = " + ".join(f"v.v{j} * q.qv{j}" for j in range(dim))
+    return f"""
+        WITH sparse AS (
+          SELECT query_id, doc_id, rank AS r_sparse FROM ({sparse})
+        ), emb AS ({emb}),
+        qv({qcols}) AS (VALUES {', '.join(qvals)}),
+        dense AS (
+          SELECT query_id, doc_id, r_dense FROM (
+            SELECT q.query_id, v.doc_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY (CASE WHEN v.norm_sq = 0 OR q.qnorm_sq = 0
+                       THEN 0.0
+                       ELSE round(CAST({dot} AS DOUBLE)
+                            / sqrt(CAST(v.norm_sq * q.qnorm_sq AS DOUBLE)),
+                            4) END) DESC, v.doc_id ASC) AS r_dense
+            FROM emb v CROSS JOIN qv q
+          ) WHERE r_dense <= {k_cand}
+        ),
+        fused AS (
+          SELECT query_id, doc_id,
+                 coalesce(1.0 / ({rrf_k} + s.r_sparse), 0.0)
+                 + coalesce(1.0 / ({rrf_k} + d.r_dense), 0.0) AS rrf
+          FROM sparse s FULL OUTER JOIN dense d USING (query_id, doc_id)
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(rank AS BIGINT) AS rank,
+               doc_id, round(rrf, 6) AS rrf
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id ASC) AS rank
+          FROM fused
+        )
+        WHERE rank <= {k}
+    """

@@ -1331,3 +1331,108 @@ def oracle_bitext_margin_mine(
         WHERE sim >= {float(min_sim)!r}
           AND round(sim - coalesce(sim2, -1.0), 4) >= {float(min_margin)!r}
     """
+
+
+# ---- feature-hash (hashing-trick) text embedding ---------------------------
+
+def _fh_token(term: str, dim: int) -> tuple[int, int]:
+    """Python mirror of the feature-hash (bucket, sign) for one token —
+    used to build QUERY vectors client-side with bit-identical math."""
+    import hashlib
+
+    h = int(hashlib.md5(f"fh:{term}".encode()).hexdigest()[:8], 16)
+    # sign from bit 16, NOT from h%2: with an even dim, h%2 equals the
+    # bucket's parity, which would give every even bucket sign +1 and
+    # every odd bucket sign -1 (a degenerate embedding).
+    return h % dim, (1 if (h >> 16) % 2 == 0 else -1)
+
+
+def _fh_sign_sql(h: str, dialect: str) -> str:
+    shift = f"shiftright({h}, 16)" if dialect == "spark" else f"({h} >> 16)"
+    return f"(CASE WHEN {shift} % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+) -> DataFrame:
+    """Hashing-trick document embedding (Weinberger et al. 2009): each
+    token hashes to one of ``dim`` buckets with a +-1 sign; the document
+    vector is the signed token-count sum per bucket. Entirely INTEGER —
+    the on-cluster "embed text without a model" baseline that makes
+    dense retrieval, clustering, and near-dup runnable over the same
+    corpus the sparse index covers (and the exact shape a real encoder
+    would slot into: same (doc_id, vector) contract).
+
+    100 TB shape: one token explode -> ONE hash aggregate with dim
+    conditional sums (map-side partial combine; state = dim ints per
+    doc). No vocabulary to build, broadcast, or synchronize — that is
+    the point of the hashing trick at scale.
+
+    Returns (doc_id, v0..v{dim-1}, norm_sq) — columns, not an array,
+    so downstream dot products stay in whole-stage codegen.
+    """
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    h_sql = md5_u32_sql("concat('fh:', term)", "spark")
+    flat = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+    ).select(
+        "doc_id",
+        F.expr(f"({h_sql}) % {dim}").cast("int").alias("bucket"),
+        F.expr(_fh_sign_sql(h_sql, "spark")).cast("int").alias("sign"),
+    )
+    sums = [
+        F.sum(
+            F.when(F.col("bucket") == j, F.col("sign")).otherwise(0)
+        ).cast("bigint").alias(f"v{j}")
+        for j in range(dim)
+    ]
+    vec = flat.groupBy("doc_id").agg(*sums)
+    norm_sq = sum(
+        (F.col(f"v{j}") * F.col(f"v{j}") for j in range(dim)),
+        F.lit(0).cast("bigint"),
+    )
+    return vec.withColumn("norm_sq", norm_sq)
+
+
+def oracle_feature_hash_embed(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    dim: int = 16,
+) -> str:
+    """DuckDB replica of feature_hash_embed — same md5 bucket/sign."""
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    h_sql = md5_u32_sql("'fh:' || term", "duckdb")
+    sums = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN bucket = {j} THEN sign ELSE 0 END)"
+        f" AS BIGINT) AS v{j}"
+        for j in range(dim)
+    )
+    norm = " + ".join(f"v{j} * v{j}" for j in range(dim))
+    return f"""
+        WITH flat AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(list_filter(string_split_regex(
+                   trim(lower({text_col})), '\\s+'),
+                   t -> length(t) > 0)) AS term
+          FROM {table}
+        ), hx AS (
+          SELECT doc_id,
+                 CAST(({h_sql}) % {dim} AS INT) AS bucket,
+                 CAST({_fh_sign_sql(h_sql, 'duckdb')} AS INT) AS sign
+          FROM flat
+        ), vec AS (
+          SELECT doc_id, {sums}
+          FROM hx GROUP BY doc_id
+        )
+        SELECT *, CAST({norm} AS BIGINT) AS norm_sq FROM vec
+    """

@@ -345,3 +345,146 @@ def oracle_cms_counts(
           ON c.row = l.row AND c.cell = l.cell
         GROUP BY l.term
     """
+
+
+# --------------------------------------------------------------------------
+# histogram quantile sketch (log2 buckets)
+# --------------------------------------------------------------------------
+
+def quantile_hist(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable histogram quantiles over dyadic (log2) buckets, with
+    the exact order statistic alongside for error accounting.
+
+    bucket(v) = floor(log2(v)) computed as length(bin(v)) - 1 — the
+    INTEGER path (bin string length), never floor(log2()) whose libm
+    boundary behavior differs across engines (same rationale as the
+    HLL rho). Sketch state per group is <= 63 (bucket, count) rows: at
+    100 TB this is the quantile you can afford — one hash aggregate
+    with map-side combine, counters that MERGE across
+    snapshots/partitions by addition, and a per-group cumulative walk
+    over <= 63 rows. The ``exact`` column is the true k-th order
+    statistic (k = ceil(q*n)) via a per-group sort — the expensive
+    path the sketch replaces, kept here as the built-in error audit
+    (pytest pins est <= exact < 2*est).
+
+    Engine-exact: counts/targets integer; the only float op is
+    ceil(q * n), an identical IEEE double multiply in both engines.
+
+    Returns (grp, q, est, exact, n).
+    """
+    b_expr = (
+        f"length(bin(greatest(cast({value_col} as bigint), 1L))) - 1"
+    )
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.greatest(F.col(value_col).cast("bigint"), F.lit(1).cast("bigint"))
+        .alias("v"),
+        F.expr(b_expr).cast("int").alias("bucket"),
+    )
+    hist = base.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grp")
+    hist = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    targets = (
+        hist.crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "target", F.ceil(F.col("q") * F.col("n")).cast("bigint")
+        )
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("grp", "q")
+        .agg(
+            F.min("bucket").alias("b"),
+            F.max("n").alias("n"),
+            F.max("target").alias("target"),
+        )
+    )
+    wrank = Window.partitionBy("grp").orderBy("v")
+    # explicit aliases: targets and ranked share base's lineage, and
+    # attribute-reference equality across a self-derived pair resolves
+    # to a trivially-true predicate (Spark warns, then cross-matches)
+    ranked = base.select(
+        F.col("grp").alias("rgrp"), "v",
+        F.row_number().over(wrank).alias("rn"),
+    )
+    return (
+        targets.join(
+            ranked,
+            (F.col("grp") == F.col("rgrp"))
+            & (F.col("target") == F.col("rn")),
+        )
+        .select(
+            "grp",
+            "q",
+            F.expr("shiftleft(cast(1 as bigint), b)").alias("est"),
+            F.col("v").alias("exact"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def oracle_quantile_hist(
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    table: str = "documents",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB SQL computing exactly quantile_hist() — same bin-length
+    bucket, same integer cumulative walk, same ceil(q*n) target."""
+    qvals = ", ".join(f"({float(q)!r})" for q in quantiles)
+    return f"""
+        WITH base AS (
+          SELECT {group_col} AS grp,
+                 greatest(CAST({value_col} AS BIGINT), 1) AS v,
+                 CAST(length(bin(greatest(CAST({value_col} AS BIGINT), 1)))
+                      - 1 AS INT) AS bucket
+          FROM {table}
+        ), hist AS (
+          SELECT grp, bucket, count(*) AS cnt
+          FROM base GROUP BY grp, bucket
+        ), cum AS (
+          SELECT grp, bucket, cnt,
+                 sum(cnt) OVER (PARTITION BY grp ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(cnt) OVER (PARTITION BY grp) AS n
+          FROM hist
+        ), q(q) AS (VALUES {qvals}),
+        targets AS (
+          SELECT grp, q, min(bucket) AS b, max(n) AS n,
+                 max(target) AS target
+          FROM (
+            SELECT c.*, q.q,
+                   CAST(ceil(q.q * c.n) AS BIGINT) AS target
+            FROM cum c CROSS JOIN q
+          )
+          WHERE cum >= target
+          GROUP BY grp, q
+        ), ranked AS (
+          SELECT grp, v,
+                 row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+          FROM base
+        )
+        SELECT t.grp, t.q,
+               (CAST(1 AS BIGINT) << t.b) AS est,
+               r.v AS exact,
+               CAST(t.n AS BIGINT) AS n
+        FROM targets t
+        JOIN ranked r ON r.grp = t.grp AND r.rn = t.target
+    """
