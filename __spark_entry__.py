@@ -2249,6 +2249,115 @@ def _hybrid_search(spark, sf):
     return hybrid_search_rrf(_docs(spark, sf), _SEARCH_QUERIES)
 
 
+def _k_core_hosts(spark, sf):
+    """Bounded k-core peel of a doc-derived undirected host graph
+    (distinct moduli give an irregular degree distribution, so low-
+    degree fringe nodes actually peel); 5 rounds, k=4
+    (operators/graph.py k_core)."""
+    from navigator_document_parser_spark.operators.graph import k_core
+
+    d = _docs(spark, sf)
+    edges = d.select(
+        F.concat(
+            F.lit("n"), (F.col("doc_id") % 97).cast("string")
+        ).alias("src_host"),
+        F.concat(
+            F.lit("n"), ((F.col("doc_id") * 13 + 5) % 89).cast("string")
+        ).alias("dst_host"),
+    )
+    return k_core(edges, k=4, rounds=5)
+
+
+_K_CORE_EDGES_SQL = """
+    SELECT 'n' || CAST(doc_id % 97 AS VARCHAR) AS src_host,
+           'n' || CAST((doc_id * 13 + 5) % 89 AS VARCHAR) AS dst_host
+    FROM documents
+"""
+
+
+def _shard_layout(spark, sf):
+    """Rendezvous-hash shard assignment at 8 and 9 shards in one pass;
+    the moved column is the relayout cost of adding a shard (expected
+    1/9 of keys — vs ~8/9 under mod-hash; operators/layout.py
+    rendezvous_shards)."""
+    from navigator_document_parser_spark.operators.layout import (
+        rendezvous_shards,
+    )
+
+    d = _docs(spark, sf).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return rendezvous_shards(d, key_col="url", shards=8, alt_shards=9)
+
+
+# every repairable mojibake good char (incl. an invisible U+00A0 nbsp
+# between the 'ç' and 'end'), exercised at least once in a fixed
+# suffix: the corpus text is ASCII-ish, so the suffix guarantees
+# nonzero repair mass per row; pytest pins suffix-covers-all-goods
+_MOJI_SUFFIX = (
+    " café – élève’s “quote…"
+    " ä ö ü ñ ç end — fin"
+)
+
+
+def _fix_encoding(spark, sf):
+    """Encoding repair (ftfy's UTF-8-as-cp1252 core case): corrupt
+    text||suffix through the inverse mojibake map, repair with
+    fix_mojibake, and verify restoration — the full corrupt->repair
+    loop in one codegen projection (operators/text.py fix_mojibake;
+    chars_repaired = length delta, never per-pattern counts — lessons
+    2/9)."""
+    from navigator_document_parser_spark.operators.text import (
+        fix_mojibake,
+        mojibake_pairs,
+    )
+
+    d = _docs(spark, sf)
+    orig = F.concat(F.col("text"), F.lit(_MOJI_SUFFIX))
+    corrupted = orig
+    for bad, good in mojibake_pairs():
+        corrupted = F.replace(corrupted, F.lit(good), F.lit(bad))
+    fixed = fix_mojibake(corrupted)
+    return d.select(
+        "doc_id",
+        F.length(corrupted).cast("bigint").alias("n_chars"),
+        (F.length(corrupted) - F.length(fixed))
+        .cast("bigint")
+        .alias("chars_repaired"),
+        (fixed == orig).cast("int").alias("restored"),
+    )
+
+
+def _fix_encoding_oracle() -> str:
+    from navigator_document_parser_spark.operators import sql_quote
+    from navigator_document_parser_spark.operators.text import (
+        mojibake_pairs,
+        oracle_fix_mojibake_sql,
+    )
+
+    orig = f"(text || {sql_quote(_MOJI_SUFFIX)})"
+    corr = orig
+    for bad, good in mojibake_pairs():
+        corr = f"replace({corr}, {sql_quote(good)}, {sql_quote(bad)})"
+    fixed = oracle_fix_mojibake_sql(corr)
+    return f"""
+        SELECT doc_id,
+               CAST(length(corr) AS BIGINT) AS n_chars,
+               CAST(length(corr) - length(fixed) AS BIGINT)
+                 AS chars_repaired,
+               CAST(CASE WHEN fixed = orig THEN 1 ELSE 0 END AS INT)
+                 AS restored
+        FROM (
+          SELECT doc_id, {orig} AS orig, {corr} AS corr, {fixed} AS fixed
+          FROM documents
+        )
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's CORRECTNESS artifact records only the
     first 50 entries, so oracle-checked queries come first (all 50
@@ -2344,6 +2453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth": _crawl_depth,                # multi-source BFS
         "embed_hash": _embed_hash,                  # hashing-trick embed
         "hybrid_search": _hybrid_search,            # BM25 + dense RRF
+        "k_core_hosts": _k_core_hosts,              # bounded k-core peel
+        "shard_layout": _shard_layout,              # rendezvous shards
+        "fix_encoding": _fix_encoding,              # mojibake repair
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3171,4 +3283,25 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["hybrid_search"] = oracle_hybrid_search_rrf(_SEARCH_QUERIES)
+    from navigator_document_parser_spark.operators.graph import (
+        oracle_k_core,
+    )
+
+    oracles["k_core_hosts"] = oracle_k_core(
+        _K_CORE_EDGES_SQL, k=4, rounds=5
+    )
+    from navigator_document_parser_spark.operators.layout import (
+        oracle_rendezvous_shards,
+    )
+
+    oracles["shard_layout"] = oracle_rendezvous_shards(
+        key_col="url",
+        shards=8,
+        alt_shards=9,
+        table=(
+            "(SELECT doc_id, 'https://' || source || '/doc/'"
+            " || CAST(doc_id AS VARCHAR) AS url FROM documents)"
+        ),
+    )
+    oracles["fix_encoding"] = _fix_encoding_oracle()
     return oracles

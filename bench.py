@@ -108,7 +108,9 @@ OP_QUERIES = [
     "bpe_tokenize",
     "bpe_train",
     "text_normalize",
+    "fix_encoding",
     "zorder_layout",
+    "shard_layout",
     "budget_select",
     "mix_rebalance",
     "temperature_mix",
@@ -118,6 +120,7 @@ OP_QUERIES = [
     "pagerank_hosts",
     "hits_hosts",
     "crawl_depth",
+    "k_core_hosts",
     "anchor_text",
     "host_communities",
     "domain_quality",

@@ -476,3 +476,119 @@ def oracle_bfs_depth(
         FROM d{rounds}
         WHERE dist < {unreached}
     """
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 5,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Bounded k-core decomposition of the UNDIRECTED host graph:
+    repeatedly peel nodes of degree < k. The k-core is the standard
+    link-spam / seed-set signal (dense interlinked neighborhoods
+    survive; peripheral pages and isolated spam pairs peel away) and
+    the cheap preconditioner before heavier graph analytics.
+
+    Exactly ``rounds`` synchronized peels (bounded, so the unrolled-CTE
+    oracle replays it step for step; real graphs reach the fixpoint in
+    a handful of peels). Round t:
+      deg_t(v)  = |{u : {u,v} edge, u and v both alive}|
+      alive_t   = {v : deg_t(v) >= k}
+    Output is the degree table over the FINAL alive set — at fixpoint
+    every degree >= k; with truncated rounds the table is the honest
+    intermediate (no post-filter, so Spark and the oracle agree
+    bit-for-bit either way).
+
+    100 TB shape: per round two semi-join-shaped hash joins of the
+    symmetric edge table against the (shrinking) alive set + ONE
+    count aggregate with map-side combine — alive only ever shrinks,
+    so round cost is monotone non-increasing; edge table checkpointed
+    once, alive lineage truncated every ``checkpoint_every`` rounds.
+
+    Returns (host, degree).
+    """
+    if k <= 0 or rounds <= 0:
+        raise ValueError("k and rounds must be positive")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .localCheckpoint(eager=True)  # re-read every round, two branches
+    )
+    alive = sym.select(F.col("a").alias("node")).distinct()
+
+    def _degrees(alive_df: DataFrame) -> DataFrame:
+        return (
+            sym.join(alive_df.withColumnRenamed("node", "a"), "a")
+            .join(
+                alive_df.select(F.col("node").alias("b")), "b"
+            )
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for t in range(int(rounds)):
+        alive = (
+            _degrees(alive)
+            .filter(F.col("deg") >= int(k))
+            .select(F.col("a").alias("node"))
+        )
+        if (
+            checkpoint_every
+            and (t + 1) % int(checkpoint_every) == 0
+            and t + 1 < rounds
+        ):
+            alive = alive.localCheckpoint(eager=True)
+    return _degrees(alive).select(
+        F.col("a").alias("host"),
+        F.col("deg").cast("bigint").alias("degree"),
+    )
+
+
+def oracle_k_core(edges_sql: str, k: int = 3, rounds: int = 5) -> str:
+    """DuckDB replica of k_core: same symmetrized edge set, one chained
+    CTE pair (degree, alive) per peel. ``edges_sql`` must yield
+    (src_host, dst_host)."""
+    step = """
+        d{t} AS (
+          SELECT e.a AS node, count(*) AS deg
+          FROM e
+          JOIN a{t0} x ON x.node = e.a
+          JOIN a{t0} y ON y.node = e.b
+          GROUP BY e.a
+        ), a{t} AS (
+          SELECT node FROM d{t} WHERE deg >= {k}
+        )"""
+    steps = ", ".join(
+        step.format(t=t + 1, t0=t, k=int(k)) for t in range(int(rounds))
+    )
+    return f"""
+        WITH raw AS ({edges_sql}),
+        und AS (
+          SELECT DISTINCT least(src_host, dst_host) AS a,
+                          greatest(src_host, dst_host) AS b
+          FROM raw WHERE src_host <> dst_host
+        ),
+        e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+        a0 AS (SELECT DISTINCT a AS node FROM e),
+        {steps},
+        dfin AS (
+          SELECT e.a AS node, count(*) AS deg
+          FROM e
+          JOIN a{rounds} x ON x.node = e.a
+          JOIN a{rounds} y ON y.node = e.b
+          GROUP BY e.a
+        )
+        SELECT node AS host, CAST(deg AS BIGINT) AS degree FROM dfin
+    """

@@ -155,3 +155,94 @@ def oracle_zorder_layout(
                  AS bucket
         FROM scaled
     """
+
+
+# --------------------------------------------------------------------------
+# rendezvous (highest-random-weight) shard assignment
+# --------------------------------------------------------------------------
+
+def _hrw_pick_sql(key_sql: str, shards: int, dialect: str) -> str:
+    """Argmax-by-score shard pick as ONE flat SQL string (CLAUDE.md
+    lesson 13): score_s = md5_u32('rv:<s>:' || key); WHEN branch i
+    tests h_i >= h_j for all j > i, so the first matching branch is the
+    first index attaining the max (deterministic tie-break by lowest
+    shard id; both engines CSE the repeated md5 within a projection)."""
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    def h(s: int) -> str:
+        inner = (
+            f"concat('rv:{s}:', {key_sql})"
+            if dialect == "spark"
+            else f"'rv:{s}:' || {key_sql}"
+        )
+        return md5_u32_sql(inner, dialect)
+
+    hs = [h(s) for s in range(int(shards))]
+    whens = []
+    for i in range(int(shards) - 1):
+        cond = " AND ".join(
+            f"{hs[i]} >= {hs[j]}" for j in range(i + 1, int(shards))
+        )
+        whens.append(f"WHEN {cond} THEN {i}")
+    return (
+        "CASE " + " ".join(whens) + f" ELSE {int(shards) - 1} END"
+    )
+
+
+def rendezvous_shards(
+    df: DataFrame,
+    key_col: str = "url",
+    id_col: str = "doc_id",
+    shards: int = 8,
+    alt_shards: int = 9,
+) -> DataFrame:
+    """Rendezvous / highest-random-weight shard assignment (Thaler &
+    Ravishankar 1998) — the stable way to lay out a 100 TB corpus into
+    output shards: each key goes to argmax_s md5('rv:<s>:' || key).
+    Unlike ``hash(key) % n``, growing n -> n+1 moves ONLY the keys the
+    new shard wins (expected 1/(n+1) of the corpus); a mod-hash
+    relayout moves ~n/(n+1) of every byte. The ``moved`` column is that
+    diff computed in the same pass for both shard counts — the
+    capacity-planning question ("what does adding a shard cost?")
+    answered without a second job.
+
+    All integer md5 math in two flat CASE ladders inside one codegen
+    projection — zero shuffle, zero UDF; a writer follows with
+    repartition(shards, 'shard') which is the one unavoidable shuffle
+    of any re-layout.
+
+    Returns (doc_id, shard, shard_grown, moved).
+    """
+    if shards < 1 or alt_shards < 1:
+        raise ValueError("shard counts must be positive")
+    pick = _hrw_pick_sql(key_col, shards, "spark")
+    pick_alt = _hrw_pick_sql(key_col, alt_shards, "spark")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(pick).cast("bigint").alias("shard"),
+        F.expr(pick_alt).cast("bigint").alias("shard_grown"),
+    ).withColumn(
+        "moved",
+        (F.col("shard") != F.col("shard_grown")).cast("int"),
+    )
+
+
+def oracle_rendezvous_shards(
+    key_col: str = "url",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    shards: int = 8,
+    alt_shards: int = 9,
+) -> str:
+    """DuckDB replica of rendezvous_shards — same md5 scores, same
+    first-max CASE ladder."""
+    pick = _hrw_pick_sql(key_col, shards, "duckdb")
+    pick_alt = _hrw_pick_sql(key_col, alt_shards, "duckdb")
+    return f"""
+        SELECT {id_col} AS doc_id,
+               CAST({pick} AS BIGINT) AS shard,
+               CAST({pick_alt} AS BIGINT) AS shard_grown,
+               CAST(CASE WHEN ({pick}) <> ({pick_alt}) THEN 1 ELSE 0 END
+                    AS INT) AS moved
+        FROM {table}
+    """

@@ -1725,3 +1725,98 @@ def oracle_normalize_text(
                (text_norm <> text) AS changed
         FROM n
     """
+
+
+# --------------------------------------------------------------------------
+# encoding repair (mojibake fix, ftfy's core case)
+# --------------------------------------------------------------------------
+
+# UTF-8 bytes mis-decoded as cp1252 — the single most common web-crawl
+# corruption (ftfy's headline case). Pairs are GENERATED from the good
+# characters at import (good.encode('utf-8').decode('cp1252')) so the
+# multi-char mojibake strings can never be hand-typed wrong; characters
+# whose UTF-8 bytes hit cp1252's unmapped holes (e.g. U+201D, byte 0x9D)
+# are skipped. All bads are multi-char strings starting 'â' (3-byte
+# originals) or 'Ã'/'Â' (2-byte originals) while goods are single chars,
+# so no good contains a bad and repair order cannot cascade.
+_MOJIBAKE_GOODS = (
+    "’",  # ’ right single quote
+    "“",  # “ left double quote
+    "–",  # – en dash
+    "—",  # — em dash
+    "…",  # … ellipsis
+    "é",  # é
+    "è",  # è
+    "ä",  # ä
+    "ö",  # ö
+    "ü",  # ü
+    "ñ",  # ñ
+    "ç",  # ç
+    " ",  # nbsp
+)
+
+
+def mojibake_pairs() -> list[tuple[str, str]]:
+    """(bad, good) repair table, derived not transcribed."""
+    pairs = []
+    for g in _MOJIBAKE_GOODS:
+        try:
+            bad = g.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:  # pragma: no cover - static table
+            continue
+        pairs.append((bad, g))
+    return pairs
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Chain of LITERAL replaces (C-speed, codegen; the same
+    portable-replace discipline as BPE apply) undoing UTF-8-as-cp1252
+    mojibake. Replace is left-to-right non-overlapping in both engines,
+    and every needle maps to a single char, so the chain is confluent."""
+    s = col
+    for bad, good in mojibake_pairs():
+        s = F.replace(s, F.lit(bad), F.lit(good))
+    return s
+
+
+def encoding_repair(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document encoding repair + accounting.
+
+    chars_repaired = length(input) - length(fixed): each repaired
+    sequence collapses len(bad)-1 chars, so the delta is the exact
+    total repair mass — ONE extra length() over the already-computed
+    fixed column instead of 13 per-pattern occurrence counts (each of
+    which would re-inline the whole replace chain under
+    CollapseProject — CLAUDE.md lessons 2/9).
+
+    100 TB shape: one map-only codegen projection, ~13 literal
+    replaces per row, zero shuffle, nothing leaves the JVM.
+
+    Returns (doc_id, n_chars, chars_repaired, text_fixed).
+    """
+    s = F.col(text_col)
+    fixed = fix_mojibake(s)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(s).cast("bigint").alias("n_chars"),
+        (F.length(s) - F.length(fixed)).cast("bigint").alias(
+            "chars_repaired"
+        ),
+        fixed.alias("text_fixed"),
+    )
+
+
+def oracle_fix_mojibake_sql(expr: str) -> str:
+    """DuckDB rendering of fix_mojibake over ``expr`` — same generated
+    pair table, same order, UTF-8 literals embedded directly (CLAUDE.md
+    lesson 17: never chr() above 127 in shared SQL)."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    s = expr
+    for bad, good in mojibake_pairs():
+        s = f"replace({s}, {sql_quote(bad)}, {sql_quote(good)})"
+    return s

@@ -1,0 +1,137 @@
+"""Session-7 operators: bounded k-core peel, rendezvous-hash shard
+layout, mojibake encoding repair.
+
+Behavioral pins against hand-computed references; the DuckDB hash
+oracles in __spark_entry__ cover the engine-parity axis."""
+
+from pyspark.sql import functions as F
+
+from navigator_document_parser_spark.operators.graph import k_core
+from navigator_document_parser_spark.operators.layout import (
+    rendezvous_shards,
+)
+from navigator_document_parser_spark.operators.text import (
+    encoding_repair,
+    fix_mojibake,
+    mojibake_pairs,
+)
+
+
+# ---- k_core ----------------------------------------------------------------
+
+def test_k_core_clique_survives_pendant_peels(spark):
+    # 4-clique a-b-c-d plus a pendant chain d-e-f: at k=3 the chain
+    # peels (f deg 1, then e) and the clique survives with degree 3
+    clique = [("a", "b"), ("a", "c"), ("a", "d"),
+              ("b", "c"), ("b", "d"), ("c", "d")]
+    chain = [("d", "e"), ("e", "f")]
+    edges = spark.createDataFrame(
+        clique + chain, ["src_host", "dst_host"]
+    )
+    out = {r.host: r.degree
+           for r in k_core(edges, k=3, rounds=4).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_k_core_whole_graph_peels(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src_host", "dst_host"]
+    )
+    assert k_core(edges, k=2, rounds=3).count() == 0
+
+
+def test_k_core_ignores_direction_and_self_loops(spark):
+    # (a,b) and (b,a) are ONE undirected edge; self-loops dropped —
+    # so a's degree is 1, not 3, and at k=2 everything peels
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "a")], ["src_host", "dst_host"]
+    )
+    assert k_core(edges, k=2, rounds=2).count() == 0
+    out = {r.host: r.degree
+           for r in k_core(edges, k=1, rounds=2).collect()}
+    assert out == {"a": 1, "b": 1}
+
+
+# ---- rendezvous_shards -----------------------------------------------------
+
+def test_rendezvous_only_new_shard_steals(spark):
+    # THE rendezvous guarantee: growing 8 -> 9 shards moves a key only
+    # if the NEW shard (id 8) wins it — every moved row must land on 8,
+    # and every unmoved row keeps its assignment by construction
+    d = spark.createDataFrame(
+        [(i, f"https://h{i % 7}.example/p/{i}") for i in range(300)],
+        ["doc_id", "url"],
+    )
+    rows = rendezvous_shards(d, shards=8, alt_shards=9).collect()
+    assert len(rows) == 300
+    moved = [r for r in rows if r.moved == 1]
+    assert 0 < len(moved) < 300
+    assert all(r.shard_grown == 8 for r in moved)
+    assert all(
+        r.shard == r.shard_grown for r in rows if r.moved == 0
+    )
+    assert all(0 <= r.shard <= 7 and 0 <= r.shard_grown <= 8
+               for r in rows)
+
+
+def test_rendezvous_movement_fraction_near_one_over_n(spark):
+    # expected moved fraction is 1/9; md5 uniformity keeps the sample
+    # well inside [1/18, 2/9] at n=600
+    d = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(600)], ["doc_id", "url"]
+    )
+    out = rendezvous_shards(d, shards=8, alt_shards=9)
+    frac = out.agg(F.avg("moved")).collect()[0][0]
+    assert 1 / 18 < frac < 2 / 9
+
+
+def test_rendezvous_rejects_bad_counts(spark):
+    d = spark.createDataFrame([(0, "x")], ["doc_id", "url"])
+    try:
+        rendezvous_shards(d, shards=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+# ---- encoding repair -------------------------------------------------------
+
+def test_mojibake_pairs_are_derived_inverses(spark):
+    # every (bad, good): bad really is good's UTF-8 bytes read as
+    # cp1252, bads are multi-char, goods single-char
+    for bad, good in mojibake_pairs():
+        assert bad == good.encode("utf-8").decode("cp1252")
+        assert len(good) == 1 and len(bad) > 1
+
+
+def test_fix_mojibake_roundtrip(spark):
+    goods = "".join(g for _, g in mojibake_pairs())
+    clean = f"it’s a “test” — café…{goods} done"
+    corrupted = clean
+    for bad, good in mojibake_pairs():
+        corrupted = corrupted.replace(good, bad)
+    d = spark.createDataFrame([(0, corrupted)], ["doc_id", "text"])
+    out = encoding_repair(d).collect()[0]
+    assert out.text_fixed == clean
+    assert out.chars_repaired == len(corrupted) - len(clean)
+    assert out.n_chars == len(corrupted)
+
+
+def test_fix_mojibake_clean_text_untouched(spark):
+    clean = "plain ascii text stays exactly as-is."
+    d = spark.createDataFrame([(0, clean)], ["doc_id", "text"])
+    out = encoding_repair(d).collect()[0]
+    assert out.text_fixed == clean and out.chars_repaired == 0
+
+
+def test_entry_suffix_covers_every_good(spark):
+    import __spark_entry__ as E
+
+    for _, good in mojibake_pairs():
+        assert good in E._MOJI_SUFFIX, repr(good)
+
+
+def test_fix_mojibake_column_fn(spark):
+    d = spark.createDataFrame([(0, "cafÃ© â€” ok",)], ["i", "t"])
+    out = d.select(fix_mojibake(F.col("t")).alias("f")).collect()[0]
+    assert out.f == "café — ok"
