@@ -2358,6 +2358,100 @@ def _fix_encoding_oracle() -> str:
     """
 
 
+def _sitemap_parse(spark, sf):
+    """Sitemap ingestion roundtrip: synthesize one pretty-printed
+    sitemap XML document per source (urls sorted by doc_id, optional
+    priority, plus one <sitemap> child to exercise the index path —
+    the parser is deliberately lenient about element placement), then
+    parse it back with sources/sitemap.parse_sitemap. Exercises the
+    newline-flatten + block/field regex pipeline end-to-end; the
+    DuckDB oracle replays synthesis AND parse."""
+    from navigator_document_parser_spark.sources.sitemap import (
+        parse_sitemap,
+    )
+
+    d = _docs(spark, sf)
+    entry = F.concat(
+        F.lit("<url> <loc>https://"), F.col("source"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc> <lastmod>2025-"),
+        F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod> "),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<priority>0."),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("</priority> "),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sm = (
+        d.select(
+            F.col("source").alias("site"),
+            F.struct(F.col("doc_id"), entry.alias("e")).alias("s"),
+        )
+        .groupBy("site")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["e"]
+                ),
+                "\n",
+            ).alias("body")
+        )
+    )
+    xml = sm.select(
+        "site",
+        F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+            F.col("body"),
+            F.lit("\n<sitemap><loc>https://"),
+            F.col("site"),
+            F.lit("/sitemap2.xml</loc></sitemap>\n</urlset>"),
+        ).alias("xml"),
+    )
+    return parse_sitemap(xml)
+
+
+def _sitemap_parse_oracle() -> str:
+    from navigator_document_parser_spark.sources.sitemap import (
+        oracle_parse_sitemap,
+    )
+
+    synth = """
+        WITH e AS (
+          SELECT source AS site, doc_id,
+                 '<url> <loc>https://' || source || '/doc/'
+                 || CAST(doc_id AS VARCHAR)
+                 || '</loc> <lastmod>2025-'
+                 || lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0')
+                 || '-'
+                 || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                 || '</lastmod> '
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN '<priority>0.'
+                              || CAST(doc_id % 10 AS VARCHAR)
+                              || '</priority> '
+                         ELSE '' END
+                 || '</url>' AS entry
+          FROM documents
+        )
+        SELECT site,
+               '<?xml version="1.0"?>' || chr(10) || '<urlset>'
+               || chr(10)
+               || string_agg(entry, chr(10) ORDER BY doc_id)
+               || chr(10) || '<sitemap><loc>https://' || site
+               || '/sitemap2.xml</loc></sitemap>' || chr(10)
+               || '</urlset>' AS xml
+        FROM e GROUP BY site
+    """
+    return oracle_parse_sitemap(synth)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's CORRECTNESS artifact records only the
     first 50 entries, so oracle-checked queries come first (all 50
@@ -2456,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_hosts": _k_core_hosts,              # bounded k-core peel
         "shard_layout": _shard_layout,              # rendezvous shards
         "fix_encoding": _fix_encoding,              # mojibake repair
+        "sitemap_parse": _sitemap_parse,            # sitemap roundtrip
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3304,4 +3399,5 @@ def oracle_sql() -> dict[str, str]:
         ),
     )
     oracles["fix_encoding"] = _fix_encoding_oracle()
+    oracles["sitemap_parse"] = _sitemap_parse_oracle()
     return oracles

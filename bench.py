@@ -102,6 +102,7 @@ OP_QUERIES = [
     "index_lookup",
     "url_filter",
     "robots_filter",
+    "sitemap_parse",
     "fetch_schedule",
     "chunk_windows",
     "split_sentences",
