@@ -135,3 +135,29 @@ def test_fix_mojibake_column_fn(spark):
     d = spark.createDataFrame([(0, "cafÃ© â€” ok",)], ["i", "t"])
     out = d.select(fix_mojibake(F.col("t")).alias("f")).collect()[0]
     assert out.f == "café — ok"
+
+
+# ---- plan shapes (CLAUDE.md lesson 12 discipline) --------------------------
+
+def test_rendezvous_plan_is_map_only(spark):
+    # zero shuffles, zero joins: both CASE ladders must live in one
+    # codegen projection
+    d = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(50)], ["doc_id", "url"]
+    )
+    plan = (
+        rendezvous_shards(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_k_core_plan_has_no_nested_loop(spark):
+    edges = spark.createDataFrame(
+        [(f"a{i % 7}", f"b{(i * 3) % 5}") for i in range(40)],
+        ["src_host", "dst_host"],
+    )
+    df = k_core(edges, k=2, rounds=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
