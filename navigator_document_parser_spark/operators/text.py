@@ -677,12 +677,23 @@ def repetition_signals(
             "total_chars"
         ),
     ).filter(F.col("_rn") == 1)
-    top_frac = F.round(
-        F.col("top_gram_count") * F.length("top_gram")
-        / F.col("total_chars"),
-        4,
+    # 4dp rounding via INTEGER half-up, not round(double, 4): Spark's
+    # round() goes through the shortest decimal repr (BigDecimal
+    # HALF_UP on Double.toString) while DuckDB rounds the binary
+    # double — a count ratio whose shortest repr lands exactly on
+    # .xxxx5 (sf0.1 doc: dup_chars/total_chars printing as 0.14125)
+    # rounds to 0.1413 vs 0.1412. floor((n*20000 + d) / (2d)) is
+    # half-up of n*10000/d computed identically in both engines
+    # (operands <= ~2e9, exact in double; same as lm_rarity's
+    # integer-till-one-division discipline).
+    def _ratio4(num, den):
+        return F.floor((num * 20000 + den) / (den * 2)) / F.lit(1e4)
+
+    top_frac = _ratio4(
+        F.col("top_gram_count") * F.length("top_gram"),
+        F.col("total_chars"),
     )
-    dup_frac = F.round(F.col("dup_chars") / F.col("total_chars"), 4)
+    dup_frac = _ratio4(F.col("dup_chars"), F.col("total_chars"))
     return per_doc.select(
         "doc_id",
         "top_gram",
@@ -736,13 +747,17 @@ def oracle_repetition(
         )
         SELECT s.doc_id, t.top_gram,
                CAST(t.top_gram_count AS BIGINT) AS top_gram_count,
-               round(t.top_gram_count * length(t.top_gram) * 1.0
-                     / s.total_chars, 4) AS top_gram_frac,
-               round(s.dup_chars * 1.0 / s.total_chars, 4)
+               floor((t.top_gram_count * length(t.top_gram) * 20000.0
+                      + s.total_chars) / (2.0 * s.total_chars)) / 10000.0
+                 AS top_gram_frac,
+               floor((s.dup_chars * 20000.0 + s.total_chars)
+                     / (2.0 * s.total_chars)) / 10000.0
                  AS dup_gram_frac,
-               (round(t.top_gram_count * length(t.top_gram) * 1.0
-                      / s.total_chars, 4) <= {top_frac_max}
-                AND round(s.dup_chars * 1.0 / s.total_chars, 4)
+               (floor((t.top_gram_count * length(t.top_gram) * 20000.0
+                       + s.total_chars) / (2.0 * s.total_chars)) / 10000.0
+                  <= {top_frac_max}
+                AND floor((s.dup_chars * 20000.0 + s.total_chars)
+                          / (2.0 * s.total_chars)) / 10000.0
                     <= {dup_frac_max}) AS passes
         FROM s JOIN t USING (doc_id)
     """
