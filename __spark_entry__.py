@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from navigator_document_parser_spark.operators import ratio4_sql
 from navigator_document_parser_spark.operators import text as T
 from navigator_document_parser_spark.operators.dedup import (
     duplicated_spans,
@@ -2602,9 +2603,13 @@ _SHINGLE_CTE = """
 """
 
 _JACCARD = (
-    "round(CASE WHEN length(list_distinct(list_concat(a.s, b.s))) = 0 "
-    "THEN 0.0 ELSE length(list_intersect(a.s, b.s)) * 1.0 "
-    "/ length(list_distinct(list_concat(a.s, b.s))) END, 4)"
+    "CASE WHEN length(list_distinct(list_concat(a.s, b.s))) = 0 "
+    "THEN 0.0 ELSE "
+    + ratio4_sql(
+        "length(list_intersect(a.s, b.s))",
+        "length(list_distinct(list_concat(a.s, b.s)))",
+    )
+    + " END"
 )
 
 
@@ -3341,15 +3346,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY source) q
           ON pr.node = q.source
     """
+    from navigator_document_parser_spark.operators import ratio4_sql
+
     oracles["dedup_containment"] = f"""
         {_SHINGLE_CTE}
         SELECT id_a, id_b, inter, cont_a, cont_b FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(length(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
-                 round(length(list_intersect(a.s, b.s)) * 1.0
-                       / length(a.s), 4) AS cont_a,
-                 round(length(list_intersect(a.s, b.s)) * 1.0
-                       / length(b.s), 4) AS cont_b
+                 {ratio4_sql('length(list_intersect(a.s, b.s))',
+                             'length(a.s)')} AS cont_a,
+                 {ratio4_sql('length(list_intersect(a.s, b.s))',
+                             'length(b.s)')} AS cont_b
           FROM sh a JOIN sh b
             ON a.lang = b.lang AND a.doc_id < b.doc_id
           WHERE length(a.s) > 0 AND length(b.s) > 0

@@ -31,3 +31,35 @@ def md5_u32_sql(inner: str, dialect: str) -> str:
             f"CAST('0x' || substring(md5({inner}), 1, 8) AS BIGINT)"
         )
     raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def ratio4(num, den):
+    """Portable 4dp half-up rounding of a COUNT ratio num/den.
+
+    round(num/den, 4) on doubles is NOT engine-portable: Spark's round()
+    applies BigDecimal HALF_UP to the double's shortest decimal repr
+    (Double.toString) while DuckDB rounds the binary value — a ratio of
+    integers whose shortest repr prints as exactly .xxxx5 (e.g.
+    113/800 = 0.14125, not dyadic) rounds to .xxx13 in Spark and
+    .xxx12 in DuckDB. floor((num*20000 + den) / (2*den)) / 1e4 is
+    half-up of num*10000/den computed in exact double arithmetic in
+    both engines (valid for non-negative integer num, den with
+    num*20000 + den < 2^52; the quotient is representable whenever it
+    is an exact integer, so floor never mis-crosses).
+
+    Use for any ratio of counts emitted at 4dp; keep plain round() for
+    genuinely float-valued expressions (cosines, logs), where a
+    5-significant-digit shortest repr has vanishing probability.
+    """
+    from pyspark.sql import functions as F
+
+    return F.floor((num * 20000 + den) / (den * 2)) / F.lit(1e4)
+
+
+def ratio4_sql(num: str, den: str) -> str:
+    """SQL rendering of ratio4 — dialect-neutral (floor/+/*/÷ only);
+    multiplies in double, which is exact at count magnitudes."""
+    return (
+        f"(floor(((({num})) * 20000.0 + (({den}))) / (2.0 * (({den}))))"
+        f" / 10000.0)"
+    )

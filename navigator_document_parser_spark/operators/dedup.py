@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from navigator_document_parser_spark.operators import ratio4, ratio4_sql
+
 
 # --------------------------------------------------------------------------
 # exact
@@ -99,10 +101,10 @@ def jaccard(col_a: Column, col_b: Column) -> Column:
     codegen'd — halving the passes matters at pair-explosion scale).
     Identical value to the union formulation for distinct-element arrays.
     """
-    inter = F.size(F.array_intersect(col_a, col_b)).cast("double")
+    inter = F.size(F.array_intersect(col_a, col_b))
     union = F.size(col_a) + F.size(col_b) - inter
-    return F.round(
-        F.when(union == 0, F.lit(0.0)).otherwise(inter / union), 4
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        ratio4(inter, union)
     )
 
 
@@ -521,10 +523,8 @@ def ngram_jaccard_pairs(
             F.first("nb").alias("nb"),
         )
     )
-    sim = F.round(
-        F.col("i").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
-        4,
+    sim = ratio4(
+        F.col("i"), F.col("na") + F.col("nb") - F.col("i")
     )
     return (
         inter.select("id_a", "id_b", sim.alias("jaccard_sim"))
@@ -586,8 +586,8 @@ def containment_pairs(
             F.first("nb").alias("nb"),
         )
     )
-    cont_a = F.round(F.col("i").cast("double") / F.col("na"), 4)
-    cont_b = F.round(F.col("i").cast("double") / F.col("nb"), 4)
+    cont_a = ratio4(F.col("i"), F.col("na"))
+    cont_b = ratio4(F.col("i"), F.col("nb"))
     return (
         inter.select(
             "id_a", "id_b",
@@ -1325,10 +1325,8 @@ def cdc_dedup(
         F.sum("c_toks").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("is_dup").cast("bigint").alias("n_dup_chunks"),
-        F.round(
-            F.sum(F.col("is_dup") * F.col("c_toks"))
-            / F.sum("c_toks").cast("double"),
-            4,
+        ratio4(
+            F.sum(F.col("is_dup") * F.col("c_toks")), F.sum("c_toks")
         ).alias("dup_token_frac"),
     )
 
@@ -1386,8 +1384,8 @@ def oracle_cdc_dedup(
                CAST(SUM(c_toks) AS BIGINT) AS n_tokens,
                CAST(count(*) AS BIGINT) AS n_chunks,
                CAST(SUM(is_dup) AS BIGINT) AS n_dup_chunks,
-               round(SUM(is_dup * c_toks)
-                     / CAST(SUM(c_toks) AS DOUBLE), 4) AS dup_token_frac
+               {ratio4_sql("SUM(is_dup * c_toks)", "SUM(c_toks)")}
+                 AS dup_token_frac
         FROM flagged GROUP BY doc_id
     """
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from navigator_document_parser_spark.operators import ratio4, ratio4_sql
+
 from navigator_document_parser_spark.operators.text import (
     bpe_token_count,
     oracle_bpe_token_count,
@@ -277,9 +279,9 @@ def importance_select(
             F.sum(F.when(F.col("ls"), F.col("tf")).otherwise(0)).alias("ns"),
         )
     )
-    score = F.round(
-        (F.col("nt") - F.col("ns")) * 1.0 / F.col("n_tokens"), 4
-    )
+    diff = F.col("nt") - F.col("ns")
+    mag = ratio4(F.abs(diff), F.col("n_tokens"))
+    score = F.when(diff < 0, -mag).otherwise(mag)
     return per.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
@@ -330,8 +332,8 @@ def oracle_importance_select(
                CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(nt AS BIGINT) AS lean_target,
                CAST(ns AS BIGINT) AS lean_source,
-               round((nt - ns) * 1.0 / n_tokens, 4) AS score,
-               round((nt - ns) * 1.0 / n_tokens, 4) >= {threshold}
+               (CASE WHEN (nt - ns) < 0 THEN -((floor((((abs(nt - ns))) * 20000.0 + ((n_tokens))) / (2.0 * ((n_tokens)))) / 10000.0)) ELSE (floor((((nt - ns)) * 20000.0 + ((n_tokens))) / (2.0 * ((n_tokens)))) / 10000.0) END) AS score,
+               (CASE WHEN (nt - ns) < 0 THEN -((floor((((abs(nt - ns))) * 20000.0 + ((n_tokens))) / (2.0 * ((n_tokens)))) / 10000.0)) ELSE (floor((((nt - ns)) * 20000.0 + ((n_tokens))) / (2.0 * ((n_tokens)))) / 10000.0) END) >= {threshold}
                  AS selected
         FROM per
     """

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from navigator_document_parser_spark.operators import ratio4, ratio4_sql
+
 # small portable punctuation class (identical semantics in Spark + DuckDB
 # regex; deliberately NOT \p{Punct}, whose membership differs by engine)
 PUNCT_CLASS = "[.,;:!?]"
@@ -373,11 +375,11 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
     n_words = token_count(c).cast("bigint")
     chars_no_ws = F.length(F.regexp_replace(c, r"\s", ""))
     mean_len = F.when(n_words > 0,
-                      F.round(chars_no_ws / n_words, 4)).otherwise(F.lit(0.0))
+                      ratio4(chars_no_ws, n_words)).otherwise(F.lit(0.0))
     n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
     n_ellipsis = F.size(F.regexp_extract_all(c, F.lit(r"\.\.\."), F.lit(0)))
     symbol_ratio = F.when(
-        n_words > 0, F.round((n_hash + n_ellipsis) / n_words, 4)
+        n_words > 0, ratio4(n_hash + n_ellipsis, n_words)
     ).otherwise(F.lit(0.0))
     stop_hits = F.size(
         F.array_intersect(
@@ -422,18 +424,18 @@ def oracle_gopher(id_col: str = "doc_id", text_col: str = "text",
         )
         SELECT {id_col}, n_words,
                CASE WHEN n_words > 0
-                 THEN round(chars_no_ws * 1.0 / n_words, 4)
+                 THEN (floor((((chars_no_ws)) * 20000.0 + ((n_words))) / (2.0 * ((n_words)))) / 10000.0)
                  ELSE 0.0 END AS mean_word_len,
                CASE WHEN n_words > 0
-                 THEN round((n_hash + n_ellipsis) * 1.0 / n_words, 4)
+                 THEN (floor((((n_hash + n_ellipsis)) * 20000.0 + ((n_words))) / (2.0 * ((n_words)))) / 10000.0)
                  ELSE 0.0 END AS symbol_ratio,
                stop_hits,
                (n_words BETWEEN 50 AND 100000)
                  AND (CASE WHEN n_words > 0
-                      THEN round(chars_no_ws * 1.0 / n_words, 4)
+                      THEN (floor((((chars_no_ws)) * 20000.0 + ((n_words))) / (2.0 * ((n_words)))) / 10000.0)
                       ELSE 0.0 END BETWEEN 3.0 AND 10.0)
                  AND (CASE WHEN n_words > 0
-                      THEN round((n_hash + n_ellipsis) * 1.0 / n_words, 4)
+                      THEN (floor((((n_hash + n_ellipsis)) * 20000.0 + ((n_words))) / (2.0 * ((n_words)))) / 10000.0)
                       ELSE 0.0 END < 0.1)
                  AND stop_hits >= 2 AS passes
         FROM g
@@ -866,10 +868,9 @@ def tfidf_top_terms(
             "doc_id",
             "term",
             "tf",
-            F.round(
-                F.col("tf") * (F.col("n_docs") + F.lit(1.0))
-                / (F.col("dfq") + F.lit(1.0)),
-                4,
+            ratio4(
+                F.col("tf") * (F.col("n_docs") + F.lit(1)),
+                F.col("dfq") + F.lit(1),
             ).alias("score"),
         )
     )
@@ -904,7 +905,7 @@ def oracle_tfidf(
           SELECT count(DISTINCT {id_col}) AS n_docs FROM {table}
         ), scored AS (
           SELECT tf.doc_id, tf.term, tf.tf,
-                 round(tf.tf * (n.n_docs + 1.0) / (dfreq.dfq + 1.0), 4)
+                 (floor((((tf.tf * (n.n_docs + 1))) * 20000.0 + ((dfreq.dfq + 1))) / (2.0 * ((dfreq.dfq + 1)))) / 10000.0)
                    AS score
           FROM tf JOIN dfreq USING (term) CROSS JOIN n
         )
@@ -1068,7 +1069,7 @@ def lm_rarity(
     out = base.select("doc_id").join(per, "doc_id", "left")
     frac = F.when(
         F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
-        F.round(F.col("n_rare") * 1.0 / F.col("n_bigrams"), 4),
+        ratio4(F.col("n_rare"), F.col("n_bigrams")),
     ).otherwise(F.lit(0.0))
     return out.select(
         "doc_id",
@@ -1115,10 +1116,10 @@ def oracle_lm_rarity(
                CAST(n_bigrams AS BIGINT) AS n_bigrams,
                CAST(n_rare AS BIGINT) AS n_rare,
                CASE WHEN n_bigrams > 0
-                    THEN round(n_rare * 1.0 / n_bigrams, 4)
+                    THEN (floor((((n_rare)) * 20000.0 + ((n_bigrams))) / (2.0 * ((n_bigrams)))) / 10000.0)
                     ELSE 0.0 END AS rare_frac,
                (CASE WHEN n_bigrams > 0
-                     THEN round(n_rare * 1.0 / n_bigrams, 4)
+                     THEN (floor((((n_rare)) * 20000.0 + ((n_bigrams))) / (2.0 * ((n_bigrams)))) / 10000.0)
                      ELSE 0.0 END) <= {max_rare_frac} AS pass_lm
         FROM j
     """
@@ -1352,7 +1353,7 @@ def bpe_tokenize_stats(
         n_words.cast("bigint").alias("n_words"),
         n_sub.cast("bigint").alias("n_subwords"),
         F.when(n_words == 0, F.lit(0.0))
-        .otherwise(F.round(n_sub * 1.0 / n_words, 4))
+        .otherwise(ratio4(n_sub, n_words))
         .alias("subwords_per_word"),
     )
 
@@ -1388,7 +1389,7 @@ def oracle_bpe_tokenize_stats(
         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
                CAST(n_subwords AS BIGINT) AS n_subwords,
                CASE WHEN n_words = 0 THEN 0.0
-                    ELSE round(n_subwords * 1.0 / n_words, 4)
+                    ELSE (floor((((n_subwords)) * 20000.0 + ((n_words))) / (2.0 * ((n_words)))) / 10000.0)
                END AS subwords_per_word
         FROM c
     """
