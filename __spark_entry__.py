@@ -2359,6 +2359,18 @@ def _fix_encoding_oracle() -> str:
     """
 
 
+def _snippet_search(spark, sf):
+    """Serving-side snippet extraction over the BM25 top-5: first
+    case-folded term occurrence anchors an 80-char display window
+    (operators/search.py snippet_search; integer strpos/substr math,
+    engine-exact including the snippet text)."""
+    from navigator_document_parser_spark.operators.search import (
+        snippet_search,
+    )
+
+    return snippet_search(_docs(spark, sf), _SEARCH_QUERIES)
+
+
 def _sitemap_parse(spark, sf):
     """Sitemap ingestion roundtrip: synthesize one pretty-printed
     sitemap XML document per source (urls sorted by doc_id, optional
@@ -2552,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_layout": _shard_layout,              # rendezvous shards
         "fix_encoding": _fix_encoding,              # mojibake repair
         "sitemap_parse": _sitemap_parse,            # sitemap roundtrip
+        "snippet_search": _snippet_search,          # serving snippets
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3407,4 +3420,9 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["fix_encoding"] = _fix_encoding_oracle()
     oracles["sitemap_parse"] = _sitemap_parse_oracle()
+    from navigator_document_parser_spark.operators.search import (
+        oracle_snippet_search,
+    )
+
+    oracles["snippet_search"] = oracle_snippet_search(_SEARCH_QUERIES)
     return oracles

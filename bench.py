@@ -96,6 +96,7 @@ OP_QUERIES = [
     "boolean_search",
     "bm25_search",
     "hybrid_search",
+    "snippet_search",
     "phrase_search",
     "index_export",
     "index_merge",

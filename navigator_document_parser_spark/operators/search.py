@@ -1083,3 +1083,127 @@ def oracle_hybrid_search_rrf(
         )
         WHERE rank <= {k}
     """
+
+
+# ---- snippet / highlight extraction (the serving-side display step) --------
+
+def snippet_search(
+    df: DataFrame,
+    queries: Iterable[tuple[int, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    width: int = 80,
+    lead: int = 40,
+) -> DataFrame:
+    """BM25 top-k plus a deterministic display snippet per hit: the
+    ``width``-char window starting ``lead`` chars before the FIRST
+    occurrence (case-folded, min over query terms) of any query term —
+    what a result page renders under each link. Entirely integer
+    string math (strpos/substr are 1-based with identical clamping in
+    both engines), so the snippet text itself is engine-exact.
+
+    A term can match inside a longer word (instr is substring search,
+    not token search) — that is display behavior, not ranking: ranking
+    stays with bm25_search. Hits whose text contains no literal term
+    occurrence (possible only if tokenization split differently than
+    the raw text) keep a NULL pos/snippet rather than a fabricated
+    window.
+
+    100 TB shape: the corpus-sized work is bm25_search (vocabulary-
+    filtered postings); the snippet pass touches only |queries| * k
+    winning docs — one broadcast terms join + one semi-join-sized text
+    fetch. Returns (query_id, rank, doc_id, pos, snippet).
+    """
+    spark = df.sparkSession
+    qlist = [(int(qid), list(terms)) for qid, terms in queries]
+    hits = bm25_search(
+        df, qlist, id_col=id_col, text_col=text_col, k=k
+    ).select("query_id", "rank", "doc_id")
+
+    qterms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, terms in qlist
+            for t in sorted(set(terms))
+        ],
+        "query_id bigint, term string",
+    )
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.col(text_col)).alias("ltext"),
+        F.col(text_col).alias("text"),
+    )
+    pos = (
+        hits.join(docs, "doc_id")
+        .join(F.broadcast(qterms), "query_id")
+        .withColumn("p", F.expr("instr(ltext, term)"))
+        .groupBy("query_id", "rank", "doc_id")
+        .agg(
+            F.min(F.when(F.col("p") > 0, F.col("p")))
+            .cast("bigint")
+            .alias("pos"),
+            F.first("text").alias("text"),
+        )
+    )
+    start = F.greatest(F.lit(1), (F.col("pos") - F.lit(int(lead))))
+    return pos.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "pos",
+        F.col("text")
+        .substr(start.cast("int"), F.lit(int(width)))
+        .alias("snippet"),
+    )
+
+
+def oracle_snippet_search(
+    queries: Iterable[tuple[int, Sequence[str]]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    k: int = 5,
+    width: int = 80,
+    lead: int = 40,
+) -> str:
+    """DuckDB replica of snippet_search — same bm25 hits CTE, same
+    strpos/min/substr math."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    qlist = [(int(qid), list(terms)) for qid, terms in queries]
+    hits = oracle_bm25_search(
+        qlist, id_col=id_col, text_col=text_col, table=table, k=k
+    )
+    tvals = ", ".join(
+        f"({qid}, {sql_quote(t)})"
+        for qid, terms in qlist
+        for t in sorted(set(terms))
+    )
+    return f"""
+        WITH hits AS (
+          SELECT query_id, rank, doc_id FROM ({hits})
+        ),
+        terms(query_id, term) AS (VALUES {tvals}),
+        docs AS (
+          SELECT {id_col} AS doc_id, lower({text_col}) AS ltext,
+                 {text_col} AS text
+          FROM {table}
+        ),
+        pos AS (
+          SELECT h.query_id, h.rank, h.doc_id,
+                 CAST(min(CASE WHEN strpos(d.ltext, t.term) > 0
+                          THEN strpos(d.ltext, t.term) END) AS BIGINT)
+                   AS pos,
+                 min(d.text) AS text
+          FROM hits h
+          JOIN docs d USING (doc_id)
+          JOIN terms t ON t.query_id = h.query_id
+          GROUP BY h.query_id, h.rank, h.doc_id
+        )
+        SELECT query_id, rank, doc_id, pos,
+               substring(text,
+                         CAST(greatest(1, pos - {int(lead)}) AS INT),
+                         {int(width)}) AS snippet
+        FROM pos
+    """

@@ -161,3 +161,46 @@ def test_k_core_plan_has_no_nested_loop(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+# ---- snippet_search --------------------------------------------------------
+
+def test_snippet_window_and_clamp(spark):
+    from navigator_document_parser_spark.operators.search import (
+        snippet_search,
+    )
+
+    filler = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (0, f"apple at the very start {filler}"),      # pos 1 -> clamp
+        (1, f"{filler} then apple appears here late"),  # mid-doc window
+        (2, "nothing relevant here at all"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r
+           for r in snippet_search(
+               d, [(0, ["apple"])], k=3, width=20, lead=5
+           ).collect()}
+    # doc 0: term at pos 1, window clamps to start 1
+    assert out[0].pos == 1
+    assert out[0].snippet == rows[0][1][:20]
+    # doc 1: window starts 5 before the first occurrence
+    p = rows[1][1].lower().index("apple") + 1
+    assert out[1].pos == p
+    assert out[1].snippet == rows[1][1][p - 6 : p - 6 + 20]
+
+
+def test_snippet_first_of_many_terms(spark):
+    from navigator_document_parser_spark.operators.search import (
+        snippet_search,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "zebra banana apple banana")], ["doc_id", "text"]
+    )
+    out = snippet_search(
+        d, [(0, ["apple", "banana"])], k=1, width=15, lead=2
+    ).collect()[0]
+    # banana (pos 7) beats apple (pos 14): min over terms
+    assert out.pos == 7
+    assert out.snippet == "zebra banana apple banana"[4:19]
