@@ -2359,6 +2359,26 @@ def _fix_encoding_oracle() -> str:
     """
 
 
+def _triangle_hosts(spark, sf):
+    """Per-host triangle counts over the same doc-derived undirected
+    graph as k_core_hosts (operators/graph.py triangle_count: canonical
+    a<b<c wedge enumeration, two equi-joins + one semi-join)."""
+    from navigator_document_parser_spark.operators.graph import (
+        triangle_count,
+    )
+
+    d = _docs(spark, sf)
+    edges = d.select(
+        F.concat(
+            F.lit("n"), (F.col("doc_id") % 97).cast("string")
+        ).alias("src_host"),
+        F.concat(
+            F.lit("n"), ((F.col("doc_id") * 13 + 5) % 89).cast("string")
+        ).alias("dst_host"),
+    )
+    return triangle_count(edges)
+
+
 def _snippet_search(spark, sf):
     """Serving-side snippet extraction over the BM25 top-5: first
     case-folded term occurrence anchors an 80-char display window
@@ -2565,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_encoding": _fix_encoding,              # mojibake repair
         "sitemap_parse": _sitemap_parse,            # sitemap roundtrip
         "snippet_search": _snippet_search,          # serving snippets
+        "triangle_hosts": _triangle_hosts,          # triangle counts
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3425,4 +3446,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["snippet_search"] = oracle_snippet_search(_SEARCH_QUERIES)
+    from navigator_document_parser_spark.operators.graph import (
+        oracle_triangle_count,
+    )
+
+    oracles["triangle_hosts"] = oracle_triangle_count(_K_CORE_EDGES_SQL)
     return oracles

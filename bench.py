@@ -123,6 +123,7 @@ OP_QUERIES = [
     "hits_hosts",
     "crawl_depth",
     "k_core_hosts",
+    "triangle_hosts",
     "anchor_text",
     "host_communities",
     "domain_quality",

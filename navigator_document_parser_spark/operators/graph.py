@@ -592,3 +592,82 @@ def oracle_k_core(edges_sql: str, k: int = 3, rounds: int = 5) -> str:
         )
         SELECT node AS host, CAST(deg AS BIGINT) AS degree FROM dfin
     """
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED host graph — with
+    k_core the other classic link-farm signal (spam rings are
+    triangle-dense; organic link neighborhoods are sparse), and the
+    numerator of the local clustering coefficient.
+
+    Enumeration over the canonical orientation a < b (string order):
+    wedges (a<b, a<c with b<c) joined on the shared low endpoint, then
+    a semi-join against the edge set closes (b, c) — every triangle
+    found exactly once as a<b<c, exploded to its three members, ONE
+    count aggregate. At 100 TB the orientation would hash-order by
+    DEGREE (caps wedge fan-out at the max low-degree, the standard
+    Suri-Vassilvitskii trick); name order keeps the oracle replay
+    byte-identical and the plan shape is the same two equi-joins —
+    swap the ordering key when host degree skew matters.
+
+    Returns (host, triangles) for nodes in >= 1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three join branches read it
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a"), F.col("b").alias("c"))
+    wedges = (
+        e1.join(e2, "a")
+        .filter(F.col("b") < F.col("c"))
+    )
+    tris = wedges.join(
+        und.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+        "leftsemi",
+    )
+    members = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+    )
+    return members.groupBy(F.col("node").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("triangles")
+    )
+
+
+def oracle_triangle_count(edges_sql: str) -> str:
+    """DuckDB replica of triangle_count — same canonical a<b<c
+    enumeration. ``edges_sql`` must yield (src_host, dst_host)."""
+    return f"""
+        WITH raw AS ({edges_sql}),
+        und AS (
+          SELECT DISTINCT least(src_host, dst_host) AS a,
+                          greatest(src_host, dst_host) AS b
+          FROM raw WHERE src_host <> dst_host
+        ),
+        tris AS (
+          SELECT e1.a, e1.b, e2.b AS c
+          FROM und e1
+          JOIN und e2 ON e2.a = e1.a AND e1.b < e2.b
+          WHERE EXISTS (SELECT 1 FROM und e3
+                        WHERE e3.a = e1.b AND e3.b = e2.b)
+        ),
+        members AS (
+          SELECT a AS node FROM tris
+          UNION ALL SELECT b FROM tris
+          UNION ALL SELECT c FROM tris
+        )
+        SELECT node AS host, CAST(count(*) AS BIGINT) AS triangles
+        FROM members GROUP BY node
+    """

@@ -204,3 +204,35 @@ def test_snippet_first_of_many_terms(spark):
     # banana (pos 7) beats apple (pos 14): min over terms
     assert out.pos == 7
     assert out.snippet == "zebra banana apple banana"[4:19]
+
+
+# ---- triangle_count --------------------------------------------------------
+
+def test_triangle_count_known_graph(spark):
+    from navigator_document_parser_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 on a,b,c,d = 4 triangles, each node in exactly 3;
+    # pendant edge d-e adds none; direction/self-loops ignored
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d")]
+    extra = [("d", "e"), ("b", "a"), ("c", "c")]
+    edges = spark.createDataFrame(
+        k4 + extra, ["src_host", "dst_host"]
+    )
+    out = {r.host: r.triangles for r in triangle_count(edges).collect()}
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_count_triangle_free(spark):
+    from navigator_document_parser_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # a 4-cycle has no triangles
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        ["src_host", "dst_host"],
+    )
+    assert triangle_count(edges).count() == 0
