@@ -2359,6 +2359,17 @@ def _fix_encoding_oracle() -> str:
     """
 
 
+def _weighted_sample(spark, sf):
+    """A-ES weighted sampling without replacement: 10 length-weighted
+    exemplar docs per language via rounded exponential keys
+    (operators/selection.py weighted_sample)."""
+    from navigator_document_parser_spark.operators.selection import (
+        weighted_sample,
+    )
+
+    return weighted_sample(_docs(spark, sf), k=10)
+
+
 def _triangle_hosts(spark, sf):
     """Per-host triangle counts over the same doc-derived undirected
     graph as k_core_hosts (operators/graph.py triangle_count: canonical
@@ -2586,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": _sitemap_parse,            # sitemap roundtrip
         "snippet_search": _snippet_search,          # serving snippets
         "triangle_hosts": _triangle_hosts,          # triangle counts
+        "weighted_sample": _weighted_sample,        # A-ES exemplars
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3451,4 +3463,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["triangle_hosts"] = oracle_triangle_count(_K_CORE_EDGES_SQL)
+    from navigator_document_parser_spark.operators.selection import (
+        oracle_weighted_sample,
+    )
+
+    oracles["weighted_sample"] = oracle_weighted_sample(k=10)
     return oracles

@@ -117,6 +117,7 @@ OP_QUERIES = [
     "mix_rebalance",
     "temperature_mix",
     "host_split",
+    "weighted_sample",
     "ccnet_buckets",
     "importance_select",
     "pagerank_hosts",

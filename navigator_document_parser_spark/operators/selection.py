@@ -503,3 +503,97 @@ def oracle_host_split(
                     ELSE 'train' END AS split
         FROM {table}
     """
+
+
+# ---- weighted sampling without replacement (Efraimidis-Spirakis) -----------
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 10,
+    weight_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group — the A-ES
+    scheme (Efraimidis & Spirakis 2006): key_i = u_i^(1/w_i) with
+    u_i the replayable uniform_u draw; the top-k keys per group are a
+    weighted sample without replacement, exactly (their Thm 2). The
+    corpus use: pick k quality-weighted exemplar docs per language
+    (eval panels, annotation batches, few-shot pools) reproducibly.
+
+    Engine determinism: ranking raw pow() doubles would let a last-ulp
+    libm difference flip an order, so the key is ROUNDED to 8dp before
+    ranking with doc_id as tiebreak (temperature_mix's pow discipline;
+    an 8dp collision needs two keys within 5e-9 — and then the id
+    tiebreak is shared). Zero-or-negative weights are excluded (their
+    key is 0 = never sampled, per the scheme's w > 0 domain).
+
+    100 TB shape: one map projection + ONE per-group top-k window
+    shuffle. If k·|groups| rows is still huge, the streaming variant
+    keeps a per-partition k-heap and merges (A-ES is mergeable by
+    construction: max-k of unions = max-k of max-k's) — same keys,
+    same result.
+
+    Returns (grp, rank, doc_id, weight, key8).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql.window import Window
+
+    w = F.col(weight_col).cast("double")
+    key = F.round(
+        F.pow(uniform_u(F.col(id_col), salt), F.lit(1.0) / w), 8
+    )
+    base = (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("bigint").alias("weight"),
+            key.alias("key8"),
+        )
+    )
+    win = Window.partitionBy("grp").orderBy(
+        F.col("key8").desc(), F.col("doc_id").asc()
+    )
+    return (
+        base.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("grp", "rank", "doc_id", "weight", "key8")
+    )
+
+
+def oracle_weighted_sample(
+    k: int = 10,
+    weight_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    salt: str = "ws",
+) -> str:
+    """DuckDB replica of weighted_sample — same md5 uniform, same
+    rounded exponential key, same rank/tiebreak."""
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    inner = f"'{salt}:' || CAST({id_col} AS VARCHAR)"
+    u = f"(({md5_u32_sql(inner, 'duckdb')}) / 4294967296.0)"
+    key = (
+        f"round(pow({u}, 1.0 / CAST({weight_col} AS DOUBLE)), 8)"
+    )
+    return f"""
+        WITH base AS (
+          SELECT {group_col} AS grp, {id_col} AS doc_id,
+                 CAST({weight_col} AS BIGINT) AS weight,
+                 {key} AS key8
+          FROM {table}
+          WHERE {weight_col} > 0
+        )
+        SELECT grp, CAST(rank AS BIGINT) AS rank, doc_id, weight, key8
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY grp
+                     ORDER BY key8 DESC, doc_id ASC) AS rank
+          FROM base
+        )
+        WHERE rank <= {int(k)}
+    """

@@ -236,3 +236,47 @@ def test_triangle_count_triangle_free(spark):
         ["src_host", "dst_host"],
     )
     assert triangle_count(edges).count() == 0
+
+
+# ---- weighted_sample -------------------------------------------------------
+
+def test_weighted_sample_is_deterministic_topk(spark):
+    from navigator_document_parser_spark.operators.selection import (
+        weighted_sample,
+    )
+
+    rows = [(i, "en", (i % 7) * 100 + 1) for i in range(100)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    a = sorted((r.rank, r.doc_id)
+               for r in weighted_sample(d, k=5).collect())
+    b = sorted((r.rank, r.doc_id)
+               for r in weighted_sample(d, k=5).collect())
+    assert a == b and len(a) == 5
+
+
+def test_weighted_sample_weight_bias(spark):
+    from navigator_document_parser_spark.operators.selection import (
+        weighted_sample,
+    )
+
+    # half the docs carry 100x the weight; the top-10 sample must be
+    # dominated by heavy docs (P[light doc in top-k] is tiny under
+    # u^(1/w) keys)
+    rows = [(i, "en", 10000 if i % 2 == 0 else 10) for i in range(200)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    out = weighted_sample(d, k=10).collect()
+    heavy = sum(1 for r in out if r.doc_id % 2 == 0)
+    assert heavy >= 9
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from navigator_document_parser_spark.operators.selection import (
+        weighted_sample,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "en", 0), (1, "en", -5), (2, "en", 7)],
+        ["doc_id", "lang", "n_chars"],
+    )
+    out = weighted_sample(d, k=5).collect()
+    assert [r.doc_id for r in out] == [2]
