@@ -2496,6 +2496,49 @@ def _sitemap_parse_oracle() -> str:
     return oracle_parse_sitemap(synth)
 
 
+# shared Spark/DuckDB synthesis (chr(10) is ASCII-safe in both engines —
+# CLAUDE.md lesson 17): every doc gets a host nav line + a copyright
+# footer; 1/3 get a semi-common 'subscribe' line that must SURVIVE the
+# 60% threshold; the body line is the doc's own text (dropped only if
+# the identical body repeats across >=60% of a host's docs — exact dups
+# exist in the corpus and both engines agree).
+_BOILERPLATE_SRC_SQL = """
+    SELECT doc_id, source AS host,
+           concat_ws(chr(10),
+             'home | about | ' || source,
+             text,
+             CASE WHEN doc_id % 3 = 0 THEN 'subscribe to ' || source END,
+             'copyright ' || source) AS text
+    FROM documents
+"""
+
+
+def _boilerplate_strip(spark, sf):
+    """Per-host template-line removal at a 60% document-frequency
+    threshold: nav + footer lines (100% of host docs) are stripped, the
+    1/3-frequency subscribe line and unique bodies survive
+    (operators/text.py boilerplate_strip — line frequency is one
+    (host, md5(line)) hash aggregate, rebuild one more; no windows)."""
+    from navigator_document_parser_spark.operators.text import (
+        boilerplate_strip,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    src = spark.sql(_BOILERPLATE_SRC_SQL)
+    return boilerplate_strip(src, min_docs=2, threshold_pct=60)
+
+
+def _boilerplate_strip_oracle() -> str:
+    from navigator_document_parser_spark.operators.text import (
+        oracle_boilerplate_strip,
+    )
+
+    return oracle_boilerplate_strip(
+        _BOILERPLATE_SRC_SQL, min_docs=2, threshold_pct=60
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's CORRECTNESS artifact records only the
     first 50 entries, so oracle-checked queries come first (all 50
@@ -2598,6 +2641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_search": _snippet_search,          # serving snippets
         "triangle_hosts": _triangle_hosts,          # triangle counts
         "weighted_sample": _weighted_sample,        # A-ES exemplars
+        "boilerplate_strip": _boilerplate_strip,    # host template lines
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3458,6 +3502,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["snippet_search"] = oracle_snippet_search(_SEARCH_QUERIES)
+    oracles["boilerplate_strip"] = _boilerplate_strip_oracle()
     from navigator_document_parser_spark.operators.graph import (
         oracle_triangle_count,
     )

@@ -111,6 +111,7 @@ OP_QUERIES = [
     "bpe_train",
     "text_normalize",
     "fix_encoding",
+    "boilerplate_strip",
     "zorder_layout",
     "shard_layout",
     "budget_select",

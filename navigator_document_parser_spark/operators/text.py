@@ -1836,3 +1836,149 @@ def oracle_fix_mojibake_sql(expr: str) -> str:
     for bad, good in mojibake_pairs():
         s = f"replace({s}, {sql_quote(bad)}, {sql_quote(good)})"
     return s
+
+
+# --------------------------------------------------------------------------
+# per-host boilerplate line removal (template stripping)
+# --------------------------------------------------------------------------
+
+def boilerplate_strip(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """Strip per-host template lines (nav bars, cookie banners, footers)
+    — the frequency-based boilerplate removal CCNet/trafilatura-style
+    pipelines run AFTER DOM extraction: a line is boilerplate for a host
+    when it appears in >= threshold_pct % of that host's documents (and
+    in at least min_docs of them, so tiny hosts don't self-censor).
+
+    The threshold test is integer cross-multiplication
+    (n_docs_with_line * 100 >= host_docs * threshold_pct) — exact in
+    every engine, never a float ratio compare.
+
+    Plan shape (100 TB): lines are posexploded once; the per-host line
+    frequency is ONE hash aggregate keyed (host, md5(line)) — map-side
+    combinable, and the md5 key means full line text never rides the
+    shuffle twice; host doc totals are a #hosts-row aggregate joined
+    back by broadcast; the boilerplate set joins back to the line table
+    on (host, line-hash) as a plain equi-join (the set is
+    hosts x template-lines — small, but not provably broadcastable);
+    the document rebuild is one more hash aggregate. No windows, so a
+    mega-host cannot stall a partition.
+
+    Returns (doc_id, host, n_kept, n_dropped, text_clean) with
+    text_clean the surviving trimmed lines joined by newline in original
+    order. Blank lines are dropped from both counts (standard
+    extraction behavior; reference drops empty lines at
+    /root/reference/src/html_parser/combined.py text-block split).
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "raw"
+            ),
+        )
+        .withColumn("line", F.trim(F.col("raw")))
+        .filter(F.col("line") != "")
+        .withColumn("lh", F.md5(F.col("line")))
+        .drop("raw")
+    )
+    freq = lines.groupBy("host", "lh").agg(
+        F.countDistinct("doc_id").alias("n_with")
+    )
+    totals = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(F.col(id_col)).alias("host_docs")
+    )
+    bp = (
+        freq.join(F.broadcast(totals), "host")
+        .filter(
+            (F.col("n_with") >= F.lit(int(min_docs)))
+            & (
+                F.col("n_with") * 100
+                >= F.col("host_docs") * F.lit(int(threshold_pct))
+            )
+        )
+        .select("host", "lh")
+        .withColumn("is_bp", F.lit(True))
+    )
+    flagged = lines.join(bp, ["host", "lh"], "left").withColumn(
+        "is_bp", F.coalesce(F.col("is_bp"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_bp"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        flagged.groupBy("doc_id", "host")
+        .agg(
+            F.sum(F.when(~F.col("is_bp"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("is_bp"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+    )
+
+
+def oracle_boilerplate_strip(
+    src_sql: str, min_docs: int = 2, threshold_pct: int = 50
+) -> str:
+    """DuckDB replica of boilerplate_strip over ``src_sql`` producing
+    (doc_id, host, text). Same md5 line keys, same integer
+    cross-multiplied threshold; rebuild via ordered string_agg."""
+    return f"""
+        WITH src AS ({src_sql}),
+        p AS (
+          SELECT doc_id, host, string_split(text, chr(10)) AS parts
+          FROM src
+        ), ln AS (
+          SELECT doc_id, host, u.pos AS pos, u.line AS line,
+                 md5(u.line) AS lh
+          FROM (
+            SELECT doc_id, host,
+                   unnest(list_transform(parts,
+                     (x, i) -> struct_pack(pos := i, line := trim(x))))
+                     AS u
+            FROM p
+          )
+          WHERE u.line <> ''
+        ), freq AS (
+          SELECT host, lh, count(DISTINCT doc_id) AS n_with
+          FROM ln GROUP BY host, lh
+        ), totals AS (
+          SELECT host, count(DISTINCT doc_id) AS host_docs
+          FROM src GROUP BY host
+        ), bp AS (
+          SELECT f.host, f.lh
+          FROM freq f JOIN totals t USING (host)
+          WHERE f.n_with >= {int(min_docs)}
+            AND f.n_with * 100 >= t.host_docs * {int(threshold_pct)}
+        ), flagged AS (
+          SELECT l.doc_id, l.host, l.pos, l.line,
+                 (b.lh IS NOT NULL) AS is_bp
+          FROM ln l LEFT JOIN bp b
+            ON l.host = b.host AND l.lh = b.lh
+        )
+        SELECT doc_id, host,
+               CAST(SUM(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT is_bp), '') AS text_clean
+        FROM flagged
+        GROUP BY doc_id, host
+    """
