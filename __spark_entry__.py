@@ -2529,6 +2529,19 @@ def _boilerplate_strip(spark, sf):
     return boilerplate_strip(src, min_docs=2, threshold_pct=60)
 
 
+def _keyness_terms(spark, sf):
+    """Top-25 characteristic terms of the English slice vs the rest by
+    Dunning G^2 log-likelihood — the corpus-comparison profile run
+    before writing domain filter rules (operators/text.py
+    keyness_terms: one conditional token aggregate + checkpointed
+    totals fold-back + TakeOrdered top-k)."""
+    from navigator_document_parser_spark.operators.text import (
+        keyness_terms,
+    )
+
+    return keyness_terms(_docs(spark, sf), focus="en", k=25)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -2642,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_hosts": _triangle_hosts,          # triangle counts
         "weighted_sample": _weighted_sample,        # A-ES exemplars
         "boilerplate_strip": _boilerplate_strip,    # host template lines
+        "keyness_terms": _keyness_terms,            # Dunning G^2 profile
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3503,6 +3517,11 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["snippet_search"] = oracle_snippet_search(_SEARCH_QUERIES)
     oracles["boilerplate_strip"] = _boilerplate_strip_oracle()
+    from navigator_document_parser_spark.operators.text import (
+        oracle_keyness_terms,
+    )
+
+    oracles["keyness_terms"] = oracle_keyness_terms(focus="en", k=25)
     from navigator_document_parser_spark.operators.graph import (
         oracle_triangle_count,
     )

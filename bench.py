@@ -92,6 +92,7 @@ OP_QUERIES = [
     "lm_rarity",
     "c4_filters",
     "top_ngrams",
+    "keyness_terms",
     "keyword_search",
     "boolean_search",
     "bm25_search",

@@ -1982,3 +1982,151 @@ def oracle_boilerplate_strip(
         FROM flagged
         GROUP BY doc_id, host
     """
+
+
+# --------------------------------------------------------------------------
+# corpus keyness (Dunning log-likelihood G^2)
+# --------------------------------------------------------------------------
+
+def _g2_fragment(a: str, b: str, na: str, nb: str) -> str:
+    """Dunning (1993) log-likelihood G^2 for a term with count ``a`` in
+    the focus corpus (total ``na``) and ``b`` in the contrast corpus
+    (total ``nb``) — rendered as ONE SQL string valid in BOTH Spark SQL
+    and DuckDB (ln/CASE/CAST are common dialect).
+
+    Each ln argument is a single division of two EXACTLY-representable
+    doubles (products of counts; exact below 2^52 — fine to ~10^26
+    token-pairs), so both engines feed ln the identical double; the
+    final round(...,4) absorbs ln's last-ulp libm differences (the
+    cosine/log precedent, CLAUDE.md lesson 18 scope note)."""
+    n = f"(CAST({na} AS DOUBLE) + CAST({nb} AS DOUBLE))"
+    t1 = (
+        f"(CASE WHEN {a} > 0 THEN CAST({a} AS DOUBLE) * "
+        f"ln((CAST({a} AS DOUBLE) * {n}) / "
+        f"(CAST({na} AS DOUBLE) * (CAST({a} AS DOUBLE) + CAST({b} AS DOUBLE))))"
+        f" ELSE 0.0 END)"
+    )
+    t2 = (
+        f"(CASE WHEN {b} > 0 THEN CAST({b} AS DOUBLE) * "
+        f"ln((CAST({b} AS DOUBLE) * {n}) / "
+        f"(CAST({nb} AS DOUBLE) * (CAST({a} AS DOUBLE) + CAST({b} AS DOUBLE))))"
+        f" ELSE 0.0 END)"
+    )
+    return f"round(2.0 * ({t1} + {t2}), 4)"
+
+
+def keyness_terms(
+    df: DataFrame,
+    focus: str = "en",
+    k: int = 25,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms of a sub-corpus by Dunning G^2 — the
+    corpus-linguistics keyness statistic data-curation pipelines use to
+    profile a domain slice against the rest before writing filter rules.
+
+    direction ('focus'/'rest') comes from the integer cross-multiply
+    a*Nb vs b*Na — exact, never a float rate compare; ranking is over
+    the 4dp-ROUNDED G^2 (term asc tie-break) so libm ulps cannot flip
+    an order across engines.
+
+    Plan shape (100 TB): one token hash-aggregate with conditional
+    counts (map-side combinable; shuffle rows are (term, a, b)); the
+    corpus totals fold back via crossJoin(broadcast(agg)) over the
+    EAGERLY CHECKPOINTED term table, so the double-embedded subtree
+    reads materialized blocks (CLAUDE.md lesson 16); top-k is
+    orderBy+limit = TakeOrderedAndProject, never a global window.
+    """
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+        (F.col(group_col) == F.lit(focus)).alias("in_focus"),
+    ).filter(F.col("term") != "")
+    terms = (
+        toks.groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("in_focus"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_focus"),
+            F.sum(F.when(F.col("in_focus"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_rest"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = terms.agg(
+        F.sum("n_focus").cast("bigint").alias("na"),
+        F.sum("n_rest").cast("bigint").alias("nb"),
+    )
+    g2 = F.expr(_g2_fragment("n_focus", "n_rest", "na", "nb"))
+    scored = (
+        terms.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "n_focus",
+            "n_rest",
+            F.when(
+                F.col("n_focus") * F.col("nb")
+                >= F.col("n_rest") * F.col("na"),
+                F.lit("focus"),
+            )
+            .otherwise(F.lit("rest"))
+            .alias("direction"),
+            g2.alias("g2"),
+        )
+        .orderBy(F.col("g2").desc(), F.col("term").asc())
+        .limit(int(k))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("g2").desc(), F.col("term").asc())
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+
+
+def oracle_keyness_terms(
+    focus: str = "en",
+    k: int = 25,
+    group_col: str = "lang",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of keyness_terms — same tokenization as the
+    Spark side, same shared G^2 fragment, QUALIFY top-k."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    g2 = _g2_fragment("n_focus", "n_rest", "na", "nb")
+    return f"""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(trim(lower({text_col})),
+                                           '\\s+')) AS term,
+                 ({group_col} = {sql_quote(focus)}) AS in_focus
+          FROM {table}
+        ), terms AS (
+          SELECT term,
+                 CAST(SUM(CASE WHEN in_focus THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_focus,
+                 CAST(SUM(CASE WHEN in_focus THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_rest
+          FROM toks WHERE term <> '' GROUP BY term
+        ), totals AS (
+          SELECT CAST(SUM(n_focus) AS BIGINT) AS na,
+                 CAST(SUM(n_rest) AS BIGINT) AS nb
+          FROM terms
+        ), scored AS (
+          SELECT term, n_focus, n_rest,
+                 CASE WHEN n_focus * nb >= n_rest * na
+                      THEN 'focus' ELSE 'rest' END AS direction,
+                 {g2} AS g2
+          FROM terms CROSS JOIN totals
+        )
+        SELECT term, n_focus, n_rest, direction, g2,
+               CAST(row_number() OVER (ORDER BY g2 DESC, term ASC)
+                    AS BIGINT) AS rank
+        FROM scored
+        ORDER BY g2 DESC, term ASC
+        LIMIT {int(k)}
+    """

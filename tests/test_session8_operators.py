@@ -80,3 +80,50 @@ def test_boilerplate_strip_order_preserved(spark):
     out = _rows(boilerplate_strip(df, min_docs=2, threshold_pct=60))
     # original position order, NOT lexicographic
     assert out[1].text_clean == "z last\na first"
+
+
+# ---- keyness_terms ----------------------------------------------------------
+
+def test_keyness_known_g2_value(spark):
+    import math
+
+    docs = [
+        (1, "en", "alpha alpha beta"),
+        (2, "fr", "beta beta"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    from navigator_document_parser_spark.operators.text import keyness_terms
+
+    out = {r.term: r for r in keyness_terms(df, focus="en", k=10).collect()}
+    # alpha: a=2, b=0, Na=3, Nb=2 -> G2 = 2 * 2*ln((2*5)/(3*2))
+    expect = round(2.0 * 2.0 * math.log(10.0 / 6.0), 4)
+    assert out["alpha"].g2 == expect
+    assert out["alpha"].direction == "focus"
+    # beta: a=1/3 vs b=2/2 -> rest-leaning
+    assert out["beta"].direction == "rest"
+    # ranking: alpha's g2 > beta's
+    assert out["alpha"].rank < out["beta"].rank
+
+
+def test_keyness_symmetric_balanced_term_scores_zero(spark):
+    # identical rates in both corpora -> expected == observed -> G2 = 0
+    docs = [
+        (1, "en", "same same"),
+        (2, "fr", "same same"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    from navigator_document_parser_spark.operators.text import keyness_terms
+
+    row = keyness_terms(df, focus="en", k=5).collect()[0]
+    assert row.g2 == 0.0
+
+
+def test_keyness_k_limits_output(spark):
+    docs = [(i, "en" if i % 2 else "fr", f"w{i} w{i} common")
+            for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    from navigator_document_parser_spark.operators.text import keyness_terms
+
+    rows = keyness_terms(df, focus="en", k=7).collect()
+    assert len(rows) == 7
+    assert sorted(r.rank for r in rows) == list(range(1, 8))
