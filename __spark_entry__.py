@@ -2542,6 +2542,85 @@ def _keyness_terms(spark, sf):
     return keyness_terms(_docs(spark, sf), focus="en", k=25)
 
 
+def _recrawl_visits_sql(dialect: str) -> str:
+    """Shared visit-log synthesis: 5 visits per url, changed with a
+    per-url propensity (doc_id%5+1)/6 decided by the portable md5_u32
+    hash — integer mod both sides, engine-exact."""
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    inner = (
+        f"'cr:' || CAST(doc_id AS {cast}) || ':' || CAST(v AS {cast})"
+    )
+    fan = (
+        "documents LATERAL VIEW explode(sequence(0, 4)) t AS v"
+        if dialect == "spark"
+        else "documents, generate_series(0, 4) AS t(v)"
+    )
+    return f"""
+        SELECT 'https://' || source || '/p' || CAST(doc_id AS {cast})
+                 AS url,
+               ({md5_u32_sql(inner, dialect)} % 6) < (doc_id % 5 + 1)
+                 AS changed
+        FROM {fan}
+    """
+
+
+def _recrawl_schedule(spark, sf):
+    """Freshness loop of an incremental crawler: per-URL Cho &
+    Garcia-Molina change-rate estimates + integer-exact revisit tiers
+    from a synthetic 5-visit change log (operators/urls.py
+    recrawl_schedule — one hash aggregate, shared SQL fragments)."""
+    from navigator_document_parser_spark.operators.urls import (
+        recrawl_schedule,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    visits = spark.sql(_recrawl_visits_sql("spark"))
+    return recrawl_schedule(visits)
+
+
+# DUST synthesis: groups of 4 urls (canonical / index.html / ?sid= /
+# ?sid=&ref=x) sharing one content hash, except every 7th group's
+# index.html carries DIFFERENT content — so strip-param:ref validates,
+# strip-param:sid part-resolves, and strip-index accumulates
+# counterevidence (the negative path is exercised, not just the happy
+# one).
+_DUST_PAGES_SQL = """
+    SELECT CASE doc_id % 4
+             WHEN 0 THEN base
+             WHEN 1 THEN base || '/index.html'
+             WHEN 2 THEN base || '?sid=' || sid
+             ELSE base || '?sid=' || sid || '&ref=x' END AS url,
+           CASE WHEN doc_id % 4 = 1 AND g % 7 = 0
+                THEN md5('c:' || CAST(g AS STRING) || ':x')
+                ELSE md5('c:' || CAST(g AS STRING)) END AS content_hash
+    FROM (
+      SELECT doc_id, doc_id {DIV} 4 AS g,
+             'https://h' || CAST((doc_id {DIV} 4) % 10 AS STRING)
+               || '.example/p' || CAST(doc_id {DIV} 4 AS STRING) AS base,
+             substring(md5('s:' || CAST(doc_id {DIV} 4 AS STRING)), 1, 6)
+               AS sid
+      FROM documents
+    )
+"""
+
+
+def _dust_rules(spark, sf):
+    """DUST rule mining (Bar-Yossef et al.): which URL rewrites
+    (strip index.html, strip sid/ref params) provably preserve content
+    on this crawl — candidates are a map-only projection, resolution
+    ONE equi-join on the rewrite target, verdict a #rules-row aggregate
+    (operators/urls.py dust_rules)."""
+    from navigator_document_parser_spark.operators.urls import dust_rules
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    pages = spark.sql(_DUST_PAGES_SQL.format(DIV="div"))
+    return dust_rules(pages, min_support=2)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -2656,6 +2735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,        # A-ES exemplars
         "boilerplate_strip": _boilerplate_strip,    # host template lines
         "keyness_terms": _keyness_terms,            # Dunning G^2 profile
+        "recrawl_schedule": _recrawl_schedule,      # change-rate revisit
+        "dust_rules": _dust_rules,                  # URL rewrite mining
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3522,6 +3603,18 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["keyness_terms"] = oracle_keyness_terms(focus="en", k=25)
+    from navigator_document_parser_spark.operators.urls import (
+        oracle_dust_rules,
+        oracle_recrawl_schedule,
+    )
+
+    oracles["recrawl_schedule"] = oracle_recrawl_schedule(
+        _recrawl_visits_sql("duckdb")
+    )
+    oracles["dust_rules"] = oracle_dust_rules(
+        _DUST_PAGES_SQL.format(DIV="//").replace("AS STRING", "AS VARCHAR"),
+        min_support=2,
+    )
     from navigator_document_parser_spark.operators.graph import (
         oracle_triangle_count,
     )

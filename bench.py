@@ -106,6 +106,8 @@ OP_QUERIES = [
     "robots_filter",
     "sitemap_parse",
     "fetch_schedule",
+    "recrawl_schedule",
+    "dust_rules",
     "chunk_windows",
     "split_sentences",
     "bpe_tokenize",

@@ -302,3 +302,233 @@ def oracle_fetch_schedule(
                  ORDER BY host_seq, host, url) AS BIGINT) AS slot
         FROM seq
     """
+
+
+# --------------------------------------------------------------------------
+# recrawl scheduling from observed change rates (Cho & Garcia-Molina)
+# --------------------------------------------------------------------------
+
+def _recrawl_bucket_sql(n: str, x: str) -> str:
+    """Revisit-interval ladder from change counts — integer
+    cross-multiplication only (x/n >= 3/4 -> hourly, >= 1/2 -> daily,
+    >= 1/4 -> weekly, else monthly), exact in every engine."""
+    return f"""(CASE WHEN {x} * 4 >= {n} * 3 THEN 'hourly'
+                     WHEN {x} * 2 >= {n} THEN 'daily'
+                     WHEN {x} * 4 >= {n} THEN 'weekly'
+                     ELSE 'monthly' END)"""
+
+
+def _lambda_hat_sql(n: str, x: str) -> str:
+    """Cho & Garcia-Molina (2003) change-frequency estimator
+    lambda_hat = -ln((n - x + 0.5)/(n + 0.5)) — consistent for
+    Poisson-changing pages observed at n equi-spaced visits of which x
+    showed a change; the +0.5 regularizer keeps x = n finite. Both
+    ln operands are exactly-representable doubles (integer +- 0.5), the
+    division is one IEEE op, and round(...,4) absorbs ln ulps. The
+    negation is spelled 0.0 - ln(...): at x = 0 the estimate is
+    -ln(1.0) = -0.0, which DuckDB keeps through round() while Spark
+    normalizes — 0.0 - 0.0 is +0.0 in IEEE on both engines."""
+    return (
+        f"round(0.0 - ln((CAST({n} AS DOUBLE) - CAST({x} AS DOUBLE) + 0.5)"
+        f" / (CAST({n} AS DOUBLE) + 0.5)), 4)"
+    )
+
+
+def recrawl_schedule(
+    visits: DataFrame,
+    url_col: str = "url",
+    changed_col: str = "changed",
+) -> DataFrame:
+    """Per-URL recrawl scheduling from crawl-history change
+    observations — the freshness loop of an incremental crawler: visit
+    log in, change-rate estimate and revisit tier out.
+
+    Input: one row per (url, visit) with a boolean ``changed`` (the
+    content hash differed from the previous visit — snapshot_diff's
+    'changed' status feeds this directly).
+
+    Output (url, n_visits, n_changes, lambda4, revisit): lambda4 the
+    4dp-rounded Cho & Garcia-Molina Poisson rate estimate, revisit an
+    engine-exact integer-ratio tier ('hourly'/'daily'/'weekly'/
+    'monthly').
+
+    100 TB shape: ONE map-side-combinable hash aggregate keyed url
+    (count + conditional sum), then a shuffle-free projection; nothing
+    else. The estimator and tier ladder are shared SQL fragments so
+    Spark and the DuckDB oracle run identical arithmetic.
+    """
+    agg = visits.groupBy(F.col(url_col).alias("url")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_visits"),
+        F.sum(F.when(F.col(changed_col), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changes"),
+    )
+    return agg.select(
+        "url",
+        "n_visits",
+        "n_changes",
+        F.expr(_lambda_hat_sql("n_visits", "n_changes")).alias("lambda4"),
+        F.expr(_recrawl_bucket_sql("n_visits", "n_changes")).alias(
+            "revisit"
+        ),
+    )
+
+
+def oracle_recrawl_schedule(visits_sql: str) -> str:
+    """DuckDB replica of recrawl_schedule over ``visits_sql``
+    (a subquery yielding url, changed)."""
+    lam = _lambda_hat_sql("n_visits", "n_changes")
+    tier = _recrawl_bucket_sql("n_visits", "n_changes")
+    return f"""
+        WITH visits AS ({visits_sql}),
+        agg AS (
+          SELECT url, CAST(count(*) AS BIGINT) AS n_visits,
+                 CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_changes
+          FROM visits GROUP BY url
+        )
+        SELECT url, n_visits, n_changes,
+               {lam} AS lambda4,
+               {tier} AS revisit
+        FROM agg
+    """
+
+
+# --------------------------------------------------------------------------
+# DUST rule mining (Different URLs, Similar Text — Bar-Yossef et al.)
+# --------------------------------------------------------------------------
+
+_DUST_RULES = (
+    # (rule name, SQL predicate on url, SQL rewrite of url) — fragments
+    # valid in BOTH Spark SQL and DuckDB. strip-index removes a
+    # trailing /index.html; strip-param:<k> removes one query
+    # parameter (and the '?'/'&' that carried it).
+    (
+        "strip-index",
+        "url LIKE '%/index.html'",
+        "substring(url, 1, length(url) - 11)",
+    ),
+    (
+        "strip-param:sid",
+        "url LIKE '%?sid=%' OR url LIKE '%&sid=%'",
+        "regexp_replace(url, '([?&])sid=[^&]*&?', '$1')",
+    ),
+    (
+        "strip-param:ref",
+        "url LIKE '%?ref=%' OR url LIKE '%&ref=%'",
+        "regexp_replace(url, '([?&])ref=[^&]*&?', '$1')",
+    ),
+)
+
+# the rewrites above can leave a dangling '?'/'&' when the stripped
+# param was last — trim it (shared fragment, runs after the rewrite)
+_DUST_TRIM = "regexp_replace({u}, '[?&]$', '')"
+
+
+def dust_rules(
+    pages: DataFrame,
+    min_support: int = 2,
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Mine URL canonicalization rules from crawl evidence — the DUST
+    problem (Bar-Yossef et al. 2007, "Do Not Crawl in the DUST"):
+    which syntactic URL rewrites provably preserve content on this
+    corpus? A rule is VALID when every url it applies to rewrites to a
+    url that was also crawled and carries the SAME content hash; rules
+    with counterevidence (target exists, hash differs) are reported
+    with their violation count so the crawler can keep fetching those
+    forms.
+
+    Output (rule, n_applicable, n_same, n_diff, valid): n_applicable =
+    urls the rule rewrites to a DIFFERENT crawled-or-not url; n_same /
+    n_diff = rewrite targets found in the crawl with equal / unequal
+    hashes; valid = n_same >= min_support AND n_diff = 0.
+
+    100 TB shape: candidates are a shuffle-free projection (one row per
+    url x applicable rule, <= |rules| fan-out); resolving the rewrite
+    target is ONE equi-join on the target url against the page table;
+    the verdict is one #rules-row aggregate. Rule fragments are shared
+    SQL so the DuckDB oracle replays identical string surgery.
+    """
+    base = pages.select(
+        F.col(url_col).alias("url"), F.col(hash_col).alias("h")
+    )
+    cands = None
+    for name, pred, rewrite in _DUST_RULES:
+        target = _DUST_TRIM.format(u=rewrite)
+        c = base.filter(F.expr(pred)).select(
+            F.lit(name).alias("rule"),
+            F.col("url"),
+            F.col("h"),
+            F.expr(target).alias("target"),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.filter(F.col("target") != F.col("url"))
+    resolved = cands.join(
+        base.select(F.col("url").alias("target"), F.col("h").alias("th")),
+        "target",
+        "left",
+    )
+    return (
+        resolved.groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_applicable"),
+            F.sum(
+                F.when(F.col("th").isNotNull() & (F.col("th") == F.col("h")),
+                       1).otherwise(0)
+            ).cast("bigint").alias("n_same"),
+            F.sum(
+                F.when(F.col("th").isNotNull() & (F.col("th") != F.col("h")),
+                       1).otherwise(0)
+            ).cast("bigint").alias("n_diff"),
+        )
+        .withColumn(
+            "valid",
+            (F.col("n_same") >= F.lit(int(min_support)))
+            & (F.col("n_diff") == 0),
+        )
+    )
+
+
+def oracle_dust_rules(pages_sql: str, min_support: int = 2) -> str:
+    """DuckDB replica of dust_rules over ``pages_sql`` (a subquery
+    yielding url, content_hash). Two dialect gaps handled here: Spark
+    regexp_replace replaces ALL matches while DuckDB needs the 'g'
+    flag, and the backreference spelling differs ($1 vs \\1)."""
+    branches = []
+    for name, pred, rewrite in _DUST_RULES:
+        target = (
+            _DUST_TRIM.format(u=rewrite)
+            .replace("'$1')", "'\\1', 'g')")
+            .replace("$1", "\\1")
+        )
+        branches.append(
+            f"SELECT '{name}' AS rule, url, h, {target} AS target\n"
+            f"           FROM base WHERE {pred}"
+        )
+    cand = "\n           UNION ALL\n           ".join(branches)
+    return f"""
+        WITH base AS (
+          SELECT url, content_hash AS h FROM ({pages_sql})
+        ), cands AS (
+           {cand}
+        ), cand2 AS (
+          SELECT * FROM cands WHERE target <> url
+        ), resolved AS (
+          SELECT c.rule, c.h, t.h AS th
+          FROM cand2 c LEFT JOIN base t ON t.url = c.target
+        )
+        SELECT rule,
+               CAST(count(*) AS BIGINT) AS n_applicable,
+               CAST(SUM(CASE WHEN th IS NOT NULL AND th = h
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+               CAST(SUM(CASE WHEN th IS NOT NULL AND th <> h
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+               (SUM(CASE WHEN th IS NOT NULL AND th = h THEN 1 ELSE 0 END)
+                  >= {int(min_support)}
+                AND SUM(CASE WHEN th IS NOT NULL AND th <> h
+                        THEN 1 ELSE 0 END) = 0) AS valid
+        FROM resolved
+        GROUP BY rule
+    """

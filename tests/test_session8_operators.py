@@ -127,3 +127,72 @@ def test_keyness_k_limits_output(spark):
     rows = keyness_terms(df, focus="en", k=7).collect()
     assert len(rows) == 7
     assert sorted(r.rank for r in rows) == list(range(1, 8))
+
+
+# ---- recrawl_schedule -------------------------------------------------------
+
+def test_recrawl_tiers_and_lambda(spark):
+    import math
+
+    rows = []
+    # u_hot: 4/4 changed; u_half: 2/4; u_quarter: 1/4; u_cold: 0/4
+    for v in range(4):
+        rows.append(("u_hot", v, True))
+        rows.append(("u_half", v, v < 2))
+        rows.append(("u_quarter", v, v < 1))
+        rows.append(("u_cold", v, False))
+    df = spark.createDataFrame(rows, ["url", "visit_idx", "changed"])
+    from navigator_document_parser_spark.operators.urls import (
+        recrawl_schedule,
+    )
+
+    out = {r.url: r for r in recrawl_schedule(df).collect()}
+    assert out["u_hot"].revisit == "hourly"
+    assert out["u_half"].revisit == "daily"
+    assert out["u_quarter"].revisit == "weekly"
+    assert out["u_cold"].revisit == "monthly"
+    # Cho & Garcia-Molina: -ln((n - x + 0.5) / (n + 0.5))
+    assert out["u_hot"].lambda4 == round(-math.log(0.5 / 4.5), 4)
+    assert out["u_cold"].lambda4 == 0.0  # +0.0, never -0.0
+    assert out["u_cold"].n_visits == 4 and out["u_cold"].n_changes == 0
+
+
+# ---- dust_rules -------------------------------------------------------------
+
+def test_dust_rules_verdicts(spark):
+    pages = [
+        ("https://x/a", "h1"), ("https://x/a/index.html", "h1"),
+        ("https://x/b", "h2"), ("https://x/b/index.html", "h2"),
+        ("https://x/c", "h3"), ("https://x/c/index.html", "HX"),
+        ("https://x/d?sid=1", "h4"), ("https://x/d", "h4"),
+        ("https://x/e?sid=2&ref=r", "h5"), ("https://x/e?sid=2", "h5"),
+    ]
+    df = spark.createDataFrame(pages, ["url", "content_hash"])
+    from navigator_document_parser_spark.operators.urls import dust_rules
+
+    out = {r.rule: r for r in dust_rules(df, min_support=1).collect()}
+    # index.html: 3 applications, one with DIFFERENT content -> invalid
+    ix = out["strip-index"]
+    assert (ix.n_applicable, ix.n_same, ix.n_diff) == (3, 2, 1)
+    assert not ix.valid
+    # sid strip: d?sid=1 -> d (same hash); the two e-urls rewrite to
+    # uncrawled targets (unresolved, not counterevidence)
+    sid = out["strip-param:sid"]
+    assert (sid.n_applicable, sid.n_same, sid.n_diff) == (3, 1, 0)
+    assert sid.valid
+    # ref strip: e?sid=2&ref=r -> e?sid=2, crawled, same hash
+    ref = out["strip-param:ref"]
+    assert (ref.n_applicable, ref.n_same, ref.n_diff) == (1, 1, 0)
+    assert ref.valid
+
+
+def test_dust_rules_min_support_gates_valid(spark):
+    pages = [
+        ("https://x/e?sid=2&ref=r", "h5"), ("https://x/e?sid=2", "h5"),
+    ]
+    df = spark.createDataFrame(pages, ["url", "content_hash"])
+    from navigator_document_parser_spark.operators.urls import dust_rules
+
+    out = {r.rule: r for r in dust_rules(df, min_support=2).collect()}
+    assert out["strip-param:ref"].n_same == 1
+    assert not out["strip-param:ref"].valid
