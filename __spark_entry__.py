@@ -2621,6 +2621,55 @@ def _dust_rules(spark, sf):
     return dust_rules(pages, min_support=2)
 
 
+def _related_hosts(spark, sf):
+    """Top-5 related hosts by co-citation over a two-generator host
+    link graph (each source cites two deterministic sink families) —
+    the "related pages" neighborhood signal (operators/graph.py
+    cocitation_topk: distinct edges, hub cap, one wedge self-join)."""
+    from navigator_document_parser_spark.operators.graph import (
+        cocitation_topk,
+    )
+
+    d = _docs(spark, sf)
+    e1 = d.select(
+        F.col("source").alias("src_host"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 40).cast("string")
+        ).alias("dst_host"),
+    )
+    e2 = d.select(
+        F.col("source").alias("src_host"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 11 + 5) % 40).cast("string")
+        ).alias("dst_host"),
+    )
+    return cocitation_topk(e1.unionByName(e2), k=5, max_out=1000)
+
+
+_RELATED_HOSTS_EDGES_SQL = """
+    SELECT source AS src_host,
+           'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst_host
+    FROM documents
+    UNION ALL
+    SELECT source AS src_host,
+           'h' || CAST((doc_id * 11 + 5) % 40 AS VARCHAR) AS dst_host
+    FROM documents
+"""
+
+
+def _lsh_audit(spark, sf):
+    """LSH tuning audit: precision/recall of the (4 hashes, 2 bands)
+    MinHash candidate set vs unblocked exact-Jaccard ground truth at
+    J >= 0.2 — the parameter-selection loop run on a sample before a
+    full-corpus dedup (operators/dedup.py lsh_audit; one checkpointed
+    shingle table feeds truth + candidate branches)."""
+    from navigator_document_parser_spark.operators.dedup import lsh_audit
+
+    return lsh_audit(
+        _docs(spark, sf), num_hashes=4, bands=2, threshold=0.2
+    )
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -2737,6 +2786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness_terms": _keyness_terms,            # Dunning G^2 profile
         "recrawl_schedule": _recrawl_schedule,      # change-rate revisit
         "dust_rules": _dust_rules,                  # URL rewrite mining
+        "related_hosts": _related_hosts,            # co-citation top-k
+        "lsh_audit": _lsh_audit,                    # LSH precision/recall
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3615,6 +3666,74 @@ def oracle_sql() -> dict[str, str]:
         _DUST_PAGES_SQL.format(DIV="//").replace("AS STRING", "AS VARCHAR"),
         min_support=2,
     )
+    from navigator_document_parser_spark.operators.graph import (
+        oracle_cocitation_topk,
+    )
+
+    oracles["related_hosts"] = oracle_cocitation_topk(
+        _RELATED_HOSTS_EDGES_SQL, k=5, max_out=1000
+    )
+    # lsh_audit: truth = the UNBLOCKED inverted-index exact-Jaccard
+    # pair set; candidates = the same (4,2) band construction as the
+    # dedup_minhash_pairs oracle; compared via one full-outer join.
+    oracles["lsh_audit"] = f"""
+        {_SHINGLE_CTE}
+        , shf AS (
+          SELECT doc_id, s, length(s) AS n FROM sh WHERE length(s) > 0
+        ), inv AS (
+          SELECT doc_id, n, unnest(s) AS tok FROM shf
+        ), truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i,
+                 any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM inv a JOIN inv b
+            ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), truthf AS (
+          SELECT id_a, id_b, 1 AS t FROM truth
+          WHERE {ratio4_sql('i', 'na + nb - i')} >= 0.2
+        ), sigs AS (
+          SELECT doc_id,
+                 list_aggregate(list_transform(s, x -> md5('0:' || x)),
+                                'min') AS sig1,
+                 list_aggregate(list_transform(s, x -> md5('1:' || x)),
+                                'min') AS sig2,
+                 list_aggregate(list_transform(s, x -> md5('2:' || x)),
+                                'min') AS sig3,
+                 list_aggregate(list_transform(s, x -> md5('3:' || x)),
+                                'min') AS sig4
+          FROM shf
+        ), bandrows AS (
+          SELECT doc_id, 0 AS band, md5(sig1 || ',' || sig2) AS key
+          FROM sigs
+          UNION ALL
+          SELECT doc_id, 1 AS band, md5(sig3 || ',' || sig4) AS key
+          FROM sigs
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS c
+          FROM bandrows a JOIN bandrows b
+            ON a.key = b.key AND a.band = b.band
+           AND a.doc_id < b.doc_id
+        ), j AS (
+          SELECT t.t AS t, c.c AS c
+          FROM truthf t FULL OUTER JOIN cand c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b
+        ), agg AS (
+          SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+                 CAST(SUM(c) AS BIGINT) AS n_candidates,
+                 CAST(SUM(CASE WHEN t IS NOT NULL AND c IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true_positive
+          FROM j
+        )
+        SELECT n_truth, n_candidates, n_true_positive,
+               CASE WHEN n_candidates > 0 THEN
+                 {ratio4_sql('n_true_positive', 'n_candidates')}
+               END AS precision4,
+               CASE WHEN n_truth > 0 THEN
+                 {ratio4_sql('n_true_positive', 'n_truth')}
+               END AS recall4
+        FROM agg
+    """
     from navigator_document_parser_spark.operators.graph import (
         oracle_triangle_count,
     )

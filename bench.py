@@ -131,6 +131,7 @@ OP_QUERIES = [
     "triangle_hosts",
     "anchor_text",
     "host_communities",
+    "related_hosts",
     "domain_quality",
     "corpus_report",
     "hll_distinct",
@@ -145,6 +146,7 @@ OP_QUERIES = [
     "dedup_paragraphs",
     "dedup_substring",
     "dedup_minhash_pairs",
+    "lsh_audit",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_containment",

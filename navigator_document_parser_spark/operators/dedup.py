@@ -1493,3 +1493,108 @@ def oracle_snapshot_diff(
                     AS BIGINT) AS n_unchanged
         FROM j GROUP BY grp
     """
+
+
+def lsh_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 4,
+    bands: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """LSH parameter audit: precision/recall of the MinHash band-join
+    candidate set against exact-Jaccard ground truth — the tuning loop
+    every near-dedup deployment runs on a sample before committing
+    (num_hashes, bands) for the full corpus.
+
+    Ground truth is the UNBLOCKED inverted-index exact-Jaccard pair set
+    (a pair with J >= threshold > 0 shares at least one shingle, so the
+    shingle equi-join enumerates ALL qualifying pairs — no length/lang
+    blocking that could hide misses). Candidates are the band-key
+    equi-join pairs from the exact construction minhash_dedup_pairs
+    uses (band_keys_from_shingles).
+
+    Returns ONE row: (n_truth, n_candidates, n_true_positive,
+    precision4, recall4) — counts BIGINT, ratios via the portable
+    integer half-up ratio4 (NULL when the denominator is 0).
+
+    100 TB shape: the shingle table is checkpointed once and feeds all
+    four join branches; both pair sets are equi-joins + hash
+    aggregates; the final comparison is one full-outer join on the
+    pair key and a single global aggregate. On a real corpus this runs
+    on a deterministic hash-sample (operators/text.py hash_sample) —
+    the audit's value is the ratio, which a sample estimates.
+    """
+    from navigator_document_parser_spark.operators import ratio4
+
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col)).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    inv = base.select("id", "n_sh", F.explode("sh").alias("s"))
+    ta = inv.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "s"
+    )
+    tb = inv.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "s"
+    )
+    truth = (
+        ta.join(tb, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(
+            ratio4(F.col("i"), F.col("na") + F.col("nb") - F.col("i"))
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b", F.lit(1).alias("t"))
+    )
+    banded = base.select(
+        "id",
+        F.posexplode(
+            band_keys_from_shingles(
+                F.col("sh"), num_hashes=num_hashes, bands=bands
+            )
+        ).alias("band", "key"),
+    )
+    ca = banded.select(F.col("id").alias("id_a"), "band", "key")
+    cb = banded.select(F.col("id").alias("id_b"), "band", "key")
+    cand = (
+        ca.join(cb, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .select("id_a", "id_b", F.lit(1).alias("c"))
+    )
+    joined = truth.join(cand, ["id_a", "id_b"], "full")
+    agg = joined.agg(
+        F.sum("t").cast("bigint").alias("n_truth"),
+        F.sum("c").cast("bigint").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_true_positive"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_true_positive",
+        F.when(
+            F.col("n_candidates") > 0,
+            ratio4(F.col("n_true_positive"), F.col("n_candidates")),
+        ).alias("precision4"),
+        F.when(
+            F.col("n_truth") > 0,
+            ratio4(F.col("n_true_positive"), F.col("n_truth")),
+        ).alias("recall4"),
+    )

@@ -671,3 +671,100 @@ def oracle_triangle_count(edges_sql: str) -> str:
         SELECT node AS host, CAST(count(*) AS BIGINT) AS triangles
         FROM members GROUP BY node
     """
+
+
+def cocitation_topk(
+    edges: DataFrame,
+    k: int = 5,
+    max_out: int = 1000,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Top-k related hosts by co-citation: two targets are related when
+    many sources link to BOTH (Small 1973; the classic "related pages"
+    signal, also the GraphRAG/SEO neighborhood primitive).
+
+    n_shared = |{src : src->a and src->b}| over DISTINCT edges; output
+    both directions (host, related, n_shared, rank) with rank <= k per
+    host, ties broken by related-host name for determinism.
+
+    100 TB shape: the wedge enumeration self-joins the distinct edge
+    list on src, so cost is sum over srcs of out-degree^2 — hub sources
+    (a directory page linking everywhere) would dominate, so srcs with
+    out-degree > max_out are dropped first (standard co-citation
+    practice; the cap is an explicit, oracle-replicated parameter, not
+    a silent truncation). One distinct + one degree aggregate + one
+    equi-join + one pair aggregate + a per-host top-k window.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    e = e.join(
+        deg.filter(F.col("outd") <= F.lit(int(max_out))).select("src"),
+        "src",
+    )
+    a = e.select("src", F.col("dst").alias("dst_a"))
+    b = e.select("src", F.col("dst").alias("dst_b"))
+    pairs = (
+        a.join(b, "src")
+        .filter(F.col("dst_a") < F.col("dst_b"))
+        .groupBy("dst_a", "dst_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sym = pairs.select(
+        F.col("dst_a").alias("host"),
+        F.col("dst_b").alias("related"),
+        "n_shared",
+    ).unionByName(
+        pairs.select(
+            F.col("dst_b").alias("host"),
+            F.col("dst_a").alias("related"),
+            "n_shared",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_shared").desc(), F.col("related").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
+def oracle_cocitation_topk(
+    edges_sql: str, k: int = 5, max_out: int = 1000
+) -> str:
+    """DuckDB replica of cocitation_topk over ``edges_sql`` (a subquery
+    yielding src_host, dst_host)."""
+    return f"""
+        WITH raw AS ({edges_sql}),
+        e AS (
+          SELECT DISTINCT src_host AS src, dst_host AS dst FROM raw
+        ), deg AS (
+          SELECT src FROM e GROUP BY src
+          HAVING count(*) <= {int(max_out)}
+        ), ee AS (
+          SELECT e.* FROM e JOIN deg USING (src)
+        ), pairs AS (
+          SELECT a.dst AS dst_a, b.dst AS dst_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM ee a JOIN ee b
+            ON a.src = b.src AND a.dst < b.dst
+          GROUP BY 1, 2
+        ), sym AS (
+          SELECT dst_a AS host, dst_b AS related, n_shared FROM pairs
+          UNION ALL
+          SELECT dst_b, dst_a, n_shared FROM pairs
+        )
+        SELECT host, related, n_shared,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY host
+                  ORDER BY n_shared DESC, related ASC) AS rank
+          FROM sym
+        )
+        WHERE rank <= {int(k)}
+    """

@@ -196,3 +196,73 @@ def test_dust_rules_min_support_gates_valid(spark):
     out = {r.rule: r for r in dust_rules(df, min_support=2).collect()}
     assert out["strip-param:ref"].n_same == 1
     assert not out["strip-param:ref"].valid
+
+
+# ---- cocitation_topk --------------------------------------------------------
+
+def test_cocitation_counts_and_ranks(spark):
+    edges = [
+        ("s1", "a"), ("s1", "b"),
+        ("s2", "a"), ("s2", "b"),
+        ("s3", "a"), ("s3", "c"),
+        ("s3", "a"),  # duplicate edge must collapse
+    ]
+    df = spark.createDataFrame(edges, ["src_host", "dst_host"])
+    from navigator_document_parser_spark.operators.graph import (
+        cocitation_topk,
+    )
+
+    out = {(r.host, r.related): r
+           for r in cocitation_topk(df, k=3).collect()}
+    assert out[("a", "b")].n_shared == 2
+    assert out[("b", "a")].n_shared == 2
+    assert out[("a", "c")].n_shared == 1
+    assert out[("a", "b")].rank == 1 and out[("a", "c")].rank == 2
+    assert ("b", "c") not in out
+
+
+def test_cocitation_hub_cap_drops_directory_pages(spark):
+    edges = [
+        ("s1", "a"), ("s1", "b"),
+        ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"),
+    ]
+    df = spark.createDataFrame(edges, ["src_host", "dst_host"])
+    from navigator_document_parser_spark.operators.graph import (
+        cocitation_topk,
+    )
+
+    out = {(r.host, r.related): r.n_shared
+           for r in cocitation_topk(df, k=5, max_out=3).collect()}
+    # hub (out-degree 4 > 3) is excluded: only s1's wedge remains
+    assert out == {("a", "b"): 1, ("b", "a"): 1}
+
+
+# ---- lsh_audit --------------------------------------------------------------
+
+def test_lsh_audit_perfect_on_exact_duplicates(spark):
+    x = "alpha beta gamma delta epsilon zeta"
+    y = "one two three four five six seven"
+    z = "totally different words entirely here now"
+    docs = [(1, x), (2, x), (3, x), (4, y), (5, y), (6, z)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from navigator_document_parser_spark.operators.dedup import lsh_audit
+
+    row = lsh_audit(df, num_hashes=4, bands=2, threshold=0.5).collect()[0]
+    # truth: the 3 X-pairs + 1 Y-pair; identical docs share every band
+    # key so all 4 are candidates; disjoint docs share no shingle
+    assert row.n_truth == 4
+    assert row.n_true_positive == 4
+    assert row.recall4 == 1.0
+    assert row.n_candidates >= 4
+    assert row.precision4 <= 1.0
+
+
+def test_lsh_audit_tp_bounded_by_both_sets(spark):
+    docs = [(i, f"w{i} w{i+1} w{i+2} w{i+3} shared common tail words")
+            for i in range(12)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from navigator_document_parser_spark.operators.dedup import lsh_audit
+
+    row = lsh_audit(df, num_hashes=4, bands=2, threshold=0.2).collect()[0]
+    assert row.n_true_positive <= row.n_truth
+    assert row.n_true_positive <= row.n_candidates
