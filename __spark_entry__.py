@@ -2670,6 +2670,20 @@ def _lsh_audit(spark, sf):
     )
 
 
+def _dedup_snm(spark, sf):
+    """Sorted-neighborhood dedup blocking: 4-row sliding window down
+    the (text-prefix, id) sort order, exact-Jaccard verify inside the
+    window (operators/dedup.py sorted_neighborhood_pairs — distributed
+    rank via range partitions + offsets, one integer equi-join)."""
+    from navigator_document_parser_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        _docs(spark, sf), window=4, threshold=0.2
+    )
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -2788,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dust_rules": _dust_rules,                  # URL rewrite mining
         "related_hosts": _related_hosts,            # co-citation top-k
         "lsh_audit": _lsh_audit,                    # LSH precision/recall
+        "dedup_snm": _dedup_snm,                    # sorted-neighborhood
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3672,6 +3687,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["related_hosts"] = oracle_cocitation_topk(
         _RELATED_HOSTS_EDGES_SQL, k=5, max_out=1000
+    )
+    from navigator_document_parser_spark.operators.dedup import (
+        oracle_sorted_neighborhood,
+    )
+
+    oracles["dedup_snm"] = oracle_sorted_neighborhood(
+        window=4, threshold=0.2, shingle_cte=_SHINGLE_CTE
     )
     # lsh_audit: truth = the UNBLOCKED inverted-index exact-Jaccard
     # pair set; candidates = the same (4,2) band construction as the

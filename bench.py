@@ -147,6 +147,7 @@ OP_QUERIES = [
     "dedup_substring",
     "dedup_minhash_pairs",
     "lsh_audit",
+    "dedup_snm",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_containment",

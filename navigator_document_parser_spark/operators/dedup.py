@@ -1598,3 +1598,156 @@ def lsh_audit(
             ratio4(F.col("n_true_positive"), F.col("n_truth")),
         ).alias("recall4"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 4,
+    threshold: float = 0.1,
+    key_len: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernandez & Stolfo 1995):
+    sort the corpus by a cheap key (here the first key_len chars of the
+    lowercased text), slide a w-row window down the sort order, and
+    exact-verify only pairs within the window — the third classic
+    blocking family next to LSH banding and inverted-index sharing,
+    and the right one when near-dups share PREFIXES (title clones,
+    templated articles) rather than random shingles.
+
+    The global rank is computed scale-correctly: repartitionByRange on
+    (key, id) gives contiguous key ranges in ascending partition-id
+    order, per-partition sizes (an O(#partitions) collect) become
+    cumulative offsets, and rank = offset + per-PARTITION row_number —
+    never a single-partition global window. The ranked table is
+    checkpointed once (it feeds both join sides); window pairs are ONE
+    integer equi-join (rn + d = rn_b after a literal 1..w fan-out);
+    verification is array_intersect on the carried shingle sets —
+    bounded at N*w pairs by construction, so arrays-on-pairs is safe
+    here (contrast ngram_jaccard_pairs, where pair count is unbounded).
+
+    Returns (id_a, id_b, rn_dist, jaccard_sim) for verified pairs,
+    id_a the earlier row in sort order.
+    """
+    from navigator_document_parser_spark.operators import ratio4
+
+    if window <= 0:
+        raise ValueError("window must be positive")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(
+            F.lower(F.trim(F.col(text_col))), 1, int(key_len)
+        ).alias("key"),
+        word_shingles(F.col(text_col)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    spark = df.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    # pin the range placement once: sizes and ranks must read the SAME
+    # partitioning (eager per CLAUDE.md lesson 7 — two consumers)
+    placed = (
+        base.repartitionByRange(npart, "key", "id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = sorted(
+        (r["pid"], r["n"]) for r in
+        placed.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in sizes:
+        offsets.append((pid, acc))
+        acc += n
+    off = F.broadcast(
+        spark.createDataFrame(offsets, ["pid", "offset"])
+    )
+    from pyspark.sql import Window
+
+    w_local = Window.partitionBy("pid").orderBy("key", "id")
+    ranked = (
+        placed.join(off, "pid")
+        .withColumn(
+            "rn",
+            (F.row_number().over(w_local) + F.col("offset")).cast(
+                "bigint"
+            ),
+        )
+        .select("id", "rn", "sh", "n_sh")
+    )
+    fan = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+        "rn",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, int(window) + 1)])
+        ).alias("rn_dist"),
+    ).withColumn("rn_b", F.col("rn") + F.col("rn_dist"))
+    pairs = fan.join(
+        ranked.select(
+            F.col("id").alias("id_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("n_sh").alias("nb"),
+            F.col("rn").alias("rn_b"),
+        ),
+        "rn_b",
+    )
+    i = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    u = F.col("na") + F.col("nb") - i
+    return (
+        pairs.withColumn("i", i)
+        .filter(u > 0)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("rn_dist").cast("bigint").alias("rn_dist"),
+            ratio4(F.col("i"), F.col("na") + F.col("nb") - F.col("i"))
+            .alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= F.lit(threshold))
+    )
+
+
+def oracle_sorted_neighborhood(
+    window: int = 4,
+    threshold: float = 0.2,
+    key_len: int = 16,
+    shingle_cte: str = "",
+) -> str:
+    """DuckDB replica of sorted_neighborhood_pairs over the documents
+    table: the oracle may use the straightforward global row_number —
+    rank equality with the distributed offset construction is exactly
+    what the hash check proves. ``shingle_cte`` is the repo's shared
+    _SHINGLE_CTE (callers pass it in to keep one definition)."""
+    from navigator_document_parser_spark.operators import ratio4_sql
+
+    jac = ratio4_sql(
+        "length(list_intersect(a.s, b.s))",
+        "length(a.s) + length(b.s) - length(list_intersect(a.s, b.s))",
+    )
+    return f"""
+        {shingle_cte}
+        , ranked AS (
+          SELECT doc_id, s,
+                 row_number() OVER (
+                   ORDER BY substring(lower(trim(text)), 1, {int(key_len)}),
+                            doc_id) AS rn
+          FROM sh
+        ), fan AS (
+          SELECT r.doc_id AS id_a, r.s AS s_a, r.rn, t.d AS rn_dist
+          FROM ranked r,
+               (SELECT unnest(generate_series(1, {int(window)})) AS d) t
+        ), pairs AS (
+          SELECT f.id_a, b.doc_id AS id_b, f.rn_dist,
+                 f.s_a, b.s AS s_b
+          FROM fan f JOIN ranked b ON b.rn = f.rn + f.rn_dist
+        )
+        SELECT id_a, id_b, CAST(rn_dist AS BIGINT) AS rn_dist,
+               {jac.replace('a.s', 's_a').replace('b.s', 's_b')}
+                 AS jaccard_sim
+        FROM pairs
+        WHERE length(s_a) + length(s_b)
+                - length(list_intersect(s_a, s_b)) > 0
+          AND {jac.replace('a.s', 's_a').replace('b.s', 's_b')}
+                >= {threshold!r}
+    """

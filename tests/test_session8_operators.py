@@ -266,3 +266,61 @@ def test_lsh_audit_tp_bounded_by_both_sets(spark):
     row = lsh_audit(df, num_hashes=4, bands=2, threshold=0.2).collect()[0]
     assert row.n_true_positive <= row.n_truth
     assert row.n_true_positive <= row.n_candidates
+
+
+# ---- sorted_neighborhood_pairs ---------------------------------------------
+
+def test_snm_finds_prefix_clones(spark):
+    docs = [
+        (1, "the cat sat on the mat today fine"),
+        (2, "the cat sat on the mat today ok"),
+        (3, "zebra xylophone quite different text body"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from navigator_document_parser_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    out = {(r.id_a, r.id_b): r for r in
+           sorted_neighborhood_pairs(df, window=2, threshold=0.3).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)].rn_dist == 1
+    assert out[(1, 2)].jaccard_sim > 0.5
+
+
+def test_snm_window_bounds_the_neighborhood(spark):
+    # identical 16-char sort key for all three (ties break by id), so
+    # the order is 1, 2, 3: docs 1 and 3 are near-dups at sort
+    # distance 2 with the dissimilar doc 2 between them
+    docs = [
+        (1, "prefix shared words alpha beta gamma delta"),
+        (2, "prefix shared words zzz unrelated content entirely"),
+        (3, "prefix shared words alpha beta gamma epsilon"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from navigator_document_parser_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    w1 = sorted_neighborhood_pairs(df, window=1, threshold=0.4).collect()
+    assert all((r.id_a, r.id_b) != (1, 3) for r in w1)
+    w2 = {(r.id_a, r.id_b): r.rn_dist for r in
+          sorted_neighborhood_pairs(df, window=2, threshold=0.4).collect()}
+    assert w2.get((1, 3)) == 2
+
+
+def test_snm_empty_docs_never_pair(spark):
+    docs = [(1, ""), (2, ""), (3, "real content words here now")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from navigator_document_parser_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    # empty-vs-empty is degenerate (union 0) and must never pair, even
+    # at threshold 0; empty-vs-real pairs carry jaccard 0 and vanish at
+    # any positive threshold
+    at0 = {(r.id_a, r.id_b)
+           for r in sorted_neighborhood_pairs(
+               df, window=4, threshold=0.0).collect()}
+    assert (1, 2) not in at0 and (2, 1) not in at0
+    assert sorted_neighborhood_pairs(df, window=4, threshold=0.1).count() == 0
