@@ -2684,6 +2684,49 @@ def _dedup_snm(spark, sf):
     )
 
 
+# shared HTML synthesis: header row (th), a data row, an extra row for
+# 1/4 of docs (with a colspan attribute), a second single-cell table
+# with inner markup for 1/5, pretty-print newlines to exercise the
+# flatten, and 1/11 of docs carry no table at all
+_HTML_TABLES_SRC_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0
+                THEN '<html><p>just text, no tables</p></html>'
+                ELSE '<html><body><h1>' || source || '</h1>'
+                  || '<table class="t"> <tr><th> Name </th>'
+                  || '<th>Value</th></tr> ' || chr(10)
+                  || '<tr><td>doc</td><td>'
+                  || CAST(doc_id AS STRING) || '</td></tr>'
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN '<tr><td colspan="2">extra '
+                            || CAST(doc_id % 7 AS STRING) || '</td></tr>'
+                          ELSE '' END
+                  || '</table>'
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN '<table><tr><td><b>bold</b> cell'
+                            || '</td></tr></table>'
+                          ELSE '' END
+                  || '<p>no table here</p></body></html>' END AS html
+    FROM documents
+"""
+
+
+def _html_tables(spark, sf):
+    """HTML table mining: <table> markup to structured cell rows with
+    header detection — the WikiTables-style structured-data payload
+    next to the running-text extraction core (operators/tables.py
+    extract_html_tables: three map-only posexplode levels, shared
+    Java/RE2-safe patterns, zero shuffles)."""
+    from navigator_document_parser_spark.operators.tables import (
+        extract_html_tables,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    pages = spark.sql(_HTML_TABLES_SRC_SQL)
+    return extract_html_tables(pages)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -2803,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_hosts": _related_hosts,            # co-citation top-k
         "lsh_audit": _lsh_audit,                    # LSH precision/recall
         "dedup_snm": _dedup_snm,                    # sorted-neighborhood
+        "html_tables": _html_tables,                # table cell mining
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3687,6 +3731,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["related_hosts"] = oracle_cocitation_topk(
         _RELATED_HOSTS_EDGES_SQL, k=5, max_out=1000
+    )
+    from navigator_document_parser_spark.operators.tables import (
+        oracle_extract_html_tables,
+    )
+
+    oracles["html_tables"] = oracle_extract_html_tables(
+        _HTML_TABLES_SRC_SQL.replace("AS STRING", "AS VARCHAR")
     )
     from navigator_document_parser_spark.operators.dedup import (
         oracle_sorted_neighborhood,

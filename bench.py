@@ -105,6 +105,7 @@ OP_QUERIES = [
     "url_filter",
     "robots_filter",
     "sitemap_parse",
+    "html_tables",
     "fetch_schedule",
     "recrawl_schedule",
     "dust_rules",

@@ -1,0 +1,129 @@
+"""HTML table extraction — `<table>` markup to structured
+(doc_id, table_idx, row_idx, col_idx, is_header, cell_text) rows.
+
+The reference pipeline extracts running text only (its table handling
+lives on the PDF side via Azure layout — see M11/pdf_blocks); table
+DATA in HTML pages is the other structured payload a web-scale corpus
+pipeline mines (relation extraction, QA-pair mining, WikiTables-style
+pretraining corpora).
+
+Same from-scratch discipline as sources/sitemap.py: regex field
+extraction, NOT a DOM parser — every pattern is shared
+Java-regex/RE2-safe (non-greedy blocks, negated char classes, no
+DOTALL — newline runs are collapsed first) so the DuckDB oracle
+replays the parse bit-for-bit. For adversarial markup the full DOM
+path (extraction/dom.py) remains the text-extraction core; this
+operator targets the machine-generated tables that dominate real
+crawls.
+
+100 TB shape: three chained posexplode levels (tables -> rows ->
+cells), each a map-only generate over the already-exploded string of
+the level above — parallelism follows the corpus scan, zero shuffles,
+all codegen'd JVM regex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (?is) would also span newlines, but RE2 (DuckDB) and Java agree on
+# (?i) only; newlines are flattened away instead (sitemap.py pattern)
+_TABLE_BLOCK = "(?i)<table[^>]*>(.*?)</table>"
+_TR_BLOCK = "(?i)<tr[^>]*>(.*?)</tr>"
+_CELL_BLOCK = "(?i)<t[dh][^>]*>(.*?)</t[dh]>"
+_TH_PROBE = "(?i)<th[ >]"
+_TAG = "<[^>]*>"
+
+
+def _flatten(col: Column) -> Column:
+    return F.regexp_replace(col, r"\s*[\r\n]+\s*", " ")
+
+
+def extract_html_tables(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """One output row per table cell; indices are 0-based in document
+    order; is_header marks rows whose first cell tag is <th>;
+    cell_text has inner tags stripped and whitespace trimmed."""
+    tables = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            _flatten(F.col(html_col)).alias("flat"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"regexp_extract_all(flat, '{_TABLE_BLOCK}', 1)")
+            ).alias("table_idx", "tbl"),
+        )
+    )
+    rows = tables.select(
+        "doc_id",
+        "table_idx",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(tbl, '{_TR_BLOCK}', 1)")
+        ).alias("row_idx", "rowhtml"),
+    )
+    cells = rows.select(
+        "doc_id",
+        "table_idx",
+        "row_idx",
+        (F.expr(f"regexp_extract(rowhtml, '{_TH_PROBE}', 0)") != "").alias(
+            "is_header"
+        ),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(rowhtml, '{_CELL_BLOCK}', 1)")
+        ).alias("col_idx", "cellhtml"),
+    )
+    return cells.select(
+        "doc_id",
+        F.col("table_idx").cast("bigint").alias("table_idx"),
+        F.col("row_idx").cast("bigint").alias("row_idx"),
+        F.col("col_idx").cast("bigint").alias("col_idx"),
+        "is_header",
+        F.trim(
+            F.regexp_replace(F.col("cellhtml"), _TAG, "")
+        ).alias("cell_text"),
+    )
+
+
+def oracle_extract_html_tables(html_table_sql: str) -> str:
+    """DuckDB replica over ``html_table_sql`` (must yield
+    (doc_id, html)) — same flatten, same block patterns; DuckDB's
+    1-based unnest ordinality is shifted to the Spark side's 0-based
+    posexplode indices."""
+
+    def explode(src: str, pat: str, pos: str, val: str) -> str:
+        # positional unnest via indexed list_transform (1-based)
+        return f"""
+          SELECT * EXCLUDE (u), CAST(u.i - 1 AS BIGINT) AS {pos},
+                 u.v AS {val}
+          FROM (
+            SELECT *, unnest(list_transform(
+                     regexp_extract_all({src}, '{pat}', 1),
+                     (x, i) -> struct_pack(i := i, v := x))) AS u
+            FROM {{inner}}
+          )"""
+
+    lvl1 = explode("flat", _TABLE_BLOCK, "table_idx", "tbl").format(
+        inner="(SELECT doc_id, regexp_replace(html,"
+        " '\\s*[\\r\\n]+\\s*', ' ', 'g') AS flat"
+        f" FROM ({html_table_sql}))"
+    )
+    lvl2 = explode("tbl", _TR_BLOCK, "row_idx", "rowhtml").format(
+        inner=f"({lvl1})"
+    )
+    lvl3 = explode("rowhtml", _CELL_BLOCK, "col_idx", "cellhtml").format(
+        inner=f"({lvl2})"
+    )
+    return f"""
+        SELECT doc_id, table_idx, row_idx, col_idx,
+               (regexp_extract(rowhtml, '{_TH_PROBE}', 0) <> '')
+                 AS is_header,
+               trim(regexp_replace(cellhtml, '{_TAG}', '', 'g'))
+                 AS cell_text
+        FROM ({lvl3})
+    """

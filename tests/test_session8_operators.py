@@ -324,3 +324,52 @@ def test_snm_empty_docs_never_pair(spark):
                df, window=4, threshold=0.0).collect()}
     assert (1, 2) not in at0 and (2, 1) not in at0
     assert sorted_neighborhood_pairs(df, window=4, threshold=0.1).count() == 0
+
+
+# ---- extract_html_tables ----------------------------------------------------
+
+def test_html_tables_structure_and_headers(spark):
+    html = (
+        '<html><TABLE border="1">\n'
+        "  <tr><th>Name</th><th>Age</th></tr>\n"
+        "  <tr><td>Ada</td><td>36</td></tr>\n"
+        "</TABLE>\n"
+        "<table><tr><td><b>only</b> cell</td></tr></table></html>"
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    from navigator_document_parser_spark.operators.tables import (
+        extract_html_tables,
+    )
+
+    out = {(r.table_idx, r.row_idx, r.col_idx): r
+           for r in extract_html_tables(df).collect()}
+    assert out[(0, 0, 0)].cell_text == "Name"
+    assert out[(0, 0, 0)].is_header
+    assert out[(0, 1, 1)].cell_text == "36"
+    assert not out[(0, 1, 1)].is_header
+    # inner markup stripped, second table indexed 1
+    assert out[(1, 0, 0)].cell_text == "only cell"
+    assert len(out) == 5
+
+
+def test_html_tables_no_table_yields_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "<html><p>prose only</p></html>"), (2, "")],
+        ["doc_id", "html"],
+    )
+    from navigator_document_parser_spark.operators.tables import (
+        extract_html_tables,
+    )
+
+    assert extract_html_tables(df).count() == 0
+
+
+def test_html_tables_multiline_cells_flattened(spark):
+    html = "<table><tr>\n<td>line\nbroken   cell</td>\n</tr></table>"
+    df = spark.createDataFrame([(7, html)], ["doc_id", "html"])
+    from navigator_document_parser_spark.operators.tables import (
+        extract_html_tables,
+    )
+
+    row = extract_html_tables(df).collect()[0]
+    assert row.cell_text == "line broken   cell"
