@@ -2727,6 +2727,54 @@ def _html_tables(spark, sf):
     return extract_html_tables(pages)
 
 
+def _search_eval(spark, sf):
+    """Retrieval quality measurement: nDCG@5 + MRR@5 of the BM25
+    top-10 against md5-derived graded relevance judgments — the
+    evaluate step that closes the index build -> serve loop
+    (operators/search.py search_eval: pivoted explicit DCG sums, no
+    cross-row float SUM). The hit table is checkpointed once — it
+    feeds both the ranking side and the derived judgment side."""
+    from navigator_document_parser_spark.operators import md5_u32_sql
+    from navigator_document_parser_spark.operators.search import (
+        bm25_search,
+        search_eval,
+    )
+
+    hits = bm25_search(
+        _docs(spark, sf), _SEARCH_QUERIES, k=10
+    ).localCheckpoint(eager=True)
+    inner = (
+        "'rel:' || CAST(query_id AS STRING) || ':'"
+        " || CAST(doc_id AS STRING)"
+    )
+    rels = hits.select(
+        "query_id",
+        "doc_id",
+        F.expr(f"{md5_u32_sql(inner, 'spark')} % 4").alias("rel"),
+    )
+    return search_eval(hits, rels, k=5)
+
+
+def _search_eval_oracle() -> str:
+    from navigator_document_parser_spark.operators import md5_u32_sql
+    from navigator_document_parser_spark.operators.search import (
+        oracle_bm25_search,
+        oracle_search_eval,
+    )
+
+    hits_sql = oracle_bm25_search(_SEARCH_QUERIES, k=10)
+    inner = (
+        "'rel:' || CAST(query_id AS VARCHAR) || ':'"
+        " || CAST(doc_id AS VARCHAR)"
+    )
+    rels_sql = (
+        f"SELECT query_id, doc_id,"
+        f" {md5_u32_sql(inner, 'duckdb')} % 4 AS rel"
+        f" FROM ({hits_sql}) hh"
+    )
+    return oracle_search_eval(hits_sql, rels_sql, k=5)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -2847,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_audit": _lsh_audit,                    # LSH precision/recall
         "dedup_snm": _dedup_snm,                    # sorted-neighborhood
         "html_tables": _html_tables,                # table cell mining
+        "search_eval": _search_eval,                # nDCG/MRR measurement
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3739,6 +3788,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["html_tables"] = oracle_extract_html_tables(
         _HTML_TABLES_SRC_SQL.replace("AS STRING", "AS VARCHAR")
     )
+    oracles["search_eval"] = _search_eval_oracle()
     from navigator_document_parser_spark.operators.dedup import (
         oracle_sorted_neighborhood,
     )

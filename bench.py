@@ -97,6 +97,7 @@ OP_QUERIES = [
     "boolean_search",
     "bm25_search",
     "hybrid_search",
+    "search_eval",
     "snippet_search",
     "phrase_search",
     "index_export",

@@ -1207,3 +1207,171 @@ def oracle_snippet_search(
                          {int(width)}) AS snippet
         FROM pos
     """
+
+
+# --------------------------------------------------------------------------
+# retrieval quality evaluation (nDCG@k, MRR@k)
+# --------------------------------------------------------------------------
+
+def _dcg_weights(k: int) -> list[float]:
+    """Literal per-rank DCG discounts 1/log2(rank+1), computed ONCE in
+    Python and embedded as repr() literals on both engines — so the
+    only cross-engine float ops are k multiplications and k-1 additions
+    in a FIXED left-associated order (CLAUDE.md lesson 13 discipline:
+    repr(float) round-trips exactly into both Java and DuckDB doubles).
+    """
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+
+_GAIN_SQL = (
+    "(CASE {rel} WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END)"
+)
+
+
+def search_eval(
+    hits: DataFrame,
+    rels: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Graded retrieval evaluation: nDCG@k and MRR@k per query — the
+    measurement step that closes the index build -> serve -> evaluate
+    loop (how every ranking change in a search/RAG pipeline is judged).
+
+    ``hits``: (query_id, doc_id, rank) from any retriever;
+    ``rels``:  (query_id, doc_id, rel) integer grades 0..3.
+
+    Gains are the standard 2^rel - 1 (integer CASE ladder); DCG is a
+    PIVOTED explicit sum — one max(CASE rank=i) column per position
+    times a repr-literal discount, added left-to-right — so no
+    cross-row float SUM whose partition order could differ between
+    engines. IDCG ranks the query's own judged gains descending
+    (doc_id tie-break); ndcg = round(dcg/idcg, 4), NULL when the query
+    has no relevant documents; mrr = 1/first-relevant-rank, exact
+    IEEE division.
+
+    100 TB shape: one broadcast-sized join (hits x rels on the pair
+    key), two #queries-row hash aggregates, one bounded window over
+    judged docs per query. Everything after the join is O(#queries).
+    """
+    from pyspark.sql import Window
+
+    kk = int(k)
+    ws = _dcg_weights(kk)
+    h = (
+        hits.filter(F.col("rank") <= kk)
+        .join(rels, ["query_id", "doc_id"], "left")
+        .withColumn("rel0", F.coalesce(F.col("rel"), F.lit(0)))
+        .withColumn("gain", F.expr(_GAIN_SQL.format(rel="rel0")))
+    )
+    dcg_cols = [
+        F.max(
+            F.when(F.col("rank") == i + 1, F.col("gain")).otherwise(0)
+        ).alias(f"g{i + 1}")
+        for i in range(kk)
+    ]
+    mrr = F.min(
+        F.when(F.col("rel0") > 0, F.col("rank"))
+    ).alias("first_rel")
+    per_q = h.groupBy("query_id").agg(*dcg_cols, mrr)
+    dcg_expr = " + ".join(
+        f"(CAST(g{i + 1} AS DOUBLE) * ({ws[i]!r}))" for i in range(kk)
+    )
+
+    jw = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    judged = (
+        rels.withColumn("irank", F.row_number().over(jw))
+        .filter(F.col("irank") <= kk)
+        .withColumn("igain", F.expr(_GAIN_SQL.format(rel="rel")))
+    )
+    idcg_cols = [
+        F.max(
+            F.when(F.col("irank") == i + 1, F.col("igain")).otherwise(0)
+        ).alias(f"ig{i + 1}")
+        for i in range(kk)
+    ]
+    ideal = judged.groupBy("query_id").agg(
+        *idcg_cols,
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rel"),
+    )
+    idcg_expr = " + ".join(
+        f"(CAST(ig{i + 1} AS DOUBLE) * ({ws[i]!r}))" for i in range(kk)
+    )
+    out = per_q.join(ideal, "query_id", "left")
+    return out.select(
+        "query_id",
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+        F.when(
+            F.expr(idcg_expr) > 0,
+            F.round(F.expr(dcg_expr) / F.expr(idcg_expr), 4),
+        ).alias(f"ndcg{kk}"),
+        F.when(
+            F.col("first_rel").isNotNull(),
+            F.lit(1.0) / F.col("first_rel"),
+        ).alias(f"mrr{kk}"),
+    )
+
+
+def oracle_search_eval(hits_sql: str, rels_sql: str, k: int = 5) -> str:
+    """DuckDB replica of search_eval: ``hits_sql`` yields
+    (query_id, doc_id, rank), ``rels_sql`` yields
+    (query_id, doc_id, rel); both may be full statements (wrapped as
+    derived tables). Same pivoted explicit sums, same repr literals."""
+    kk = int(k)
+    ws = _dcg_weights(kk)
+    gain = _GAIN_SQL.format(rel="rel0")
+    igain = _GAIN_SQL.format(rel="rel")
+    g_cols = ",\n                 ".join(
+        f"MAX(CASE WHEN rank = {i + 1} THEN {gain} ELSE 0 END) AS g{i + 1}"
+        for i in range(kk)
+    )
+    ig_cols = ",\n                 ".join(
+        f"MAX(CASE WHEN irank = {i + 1} THEN {igain} ELSE 0 END)"
+        f" AS ig{i + 1}"
+        for i in range(kk)
+    )
+    dcg = " + ".join(
+        f"(CAST(g{i + 1} AS DOUBLE) * ({ws[i]!r}))" for i in range(kk)
+    )
+    idcg = " + ".join(
+        f"(CAST(ig{i + 1} AS DOUBLE) * ({ws[i]!r}))" for i in range(kk)
+    )
+    return f"""
+        WITH hits AS (SELECT * FROM ({hits_sql}) _h),
+        rels AS (SELECT * FROM ({rels_sql}) _r),
+        h AS (
+          SELECT ht.query_id, ht.rank,
+                 COALESCE(r.rel, 0) AS rel0
+          FROM hits ht LEFT JOIN rels r
+            ON ht.query_id = r.query_id AND ht.doc_id = r.doc_id
+          WHERE ht.rank <= {kk}
+        ), per_q AS (
+          SELECT query_id,
+                 {g_cols},
+                 MIN(CASE WHEN rel0 > 0 THEN rank END) AS first_rel
+          FROM h GROUP BY query_id
+        ), judged AS (
+          SELECT query_id, rel,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, doc_id ASC) AS irank
+          FROM rels
+        ), ideal AS (
+          SELECT query_id,
+                 {ig_cols},
+                 CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rel
+          FROM judged WHERE irank <= {kk} GROUP BY query_id
+        )
+        SELECT p.query_id,
+               COALESCE(i.n_rel, 0) AS n_rel,
+               CASE WHEN ({idcg}) > 0
+                    THEN round(({dcg}) / ({idcg}), 4) END AS ndcg{kk},
+               CASE WHEN p.first_rel IS NOT NULL
+                    THEN 1.0 / p.first_rel END AS mrr{kk}
+        FROM per_q p LEFT JOIN ideal i ON i.query_id = p.query_id
+    """

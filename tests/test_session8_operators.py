@@ -373,3 +373,53 @@ def test_html_tables_multiline_cells_flattened(spark):
 
     row = extract_html_tables(df).collect()[0]
     assert row.cell_text == "line broken   cell"
+
+
+# ---- search_eval ------------------------------------------------------------
+
+def test_search_eval_hand_computed_ndcg(spark):
+    import math
+
+    hits = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    rels = spark.createDataFrame(
+        [(0, 10, 0), (0, 11, 2), (0, 12, 1)],
+        ["query_id", "doc_id", "rel"],
+    )
+    from navigator_document_parser_spark.operators.search import search_eval
+
+    row = search_eval(hits, rels, k=5).collect()[0]
+    w = [1.0 / math.log2(i + 1) for i in range(1, 6)]
+    dcg = 0 * w[0] + 3 * w[1] + 1 * w[2]
+    idcg = 3 * w[0] + 1 * w[1] + 0 * w[2]
+    assert row.ndcg5 == round(dcg / idcg, 4)
+    assert row.mrr5 == 0.5  # first relevant at rank 2
+    assert row.n_rel == 2
+
+
+def test_search_eval_perfect_ranking_is_one(spark):
+    hits = spark.createDataFrame(
+        [(1, 20, 1), (1, 21, 2)], ["query_id", "doc_id", "rank"]
+    )
+    rels = spark.createDataFrame(
+        [(1, 20, 3), (1, 21, 1)], ["query_id", "doc_id", "rel"]
+    )
+    from navigator_document_parser_spark.operators.search import search_eval
+
+    row = search_eval(hits, rels, k=5).collect()[0]
+    assert row.ndcg5 == 1.0 and row.mrr5 == 1.0
+
+
+def test_search_eval_no_relevant_docs_is_null(spark):
+    hits = spark.createDataFrame(
+        [(2, 30, 1)], ["query_id", "doc_id", "rank"]
+    )
+    rels = spark.createDataFrame(
+        [(2, 30, 0)], ["query_id", "doc_id", "rel"]
+    )
+    from navigator_document_parser_spark.operators.search import search_eval
+
+    row = search_eval(hits, rels, k=5).collect()[0]
+    assert row.ndcg5 is None and row.mrr5 is None and row.n_rel == 0
