@@ -2775,6 +2775,19 @@ def _search_eval_oracle() -> str:
     return oracle_search_eval(hits_sql, rels_sql, k=5)
 
 
+def _token_entropy(spark, sf):
+    """Per-document token-distribution entropy — the whole-distribution
+    gibberish/keyword-stuffing signal next to the Gopher top-term
+    fractions (operators/text.py token_entropy; the entropy sum rides
+    the shuffle as an exact fixed-point BIGINT, so partition order
+    cannot perturb it)."""
+    from navigator_document_parser_spark.operators.text import (
+        token_entropy,
+    )
+
+    return token_entropy(_docs(spark, sf))
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -2896,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_snm": _dedup_snm,                    # sorted-neighborhood
         "html_tables": _html_tables,                # table cell mining
         "search_eval": _search_eval,                # nDCG/MRR measurement
+        "token_entropy": _token_entropy,            # distribution entropy
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3789,6 +3803,11 @@ def oracle_sql() -> dict[str, str]:
         _HTML_TABLES_SRC_SQL.replace("AS STRING", "AS VARCHAR")
     )
     oracles["search_eval"] = _search_eval_oracle()
+    from navigator_document_parser_spark.operators.text import (
+        oracle_token_entropy,
+    )
+
+    oracles["token_entropy"] = oracle_token_entropy()
     from navigator_document_parser_spark.operators.dedup import (
         oracle_sorted_neighborhood,
     )

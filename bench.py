@@ -90,6 +90,7 @@ OP_QUERIES = [
     "tfidf_top_terms",
     "ml_quality_score",
     "lm_rarity",
+    "token_entropy",
     "c4_filters",
     "top_ngrams",
     "keyness_terms",

@@ -2130,3 +2130,98 @@ def oracle_keyness_terms(
         ORDER BY g2 DESC, term ASC
         LIMIT {int(k)}
     """
+
+
+# --------------------------------------------------------------------------
+# token-distribution entropy (gibberish / keyword-stuffing signal)
+# --------------------------------------------------------------------------
+
+_ENTROPY_CONTRIB_SQL = (
+    # fixed-point c*log2(c) at 2^-20 resolution: both engines compute
+    # the SAME double per row (c is an exact small integer), and the
+    # per-doc SUM is then INTEGER — exact under any partition/visit
+    # order. The only residual cross-engine risk is a last-ulp log2
+    # difference landing within 2^-21 of a boundary — the same
+    # accepted per-row risk class as the rounded cosine/ln operators,
+    # with the ORDER-dependent float-sum risk (the one that actually
+    # bites at corpus scale) designed out.
+    "CAST(floor(CAST({c} AS DOUBLE) * log2(CAST({c} AS DOUBLE))"
+    " * 1048576.0 + 0.5) AS BIGINT)"
+)
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits):
+    H = log2(n) - (sum_t c_t*log2(c_t)) / n — near 0 for one-word spam,
+    near log2(n) for all-distinct text; the cheap gibberish /
+    keyword-stuffing signal quality pipelines run next to the Gopher
+    repetition fractions (which measure TOP-term mass; entropy measures
+    the whole distribution).
+
+    100 TB shape: one (doc, term) hash aggregate + one doc aggregate,
+    both map-side combinable; the entropy sum rides the shuffle as an
+    exact BIGINT (see _ENTROPY_CONTRIB_SQL).
+
+    Returns (doc_id, n_tokens, n_distinct, entropy4); empty documents
+    produce no row (no tokens, no distribution).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.expr(_ENTROPY_CONTRIB_SQL.format(c="c")))
+        .cast("bigint")
+        .alias("s_fx"),
+    )
+    h = F.expr(
+        "round(log2(CAST(n_tokens AS DOUBLE)) - "
+        "(CAST(s_fx AS DOUBLE) / 1048576.0)"
+        " / CAST(n_tokens AS DOUBLE), 4)"
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_distinct", h.alias("entropy4")
+    )
+
+
+def oracle_token_entropy(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of token_entropy — same tokenization, same
+    fixed-point contribution fragment, same final expression."""
+    contrib = _ENTROPY_CONTRIB_SQL.format(c="c")
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(string_split_regex(trim(lower({text_col})),
+                                           '\\s+')) AS term
+          FROM {table}
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS c
+          FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ), per_doc AS (
+          SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM({contrib}) AS BIGINT) AS s_fx
+          FROM tf GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               round(log2(CAST(n_tokens AS DOUBLE)) -
+                     (CAST(s_fx AS DOUBLE) / 1048576.0)
+                     / CAST(n_tokens AS DOUBLE), 4) AS entropy4
+        FROM per_doc
+    """

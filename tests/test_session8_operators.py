@@ -423,3 +423,34 @@ def test_search_eval_no_relevant_docs_is_null(spark):
 
     row = search_eval(hits, rels, k=5).collect()[0]
     assert row.ndcg5 is None and row.mrr5 is None and row.n_rel == 0
+
+
+# ---- token_entropy ----------------------------------------------------------
+
+def test_token_entropy_known_values(spark):
+    docs = [
+        (1, "a a b b"),        # two symbols, uniform -> 1 bit
+        (2, "a b c d"),        # four distinct -> 2 bits
+        (3, "a a a a"),        # degenerate -> 0 bits
+        (4, ""),               # empty -> no row
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from navigator_document_parser_spark.operators.text import token_entropy
+
+    out = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert out[1].entropy4 == 1.0
+    assert out[2].entropy4 == 2.0
+    assert out[3].entropy4 == 0.0
+    assert 4 not in out
+    assert out[1].n_tokens == 4 and out[1].n_distinct == 2
+
+
+def test_token_entropy_skewed_below_uniform(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x x x x y"), (2, "p q r s t u v")],
+        ["doc_id", "text"],
+    )
+    from navigator_document_parser_spark.operators.text import token_entropy
+
+    out = {r.doc_id: r.entropy4 for r in token_entropy(df).collect()}
+    assert out[1] < out[2]  # stuffing scores lower than diverse text
