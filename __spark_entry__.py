@@ -2657,17 +2657,29 @@ _RELATED_HOSTS_EDGES_SQL = """
 """
 
 
+# the audit's documented usage is ON A SAMPLE (the unblocked exact
+# ground truth is quadratic in shingle document frequency — that cost
+# is the whole reason production dedups use LSH); the deterministic
+# half-corpus sample is an integer-exact md5 parity test, not a float
+# fraction compare
+_LSH_AUDIT_SAMPLE_INNER = "'lshaudit:' || CAST(doc_id AS {cast})"
+
+
 def _lsh_audit(spark, sf):
     """LSH tuning audit: precision/recall of the (4 hashes, 2 bands)
     MinHash candidate set vs unblocked exact-Jaccard ground truth at
-    J >= 0.2 — the parameter-selection loop run on a sample before a
-    full-corpus dedup (operators/dedup.py lsh_audit; one checkpointed
-    shingle table feeds truth + candidate branches)."""
+    J >= 0.2, measured on a deterministic md5-parity half-sample — the
+    parameter-selection loop run before a full-corpus dedup
+    (operators/dedup.py lsh_audit; one checkpointed shingle table
+    feeds truth + candidate branches)."""
+    from navigator_document_parser_spark.operators import md5_u32_sql
     from navigator_document_parser_spark.operators.dedup import lsh_audit
 
-    return lsh_audit(
-        _docs(spark, sf), num_hashes=4, bands=2, threshold=0.2
+    inner = _LSH_AUDIT_SAMPLE_INNER.format(cast="STRING")
+    sampled = _docs(spark, sf).filter(
+        F.expr(f"{md5_u32_sql(inner, 'spark')} % 2 = 0")
     )
+    return lsh_audit(sampled, num_hashes=4, bands=2, threshold=0.2)
 
 
 def _dedup_snm(spark, sf):
@@ -3818,8 +3830,21 @@ def oracle_sql() -> dict[str, str]:
     # lsh_audit: truth = the UNBLOCKED inverted-index exact-Jaccard
     # pair set; candidates = the same (4,2) band construction as the
     # dedup_minhash_pairs oracle; compared via one full-outer join.
+    # The shared shingle CTE is re-sourced onto the same md5-parity
+    # half-sample the Spark entry reads (single FROM documents site).
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    _audit_pred = (
+        md5_u32_sql(
+            _LSH_AUDIT_SAMPLE_INNER.format(cast="VARCHAR"), "duckdb"
+        )
+        + " % 2 = 0"
+    )
+    _audit_cte = _SHINGLE_CTE.replace(
+        "FROM documents", f"FROM documents WHERE {_audit_pred}"
+    )
     oracles["lsh_audit"] = f"""
-        {_SHINGLE_CTE}
+        {_audit_cte}
         , shf AS (
           SELECT doc_id, s, length(s) AS n FROM sh WHERE length(s) > 0
         ), inv AS (

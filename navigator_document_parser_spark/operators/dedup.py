@@ -1528,14 +1528,17 @@ def lsh_audit(
     """
     from navigator_document_parser_spark.operators import ratio4
 
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col)).alias("sh"),
-        )
-        .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
-        .localCheckpoint(eager=True)
+    # checkpoint the BARE (id, sh) projection: size()/filter stacked
+    # under the checkpoint would re-inline the interpreted shingle HOF
+    # once per reference after CollapseProject (3x per row — CLAUDE.md
+    # lessons 2/3; measured 9s vs 3s on the sf0.1 half-sample). Sizing
+    # and the emptiness filter read materialized arrays instead.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col)).alias("sh"),
+    ).localCheckpoint(eager=True)
+    base = base.withColumn("n_sh", F.size("sh")).filter(
+        F.col("n_sh") > 0
     )
     inv = base.select("id", "n_sh", F.explode("sh").alias("s"))
     ta = inv.select(
@@ -1634,13 +1637,18 @@ def sorted_neighborhood_pairs(
 
     if window <= 0:
         raise ValueError("window must be positive")
+    # checkpoint the bare projection BEFORE the range partitioner: its
+    # boundary-sampling pass plus the size column would otherwise
+    # re-evaluate the interpreted shingle HOF several times per row
+    # (CLAUDE.md lessons 2/3)
     base = df.select(
         F.col(id_col).alias("id"),
         F.substring(
             F.lower(F.trim(F.col(text_col))), 1, int(key_len)
         ).alias("key"),
         word_shingles(F.col(text_col)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    ).localCheckpoint(eager=True)
+    base = base.withColumn("n_sh", F.size("sh"))
     spark = df.sparkSession
     npart = spark.sparkContext.defaultParallelism
     # pin the range placement once: sizes and ranks must read the SAME
