@@ -56,8 +56,15 @@ def build_plan(spark, sitemaps_glob: str, robots_path: str,
         read_sitemaps,
     )
 
-    entries = read_sitemaps(spark, sitemaps_glob).filter(
-        F.col("kind") == "url"
+    # persist each funnel stage: the stats counts and the downstream
+    # stage would otherwise re-execute the wholetext read + regex parse
+    # and the robots Arrow stage once per action (caches are
+    # process-lifetime here; a long-lived service would unpersist after
+    # the write)
+    entries = (
+        read_sitemaps(spark, sitemaps_glob)
+        .filter(F.col("kind") == "url")
+        .persist()
     )
     n_discovered = entries.count()
 
@@ -66,6 +73,7 @@ def build_plan(spark, sitemaps_glob: str, robots_path: str,
         .filter(~F.col("blocked"))
         .select(F.col("url_canonical").alias("url"))
         .dropDuplicates()
+        .persist()
     )
     n_after_blocklist = kept.count()
 
@@ -73,9 +81,12 @@ def build_plan(spark, sitemaps_glob: str, robots_path: str,
         "url",
         F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
         .alias("host"),
+        # RFC 9309 matches rules against path INCLUDING the query
+        # string ('Disallow: /search?' must block /search?q=x), so keep
+        # everything after the authority except the fragment
         F.coalesce(
             F.nullif(
-                F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1),
+                F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", 1),
                 F.lit(""),
             ),
             F.lit("/"),
@@ -86,6 +97,7 @@ def build_plan(spark, sitemaps_glob: str, robots_path: str,
         robots_filter(parts, rules, agent=agent, id_col="url")
         .filter(F.col("allowed"))
         .select("url", "host")
+        .persist()
     )
     n_allowed = allowed.count()
 

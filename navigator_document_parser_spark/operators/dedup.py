@@ -1528,6 +1528,12 @@ def lsh_audit(
     """
     from navigator_document_parser_spark.operators import ratio4
 
+    if threshold <= 0:
+        # the inverted-index ground truth enumerates only pairs sharing
+        # >= 1 shingle, which is complete exactly for J >= t > 0; at
+        # t = 0 the disjoint pairs are silently absent and recall's
+        # denominator is wrong (same guard class as num_hashes <= 0)
+        raise ValueError("lsh_audit requires threshold > 0")
     # checkpoint the BARE (id, sh) projection: size()/filter stacked
     # under the checkpoint would re-inline the interpreted shingle HOF
     # once per reference after CollapseProject (3x per row — CLAUDE.md
@@ -1667,7 +1673,10 @@ def sorted_neighborhood_pairs(
         offsets.append((pid, acc))
         acc += n
     off = F.broadcast(
-        spark.createDataFrame(offsets, ["pid", "offset"])
+        # explicit schema: an EMPTY input yields offsets == [], which
+        # schema inference rejects (every sibling operator returns an
+        # empty frame for empty input, so must this one)
+        spark.createDataFrame(offsets, "pid int, offset bigint")
     )
     from pyspark.sql import Window
 
@@ -1718,7 +1727,7 @@ def sorted_neighborhood_pairs(
 
 def oracle_sorted_neighborhood(
     window: int = 4,
-    threshold: float = 0.2,
+    threshold: float = 0.1,
     key_len: int = 16,
     shingle_cte: str = "",
 ) -> str:

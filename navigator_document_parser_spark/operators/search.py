@@ -1249,7 +1249,8 @@ def search_eval(
     engines. IDCG ranks the query's own judged gains descending
     (doc_id tie-break); ndcg = round(dcg/idcg, 4), NULL when the query
     has no relevant documents; mrr = 1/first-relevant-rank, exact
-    IEEE division.
+    IEEE division; n_rel = the TOTAL relevant judged count (not
+    capped at k — usable as a recall@k denominator).
 
     100 TB shape: one broadcast-sized join (hits x rels on the pair
     key), two #queries-row hash aggregates, one bounded window over
@@ -1282,17 +1283,18 @@ def search_eval(
     jw = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("doc_id").asc()
     )
-    judged = (
-        rels.withColumn("irank", F.row_number().over(jw))
-        .filter(F.col("irank") <= kk)
-        .withColumn("igain", F.expr(_GAIN_SQL.format(rel="rel")))
-    )
+    judged = rels.withColumn(
+        "irank", F.row_number().over(jw)
+    ).withColumn("igain", F.expr(_GAIN_SQL.format(rel="rel")))
     idcg_cols = [
         F.max(
             F.when(F.col("irank") == i + 1, F.col("igain")).otherwise(0)
         ).alias(f"ig{i + 1}")
         for i in range(kk)
     ]
+    # n_rel = TOTAL relevant judged docs (recall@k denominators need
+    # the uncapped count) — aggregated over ALL judged rows, while the
+    # IDCG pivot reads only the top-k ideal ranks
     ideal = judged.groupBy("query_id").agg(
         *idcg_cols,
         F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
@@ -1365,7 +1367,7 @@ def oracle_search_eval(hits_sql: str, rels_sql: str, k: int = 5) -> str:
                  {ig_cols},
                  CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_rel
-          FROM judged WHERE irank <= {kk} GROUP BY query_id
+          FROM judged GROUP BY query_id
         )
         SELECT p.query_id,
                COALESCE(i.n_rel, 0) AS n_rel,

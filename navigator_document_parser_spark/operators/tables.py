@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 _TABLE_BLOCK = "(?i)<table[^>]*>(.*?)</table>"
 _TR_BLOCK = "(?i)<tr[^>]*>(.*?)</tr>"
 _CELL_BLOCK = "(?i)<t[dh][^>]*>(.*?)</t[dh]>"
-_TH_PROBE = "(?i)<th[ >]"
+# first cell tag of the row: <t([dh]) captured -> 'h' means header row
+_FIRST_CELL_TAG = "(?i)<t([dh])[^>]*>"
 _TAG = "<[^>]*>"
 
 
@@ -46,7 +47,8 @@ def extract_html_tables(
     html_col: str = "html",
 ) -> DataFrame:
     """One output row per table cell; indices are 0-based in document
-    order; is_header marks rows whose first cell tag is <th>;
+    order; is_header marks rows whose FIRST cell tag is <th> (a <th>
+    later in a data row does not flip it);
     cell_text has inner tags stripped and whitespace trimmed."""
     tables = (
         df.select(
@@ -71,9 +73,12 @@ def extract_html_tables(
         "doc_id",
         "table_idx",
         "row_idx",
-        (F.expr(f"regexp_extract(rowhtml, '{_TH_PROBE}', 0)") != "").alias(
-            "is_header"
-        ),
+        (
+            F.lower(
+                F.expr(f"regexp_extract(rowhtml, '{_FIRST_CELL_TAG}', 1)")
+            )
+            == "h"
+        ).alias("is_header"),
         F.posexplode(
             F.expr(f"regexp_extract_all(rowhtml, '{_CELL_BLOCK}', 1)")
         ).alias("col_idx", "cellhtml"),
@@ -121,8 +126,8 @@ def oracle_extract_html_tables(html_table_sql: str) -> str:
     )
     return f"""
         SELECT doc_id, table_idx, row_idx, col_idx,
-               (regexp_extract(rowhtml, '{_TH_PROBE}', 0) <> '')
-                 AS is_header,
+               (lower(regexp_extract(rowhtml,
+                        '{_FIRST_CELL_TAG}', 1)) = 'h') AS is_header,
                trim(regexp_replace(cellhtml, '{_TAG}', '', 'g'))
                  AS cell_text
         FROM ({lvl3})

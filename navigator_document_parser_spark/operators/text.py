@@ -1864,7 +1864,8 @@ def boilerplate_strip(
     frequency is ONE hash aggregate keyed (host, md5(line)) — map-side
     combinable, and the md5 key means full line text never rides the
     shuffle twice; host doc totals are a #hosts-row aggregate joined
-    back by broadcast; the boilerplate set joins back to the line table
+    back on host (no forced broadcast — #hosts is unbounded on a web
+    corpus, AQE broadcasts when small); the boilerplate set joins back to the line table
     on (host, line-hash) as a plain equi-join (the set is
     hosts x template-lines — small, but not provably broadcastable);
     the document rebuild is one more hash aggregate. No windows, so a
@@ -1896,7 +1897,7 @@ def boilerplate_strip(
         F.countDistinct(F.col(id_col)).alias("host_docs")
     )
     bp = (
-        freq.join(F.broadcast(totals), "host")
+        freq.join(totals, "host")
         .filter(
             (F.col("n_with") >= F.lit(int(min_docs)))
             & (
@@ -2068,8 +2069,10 @@ def keyness_terms(
             "n_focus",
             "n_rest",
             F.when(
-                F.col("n_focus") * F.col("nb")
-                >= F.col("n_rest") * F.col("na"),
+                # DECIMAL(38,0) cross-products: bigint*bigint wraps at
+                # web-scale token totals (importance_select precedent)
+                F.col("n_focus").cast("decimal(38,0)") * F.col("nb")
+                >= F.col("n_rest").cast("decimal(38,0)") * F.col("na"),
                 F.lit("focus"),
             )
             .otherwise(F.lit("rest"))
@@ -2118,7 +2121,8 @@ def oracle_keyness_terms(
           FROM terms
         ), scored AS (
           SELECT term, n_focus, n_rest,
-                 CASE WHEN n_focus * nb >= n_rest * na
+                 CASE WHEN CAST(n_focus AS DECIMAL(38,0)) * nb
+                        >= CAST(n_rest AS DECIMAL(38,0)) * na
                       THEN 'focus' ELSE 'rest' END AS direction,
                  {g2} AS g2
           FROM terms CROSS JOIN totals

@@ -454,3 +454,29 @@ def test_token_entropy_skewed_below_uniform(spark):
 
     out = {r.doc_id: r.entropy4 for r in token_entropy(df).collect()}
     assert out[1] < out[2]  # stuffing scores lower than diverse text
+
+
+def test_search_eval_n_rel_not_capped_at_k(spark):
+    hits = spark.createDataFrame(
+        [(3, d, r) for r, d in enumerate(range(40, 43), start=1)],
+        ["query_id", "doc_id", "rank"],
+    )
+    rels = spark.createDataFrame(
+        [(3, d, 1) for d in range(40, 48)],  # 8 relevant judged docs
+        ["query_id", "doc_id", "rel"],
+    )
+    from navigator_document_parser_spark.operators.search import search_eval
+
+    row = search_eval(hits, rels, k=5).collect()[0]
+    assert row.n_rel == 8  # total, not min(8, k)
+
+
+def test_html_tables_th_inside_data_row_not_header(spark):
+    html = "<table><tr><td>val</td><th>label</th></tr></table>"
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    from navigator_document_parser_spark.operators.tables import (
+        extract_html_tables,
+    )
+
+    rows = extract_html_tables(df).collect()
+    assert all(not r.is_header for r in rows)  # first cell tag is <td>
