@@ -2800,6 +2800,32 @@ def _token_entropy(spark, sf):
     return token_entropy(_docs(spark, sf))
 
 
+_TRUST_SEEDS = ["src0", "src1", "src2"]
+
+
+def _trustrank_hosts(spark, sf):
+    """TrustRank over the same doc-derived host graph as
+    pagerank_hosts, trust teleporting to three curated seed hosts —
+    the spam-demotion / seed-first frontier-expansion signal
+    (operators/graph.py trustrank; one dst shuffle per iteration,
+    5 rounds, 8dp)."""
+    from navigator_document_parser_spark.operators.graph import trustrank
+
+    d = _docs(spark, sf)
+    edges = (
+        d.select(
+            F.col("source").alias("src_host"),
+            F.concat(
+                F.lit("h"), ((F.col("doc_id") * 7 + 3) % 40).cast("string")
+            ).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    ranks = trustrank(edges, seeds=_TRUST_SEEDS, iterations=5)
+    return ranks.select("node", F.round(F.col("rank"), 8).alias("rank"))
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -2922,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": _html_tables,                # table cell mining
         "search_eval": _search_eval,                # nDCG/MRR measurement
         "token_entropy": _token_entropy,            # distribution entropy
+        "trustrank_hosts": _trustrank_hosts,        # seed-biased rank
         # --- position 51+: oracle-checked relational block -----------
         # (plain-SQL parity breadth; check_one-verifiable on demand;
         # lang_doc_stats, quality_by_lang, corpus_report, and
@@ -3820,6 +3847,18 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["token_entropy"] = oracle_token_entropy()
+    from navigator_document_parser_spark.operators.graph import (
+        oracle_trustrank,
+    )
+
+    oracles["trustrank_hosts"] = oracle_trustrank(
+        """SELECT source AS src,
+                  'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst,
+                  count(*) AS w
+           FROM documents GROUP BY 1, 2""",
+        seeds=_TRUST_SEEDS,
+        iterations=5,
+    )
     from navigator_document_parser_spark.operators.dedup import (
         oracle_sorted_neighborhood,
     )

@@ -128,6 +128,7 @@ OP_QUERIES = [
     "ccnet_buckets",
     "importance_select",
     "pagerank_hosts",
+    "trustrank_hosts",
     "hits_hosts",
     "crawl_depth",
     "k_core_hosts",

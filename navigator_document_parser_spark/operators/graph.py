@@ -768,3 +768,152 @@ def oracle_cocitation_topk(
         )
         WHERE rank <= {int(k)}
     """
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: "list[str]",
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str | None = "n_links",
+    damping: float = 0.85,
+    iterations: int = 5,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """TrustRank (Gyongyi et al. 2004): PageRank with the teleport
+    vector concentrated on a curated trusted-seed set — trust flows out
+    from the seeds along links, so low-trust/high-PageRank hosts stand
+    out as link spam, and crawl frontiers can be expanded seed-first.
+
+    rank_{t+1}(v) = (1-d)*t(v) + d * (in-flow(v) + dangling_mass*t(v))
+    with t(v) = 1/|S| on seeds, 0 elsewhere (dangling mass teleports by
+    t as well — the standard personalized-PageRank completion, so
+    sum(rank) == 1 every step). Initial rank = t.
+
+    Scale shape identical to pagerank(): one dst-keyed shuffle per
+    iteration, 1-row dangling broadcast, checkpoint every k rounds.
+    Seeds are a driver-side literal list (curated seed sets are
+    O(thousands)); for bigger seed tables swap the IN-set for a
+    broadcast semi-join flag.
+    """
+    if not seeds:
+        raise ValueError("trustrank requires a non-empty seed set")
+    seed_set = sorted(set(seeds))
+    ns = len(seed_set)
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    frac = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dangling = nodes.join(
+        frac.select(F.col("src").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).localCheckpoint(eager=True)
+
+    t_v = F.when(
+        F.col("node").isin(seed_set), F.lit(1.0 / ns)
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", t_v.alias("rank"))
+    d = float(damping)
+    for i in range(int(iterations)):
+        dang_mass = ranks.join(dangling, "node", "leftsemi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            frac.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang_mass))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - d) * t_v
+                    + F.lit(d)
+                    * (
+                        F.coalesce(F.col("m"), F.lit(0.0))
+                        + F.col("dm") * t_v
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % int(checkpoint_every) == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def oracle_trustrank(
+    edges_sql: str,
+    seeds: "list[str]",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> str:
+    """DuckDB replica of trustrank over ``edges_sql`` (a subquery
+    yielding src, dst, w) — the power iteration unrolled as chained
+    CTEs, every float op mirroring the Spark side (sum order absorbed
+    by the caller's 8dp rounding, the pagerank_hosts precedent)."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    seed_set = sorted(set(seeds))
+    ns = len(seed_set)
+    seed_list = ", ".join(sql_quote(x) for x in seed_set)
+    d = repr(float(damping))
+    tv = (
+        f"(CASE WHEN nd.node IN ({seed_list})"
+        f" THEN 1.0 / {ns} ELSE 0.0 END)"
+    )
+    it = """
+        r{t1} AS (
+          SELECT nd.node,
+                 (1.0 - {d}) * {tv}
+                   + {d} * (COALESCE(c.m, 0.0) + dmx.dm * {tv})
+                   AS rank
+          FROM nodes nd
+          CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+                      FROM r{t0} r JOIN dang USING (node)) dmx
+          LEFT JOIN (SELECT f.dst AS node, SUM(r.rank * f.frac) AS m
+                     FROM frac f JOIN r{t0} r ON r.node = f.src
+                     GROUP BY f.dst) c
+            ON c.node = nd.node
+        )"""
+    steps = ", ".join(
+        it.format(t0=t, t1=t + 1, d=d, tv=tv)
+        for t in range(int(iterations))
+    )
+    return f"""
+        WITH edges AS ({edges_sql}),
+        outw AS (
+          SELECT src, SUM(CAST(w AS DOUBLE)) AS ow FROM edges GROUP BY src
+        ), frac AS (
+          SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.ow AS frac
+          FROM edges e JOIN outw o USING (src)
+        ), nodes AS (
+          SELECT src AS node FROM edges
+          UNION
+          SELECT dst FROM edges
+        ), dang AS (
+          SELECT node FROM nodes
+          WHERE node NOT IN (SELECT DISTINCT src FROM edges)
+        ), r0 AS (
+          SELECT nd.node, {tv} AS rank FROM nodes nd
+        ), {steps}
+        SELECT node, round(rank, 8) AS rank FROM r{int(iterations)}
+    """

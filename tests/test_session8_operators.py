@@ -480,3 +480,63 @@ def test_html_tables_th_inside_data_row_not_header(spark):
 
     rows = extract_html_tables(df).collect()
     assert all(not r.is_header for r in rows)  # first cell tag is <td>
+
+
+# ---- trustrank --------------------------------------------------------------
+
+def test_trustrank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    edges = [("a", "b", 2.0), ("b", "c", 1.0), ("a", "c", 1.0),
+             ("x", "a", 1.0)]
+    df = spark.createDataFrame(edges, ["src_host", "dst_host", "n_links"])
+    from navigator_document_parser_spark.operators.graph import trustrank
+
+    seeds, d, iters = ["a"], 0.85, 5
+    out = {r.node: r.rank
+           for r in trustrank(df, seeds=seeds, damping=d,
+                              iterations=iters).collect()}
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    outw = {}
+    for s, t, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    for s, t, w in edges:
+        A[idx[t], idx[s]] += w / outw[s]
+    tvec = np.zeros(n)
+    for s in seeds:
+        tvec[idx[s]] = 1.0 / len(seeds)
+    dangling = np.array([1.0 if nd not in outw else 0.0 for nd in nodes])
+    r = tvec.copy()
+    for _ in range(iters):
+        dm = float(r @ dangling)
+        r = (1 - d) * tvec + d * (A @ r + dm * tvec)
+    for nd in nodes:
+        assert abs(out[nd] - r[idx[nd]]) < 1e-9, nd
+    # probability mass conserved
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_trustrank_unreachable_component_gets_zero(spark):
+    edges = [("a", "b", 1.0), ("c", "d", 1.0)]
+    df = spark.createDataFrame(edges, ["src_host", "dst_host", "n_links"])
+    from navigator_document_parser_spark.operators.graph import trustrank
+
+    out = {r.node: r.rank
+           for r in trustrank(df, seeds=["a"], iterations=4).collect()}
+    assert out["c"] == 0.0 and out["d"] == 0.0
+    assert out["a"] > 0 and out["b"] > 0
+
+
+def test_trustrank_empty_seeds_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "b", 1.0)],
+                               ["src_host", "dst_host", "n_links"])
+    from navigator_document_parser_spark.operators.graph import trustrank
+
+    with pytest.raises(ValueError):
+        trustrank(df, seeds=[])
