@@ -2826,6 +2826,94 @@ def _trustrank_hosts(spark, sf):
     return ranks.select("node", F.round(F.col("rank"), 8).alias("rank"))
 
 
+# code-vs-prose routing: the synthetic corpus is pure prose, so a
+# deterministic fifth of the documents gets a code-shaped preamble
+# (keywords + symbols + indented/;-terminated lines) built from the SAME
+# portable SQL on both engines (chr(10) < 128 is lesson-17-safe)
+_CODE_SYNTH_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN "
+    "'def fn_' || CAST(doc_id AS VARCHAR) || '(x):' || chr(10) || "
+    "'    y = (x + 1);' || chr(10) || "
+    "'    return y;' || chr(10) || text "
+    "WHEN doc_id % 7 = 3 THEN 'var x = ' || CAST(doc_id AS VARCHAR) "
+    "|| ';' || chr(10) || text "
+    "ELSE text END"
+)
+
+
+def _code_detect(spark, sf):
+    """Code-vs-prose routing over code-decorated synthetic documents
+    (operators/text.py code_detect): whole-token keyword hits, symbol
+    mass, indented/;-terminated line counts — integer signals, one
+    ratio4. Zero shuffle; the StarCoder/RedPajama-style corpus split."""
+    from navigator_document_parser_spark.operators.text import code_detect
+
+    d = _docs(spark, sf).withColumn(
+        "text", F.expr(_CODE_SYNTH_SQL.replace("AS VARCHAR", "AS STRING"))
+    )
+    return code_detect(d)
+
+
+def _code_detect_oracle() -> str:
+    from navigator_document_parser_spark.operators.text import (
+        oracle_code_detect,
+    )
+
+    prelude = (
+        "WITH synth AS (SELECT doc_id, "
+        f"{_CODE_SYNTH_SQL} AS text FROM documents)"
+    )
+    return oracle_code_detect(table="synth", prelude_cte=prelude)
+
+
+# crawler-trap synth: path CLASS is keyed by the same residue as the
+# host, so each synthetic host exhibits one trap pattern (calendar /
+# archive dates, recursive /page/page, adjacent-dup, deep chain, benign)
+_TRAP_HOST_EXPR = (
+    "'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org'"
+)
+_TRAP_PATH_EXPR = (
+    "CASE doc_id % 7 "
+    " WHEN 0 THEN '/cal/' || CAST(2000 + doc_id % 30 AS VARCHAR) || '/'"
+    "   || CAST(1 + doc_id % 12 AS VARCHAR) || '/'"
+    "   || CAST(1 + doc_id % 28 AS VARCHAR) "
+    " WHEN 1 THEN '/archive/' || CAST(1990 + doc_id % 40 AS VARCHAR)"
+    "   || '/' || CAST(1 + doc_id % 12 AS VARCHAR) || '/'"
+    "   || CAST(1 + doc_id % 28 AS VARCHAR) "
+    " WHEN 2 THEN repeat('/page', CAST(1 + doc_id % 9 AS INTEGER))"
+    "   || '/x' || CAST(doc_id AS VARCHAR) "
+    " WHEN 3 THEN '/p/p/q' || CAST(doc_id AS VARCHAR) "
+    " WHEN 4 THEN '/a/b/c/d/e/f/g/h' || CAST(doc_id % 5 AS VARCHAR) "
+    " ELSE '/doc' || CAST(doc_id AS VARCHAR) END"
+)
+_TRAP_URLS_SQL = (
+    f"SELECT {_TRAP_HOST_EXPR} AS host, {_TRAP_PATH_EXPR} AS path "
+    "FROM documents"
+)
+
+
+def _trap_detect(spark, sf):
+    """Crawler-trap host detection over synthetic trap-shaped URL
+    paths (operators/urls.py trap_detect): calendar/archive date
+    paths, recursive /page/page chains, deep static chains, benign
+    hosts — one per-host aggregate, segment arrays checkpointed."""
+    from navigator_document_parser_spark.operators.urls import trap_detect
+
+    u = _docs(spark, sf).selectExpr(
+        _TRAP_HOST_EXPR.replace("AS VARCHAR", "AS STRING") + " AS host",
+        _TRAP_PATH_EXPR.replace("AS VARCHAR", "AS STRING") + " AS path",
+    )
+    return trap_detect(u)
+
+
+def _trap_detect_oracle() -> str:
+    from navigator_document_parser_spark.operators.urls import (
+        oracle_trap_detect,
+    )
+
+    return oracle_trap_detect(_TRAP_URLS_SQL)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -2973,6 +3061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_revenue_top10": _q3_revenue_top10,
         "q5_local_supplier": _q5_local_supplier,
         "q6_forecast_revenue": _q6_forecast_revenue,
+        "code_detect": _code_detect,                # code-vs-prose router
+        "trap_detect": _trap_detect,                # crawler-trap hosts
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -3950,4 +4040,6 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["weighted_sample"] = oracle_weighted_sample(k=10)
+    oracles["code_detect"] = _code_detect_oracle()
+    oracles["trap_detect"] = _trap_detect_oracle()
     return oracles

@@ -2229,3 +2229,148 @@ def oracle_token_entropy(
                      / CAST(n_tokens AS DOUBLE), 4) AS entropy4
         FROM per_doc
     """
+
+
+# ---------------------------------------------------------------------------
+# code-vs-prose routing (the StarCoder/RedPajama-style corpus splitter)
+# ---------------------------------------------------------------------------
+
+# whole-token identifiers: the split pattern is shared-safe ([^a-z0-9_]+
+# parses identically in Java regex and RE2) so both engines tokenize
+# identically; keyword hits count OCCURRENCES, not distinct keywords
+CODE_KEYWORDS = (
+    "def", "return", "import", "class", "function", "var", "const",
+)
+_CODE_SYMBOLS = "{};=()[]<>"
+
+
+def code_detect(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keywords: tuple = CODE_KEYWORDS,
+    min_kw: int = 2,
+    min_sym: int = 3,
+    min_code_lines: int = 2,
+) -> DataFrame:
+    """Heuristic code-vs-prose router — the stage a web-corpus pipeline
+    runs before language-specific filtering so source code does not
+    pollute the prose quality statistics (and vice versa; the
+    StarCoder/RedPajama pipelines split exactly this way before
+    per-domain cleaning). Reference scope note: the reference parser
+    extracts HTML/PDF prose only (src/html_parser/combined.py) — code
+    routing is part of the beyond-reference training-data toolkit.
+
+    Signals, all integer until the one ratio:
+      n_sym       — count of code punctuation chars ({};=()[]<>),
+                    via length minus translate-removal (both engines);
+      sym_ratio   — ratio4(n_sym, length(text)) (lesson 18: never
+                    round() a count ratio);
+      kw_hits     — whole-token keyword occurrences after lowering and
+                    splitting on [^a-z0-9_]+;
+      code_lines  — lines that are indented (4 spaces / tab) OR end in
+                    ; { } after rtrim;
+      is_code     — (kw_hits >= min_kw AND n_sym >= min_sym)
+                    OR code_lines >= min_code_lines.
+
+    100 TB shape: pure per-document projection, zero shuffle; the line
+    and token arrays are computed once behind an eager checkpoint so
+    CollapseProject cannot re-inline the splits per use (lessons 3/9).
+
+    Returns (doc_id, n_sym, sym_ratio, kw_hits, code_lines, is_code).
+    """
+    from navigator_document_parser_spark.operators import ratio4
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.split(F.col(text_col), "\n").alias("lines"),
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+").alias("toks"),
+    ).localCheckpoint(eager=True)
+
+    n_sym = (
+        F.length("text")
+        - F.length(F.translate(F.col("text"), _CODE_SYMBOLS, ""))
+    ).cast("bigint")
+
+    kw = F.size(
+        F.filter(F.col("toks"), lambda t: t.isin(*keywords))
+    ).cast("bigint")
+
+    def code_line(line):
+        last = F.substring(F.rtrim(line), -1, 1)
+        return (
+            (F.substring(line, 1, 4) == "    ")
+            | (F.substring(line, 1, 1) == "\t")
+            | last.isin(";", "{", "}")
+        )
+
+    n_code_lines = F.size(F.filter(F.col("lines"), code_line)).cast(
+        "bigint"
+    )
+
+    out = base.select(
+        "doc_id",
+        n_sym.alias("n_sym"),
+        ratio4(n_sym, F.greatest(F.length("text").cast("bigint"), F.lit(1)))
+        .alias("sym_ratio"),
+        kw.alias("kw_hits"),
+        n_code_lines.alias("code_lines"),
+        (
+            ((kw >= min_kw) & (n_sym >= min_sym))
+            | (n_code_lines >= min_code_lines)
+        ).alias("is_code"),
+    )
+    return out
+
+
+def oracle_code_detect(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    keywords: tuple = CODE_KEYWORDS,
+    min_kw: int = 2,
+    min_sym: int = 3,
+    min_code_lines: int = 2,
+    prelude_cte: str = "",
+) -> str:
+    """DuckDB replica of code_detect. ``prelude_cte``, when given, is a
+    complete leading WITH body (the synthesized-text CTE); the oracle
+    reads ``table`` either way."""
+    from navigator_document_parser_spark.operators import (
+        ratio4_sql,
+        sql_quote,
+    )
+
+    kw_set = ", ".join(sql_quote(k) for k in keywords)
+    sym = sql_quote(_CODE_SYMBOLS)
+    code_line = (
+        "substring(l, 1, 4) = '    ' OR substring(l, 1, 1) = chr(9) "
+        "OR right(rtrim(l), 1) IN (';', '{', '}')"
+    )
+    head = f"{prelude_cte}, base AS (" if prelude_cte else "WITH base AS ("
+    sym_ratio = ratio4_sql("n_sym", "greatest(length(text), 1)")
+    return f"""
+        {head}
+          SELECT {id_col} AS doc_id, {text_col} AS text,
+                 string_split({text_col}, chr(10)) AS lines,
+                 string_split_regex(lower({text_col}), '[^a-z0-9_]+')
+                   AS toks
+          FROM {table}
+        ), sig AS (
+          SELECT doc_id, text,
+                 CAST(length(text) - length(translate(text, {sym}, ''))
+                      AS BIGINT) AS n_sym,
+                 CAST(length(list_filter(toks,
+                      t -> t IN ({kw_set}))) AS BIGINT) AS kw_hits,
+                 CAST(length(list_filter(lines, l -> {code_line}))
+                      AS BIGINT) AS code_lines
+          FROM base
+        )
+        SELECT doc_id, n_sym,
+               {sym_ratio} AS sym_ratio,
+               kw_hits, code_lines,
+               ((kw_hits >= {min_kw} AND n_sym >= {min_sym})
+                OR code_lines >= {min_code_lines}) AS is_code
+        FROM sig
+    """

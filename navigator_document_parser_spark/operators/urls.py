@@ -532,3 +532,142 @@ def oracle_dust_rules(pages_sql: str, min_support: int = 2) -> str:
         FROM resolved
         GROUP BY rule
     """
+
+
+# ---------------------------------------------------------------------------
+# crawler-trap host detection
+# ---------------------------------------------------------------------------
+
+def trap_detect(
+    df: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    max_depth: int = 6,
+    min_repeat: int = 2,
+    min_calendar: int = 3,
+) -> DataFrame:
+    """Crawler-trap host detection over (host, path) URL rows — the
+    frontier-hygiene stage a crawl scheduler runs so calendar pages,
+    recursive session links, and unbounded path generators do not eat
+    the fetch budget (the classic Heritrix/Nutch trap heuristics).
+    Reference scope note: the reference consumes already-fetched pages
+    (/root/reference/cli/parse_htmls.py); trap detection is part of the
+    beyond-reference crawl-planning toolkit next to fetch_schedule.
+
+    Per-URL signals from the '/'-split segment array (computed ONCE
+    behind an eager checkpoint — lessons 3/9):
+      depth      — number of non-empty segments;
+      adj_dup    — some segment equals its predecessor (/page/page/…,
+                   the recursive-link trap), tested with an index HOF
+                   guarded by depth >= 2 so element_at never sees 0;
+      date_shape — the last three segments are all-numeric
+                   (/cal/2024/5/17, the calendar trap).
+
+    Per-host aggregate (one map-side-combinable shuffle):
+      n_urls, n_paths (distinct), max_depth,
+      n_repeat = count(adj_dup), n_datey = count(date_shape),
+      is_trap  = n_repeat >= min_repeat OR max(depth) >= max_depth
+                 OR n_datey >= min_calendar.
+
+    Returns (host, n_urls, n_paths, max_depth, n_repeat, n_datey,
+    is_trap).
+    """
+    base = df.select(
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+        F.expr(
+            f"filter(split({path_col}, '/'), s -> s <> '')"
+        ).alias("segs"),
+    ).localCheckpoint(eager=True)
+
+    num = "'^[0-9]+$'"
+    sig = base.select(
+        "host",
+        "path",
+        F.expr("size(segs)").alias("depth"),
+        F.expr(
+            "CASE WHEN size(segs) >= 2 THEN "
+            "size(filter(sequence(2, size(segs)), "
+            "i -> element_at(segs, i) = element_at(segs, i - 1))) > 0 "
+            "ELSE false END"
+        ).alias("adj_dup"),
+        F.expr(
+            "CASE WHEN size(segs) >= 3 THEN "
+            f"element_at(segs, size(segs)) rlike {num} AND "
+            f"element_at(segs, size(segs) - 1) rlike {num} AND "
+            f"element_at(segs, size(segs) - 2) rlike {num} "
+            "ELSE false END"
+        ).alias("date_shape"),
+    )
+    agg = sig.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.countDistinct("path").cast("bigint").alias("n_paths"),
+        F.max("depth").cast("bigint").alias("max_depth"),
+        F.sum(F.col("adj_dup").cast("bigint")).cast("bigint").alias(
+            "n_repeat"
+        ),
+        F.sum(F.col("date_shape").cast("bigint")).cast("bigint").alias(
+            "n_datey"
+        ),
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_paths",
+        "max_depth",
+        "n_repeat",
+        "n_datey",
+        (
+            (F.col("n_repeat") >= min_repeat)
+            | (F.col("max_depth") >= max_depth)
+            | (F.col("n_datey") >= min_calendar)
+        ).alias("is_trap"),
+    )
+
+
+def oracle_trap_detect(
+    urls_sql: str,
+    max_depth: int = 6,
+    min_repeat: int = 2,
+    min_calendar: int = 3,
+) -> str:
+    """DuckDB replica of trap_detect; ``urls_sql`` must yield
+    (host, path)."""
+    num = "'^[0-9]+$'"
+    return f"""
+        WITH u AS ({urls_sql}),
+        base AS (
+          SELECT host, path,
+                 list_filter(string_split(path, '/'), s -> s <> '')
+                   AS segs
+          FROM u
+        ), sig AS (
+          SELECT host, path,
+                 length(segs) AS depth,
+                 CASE WHEN length(segs) >= 2 THEN
+                   length(list_filter(generate_series(2, length(segs)),
+                          i -> segs[i] = segs[i - 1])) > 0
+                 ELSE FALSE END AS adj_dup,
+                 CASE WHEN length(segs) >= 3 THEN
+                   regexp_matches(segs[length(segs)], {num}) AND
+                   regexp_matches(segs[length(segs) - 1], {num}) AND
+                   regexp_matches(segs[length(segs) - 2], {num})
+                 ELSE FALSE END AS date_shape
+          FROM base
+        )
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+               CAST(max(depth) AS BIGINT) AS max_depth,
+               CAST(sum(CASE WHEN adj_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_repeat,
+               CAST(sum(CASE WHEN date_shape THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_datey,
+               (sum(CASE WHEN adj_dup THEN 1 ELSE 0 END)
+                  >= {min_repeat}
+                OR max(depth) >= {max_depth}
+                OR sum(CASE WHEN date_shape THEN 1 ELSE 0 END)
+                  >= {min_calendar}) AS is_trap
+        FROM sig
+        GROUP BY host
+    """

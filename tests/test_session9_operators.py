@@ -1,0 +1,110 @@
+"""Session-9 operators: code-vs-prose routing (and the rest of this
+session's batch as it lands).
+
+Behavioral pins against hand-computed references; the DuckDB hash
+oracles in __spark_entry__ cover the engine-parity axis."""
+
+from pyspark.sql import functions as F
+
+from navigator_document_parser_spark.operators.text import code_detect
+
+
+def _rows(df):
+    return {r.doc_id: r for r in df.collect()}
+
+
+# ---- code_detect ------------------------------------------------------------
+
+def test_code_detect_flags_code(spark):
+    docs = [
+        (1, "def fn(x):\n    y = (x + 1);\n    return y;"),
+        (2, "the quick brown fox jumps over the lazy dog today."),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = _rows(code_detect(df))
+    assert out[1].is_code and not out[2].is_code
+    # doc 1: def/return = 2 keyword hits; ():=();; symbols; 2 indented lines
+    assert out[1].kw_hits == 2
+    assert out[1].code_lines == 2
+    assert out[1].n_sym >= 3
+    assert out[2].kw_hits == 0 and out[2].n_sym == 0
+
+
+def test_code_detect_whole_token_keywords(spark):
+    # 'definition' and 'classy' must NOT count as def/class
+    df = spark.createDataFrame(
+        [(1, "the definition of a classy function_name here")],
+        ["doc_id", "text"],
+    )
+    out = _rows(code_detect(df))
+    assert out[1].kw_hits == 0
+
+
+def test_code_detect_indent_or_terminator_lines(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "plain prose line\n\ttab indented\nends in brace {"),
+            (2, "semicolon end;\nanother;  "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = _rows(code_detect(df))
+    # doc 1: tab line + '{' line; doc 2: ';' line + rtrim'd ';' line
+    assert out[1].code_lines == 2
+    assert out[2].code_lines == 2
+    assert out[2].is_code  # via min_code_lines=2
+
+
+def test_code_detect_kw_needs_symbols_too(spark):
+    # two keyword hits but prose-like (no symbols, no code lines):
+    # must NOT flag — the conjunction guards natural text that happens
+    # to mention 'class' and 'function'
+    df = spark.createDataFrame(
+        [(1, "the class met the function of government")],
+        ["doc_id", "text"],
+    )
+    out = _rows(code_detect(df))
+    assert out[1].kw_hits == 2
+    assert not out[1].is_code
+
+
+# ---- trap_detect ------------------------------------------------------------
+
+def test_trap_detect_signals(spark):
+    from navigator_document_parser_spark.operators.urls import trap_detect
+
+    urls = [
+        # recursive-link trap: adjacent duplicate segments
+        ("h1", "/page/page/x1"),
+        ("h1", "/page/page/page/x2"),
+        # calendar trap: 3 all-numeric trailing segments
+        ("h2", "/cal/2024/5/17"),
+        ("h2", "/cal/2024/5/18"),
+        ("h2", "/cal/2024/6/1"),
+        # deep chain
+        ("h3", "/a/b/c/d/e/f/g"),
+        # benign
+        ("h4", "/doc1"),
+        ("h4", "/doc2"),
+    ]
+    df = spark.createDataFrame(urls, ["host", "path"])
+    out = {r.host: r for r in trap_detect(df).collect()}
+    assert out["h1"].n_repeat == 2 and out["h1"].is_trap
+    assert out["h2"].n_datey == 3 and out["h2"].is_trap
+    assert out["h3"].max_depth == 7 and out["h3"].is_trap
+    assert not out["h4"].is_trap
+    assert out["h4"].n_urls == 2 and out["h4"].n_paths == 2
+
+
+def test_trap_detect_short_paths_never_error(spark):
+    # depth 0 and depth 1 paths must not evaluate element_at(segs, 0)
+    from navigator_document_parser_spark.operators.urls import trap_detect
+
+    df = spark.createDataFrame(
+        [("h1", "/"), ("h1", ""), ("h1", "/x"), ("h1", "/7/7")],
+        ["host", "path"],
+    )
+    out = trap_detect(df).collect()[0]
+    assert out.n_urls == 4
+    assert out.n_repeat == 1  # only /7/7
+    assert out.n_datey == 0  # needs >= 3 numeric segments
