@@ -2914,6 +2914,26 @@ def _trap_detect_oracle() -> str:
     return oracle_trap_detect(_TRAP_URLS_SQL)
 
 
+def _corpus_similarity(spark, sf):
+    """Slice-overlap dashboard: KMV-sketch Jaccard between language
+    slices of the corpus (operators/sketches.py kmv_slice_jaccard) —
+    per-slice k-min hash sketches, pair math on <= k rows per slice,
+    one ratio4 at the end."""
+    from navigator_document_parser_spark.operators.sketches import (
+        kmv_slice_jaccard,
+    )
+
+    return kmv_slice_jaccard(_docs(spark, sf), k=64)
+
+
+def _corpus_similarity_oracle() -> str:
+    from navigator_document_parser_spark.operators.sketches import (
+        oracle_kmv_slice_jaccard,
+    )
+
+    return oracle_kmv_slice_jaccard(_SHINGLE_CTE, k=64)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3063,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6_forecast_revenue,
         "code_detect": _code_detect,                # code-vs-prose router
         "trap_detect": _trap_detect,                # crawler-trap hosts
+        "corpus_similarity": _corpus_similarity,    # KMV slice Jaccard
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4042,4 +4063,5 @@ def oracle_sql() -> dict[str, str]:
     oracles["weighted_sample"] = oracle_weighted_sample(k=10)
     oracles["code_detect"] = _code_detect_oracle()
     oracles["trap_detect"] = _trap_detect_oracle()
+    oracles["corpus_similarity"] = _corpus_similarity_oracle()
     return oracles

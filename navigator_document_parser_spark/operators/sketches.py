@@ -488,3 +488,159 @@ def oracle_quantile_hist(
         FROM targets t
         JOIN ranked r ON r.grp = t.grp AND r.rn = t.target
     """
+
+
+def kmv_slice_jaccard(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """KMV-sketch Jaccard similarity between corpus slices (Beyer 2007):
+    per slice keep the k smallest distinct shingle hashes (the slice's
+    KMV sketch); for every slice pair take the k smallest of the sketch
+    UNION and estimate J = |in both| / |kept|. The corpus-overlap
+    dashboard a multi-source pipeline runs before mixing (how much of
+    news is already in wiki? how much of this crawl is last month's?) —
+    computed from per-slice sketches ONLY, i.e. the mergeable state a
+    production job persists per snapshot instead of re-shuffling both
+    corpora.
+
+    Engine parity is exact: hashes are the portable md5 u32 primitive,
+    selection is integer ranking, and the one ratio is ratio4 — no
+    floats until the final 4dp division.
+
+    100 TB shape: ONE distinct-(slice, hash) aggregate over exploded
+    shingles (map-side combinable), a per-slice k-bounded window, and
+    everything after operates on <= k rows per slice — pair fan-out
+    cost is sketches x pairs, never corpus x corpus. Production keeps
+    per-partition top-k minima before the exchange (same note as
+    kmv_distinct).
+
+    Returns (lang_a, lang_b, n_kept, n_both, jaccard4).
+    """
+    from pyspark.sql import functions as F
+
+    from navigator_document_parser_spark.operators import (
+        md5_u32_sql,
+        ratio4,
+    )
+    from navigator_document_parser_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    # checkpoint the bare (lang, shingles) projection BEFORE the
+    # explode: InferFiltersFromGenerate would otherwise re-evaluate the
+    # interpreted shingle HOF in a scan-side filter (lessons 3/20)
+    shingled = df.select(
+        F.col(group_col).alias("lang"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).localCheckpoint(eager=True)
+    uh = (
+        shingled.select("lang", F.explode("sh").alias("tok"))
+        .select("lang", F.expr(md5_u32_sql("tok", "spark")).alias("u"))
+        .dropDuplicates(["lang", "u"])
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("u").asc())
+    sk = (
+        uh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("lang", "u")
+    )
+    langs = sk.select("lang").distinct()
+    pairs = (
+        langs.alias("a")
+        .join(langs.alias("b"), F.col("a.lang") < F.col("b.lang"))
+        .select(F.col("a.lang").alias("la"), F.col("b.lang").alias("lb"))
+    )
+    # one equi-join on the unpivoted (pair, member-lang) roles — never
+    # an OR-of-equalities predicate (lesson 12: that plans as a
+    # BroadcastNestedLoopJoin)
+    pairs_long = pairs.selectExpr(
+        "la", "lb", "la AS lang", "'a' AS role"
+    ).union(pairs.selectExpr("la", "lb", "lb AS lang", "'b' AS role"))
+    mem = (
+        sk.join(F.broadcast(pairs_long), "lang")
+        .groupBy("la", "lb", "u")
+        .agg(
+            F.max(F.when(F.col("role") == "a", 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("role") == "b", 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    wu = Window.partitionBy("la", "lb").orderBy(F.col("u").asc())
+    ranked = mem.withColumn("rk", F.row_number().over(wu)).filter(
+        F.col("rk") <= k
+    )
+    both = F.sum(F.col("in_a") * F.col("in_b")).cast("bigint")
+    n_kept = F.count(F.lit(1)).cast("bigint")
+    return (
+        ranked.groupBy("la", "lb")
+        .agg(n_kept.alias("n_kept"), both.alias("n_both"))
+        .select(
+            F.col("la").alias("lang_a"),
+            F.col("lb").alias("lang_b"),
+            "n_kept",
+            "n_both",
+            ratio4(F.col("n_both"), F.col("n_kept")).alias("jaccard4"),
+        )
+    )
+
+
+def oracle_kmv_slice_jaccard(
+    shingle_cte: str,
+    k: int = 64,
+) -> str:
+    """DuckDB replica of kmv_slice_jaccard. ``shingle_cte`` must be a
+    complete leading WITH body ending in a relation ``sh`` with
+    (lang, s list-of-shingles) — pass the shared _SHINGLE_CTE so both
+    engines read the one shingle definition."""
+    from navigator_document_parser_spark.operators import (
+        md5_u32_sql,
+        ratio4_sql,
+    )
+
+    u = md5_u32_sql("tok", "duckdb")
+    j4 = ratio4_sql("sum(in_a * in_b)", "count(*)")
+    return f"""
+        {shingle_cte}
+        , sktoks AS (
+          SELECT lang, unnest(s) AS tok FROM sh
+        ), uh AS (
+          SELECT DISTINCT lang, {u} AS u FROM sktoks
+        ), skt AS (
+          SELECT lang, u FROM (
+            SELECT lang, u,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY u ASC) AS rk
+            FROM uh
+          ) WHERE rk <= {k}
+        ), langs AS (
+          SELECT DISTINCT lang FROM skt
+        ), pairs AS (
+          SELECT a.lang AS la, b.lang AS lb
+          FROM langs a JOIN langs b ON a.lang < b.lang
+        ), mem AS (
+          SELECT p.la, p.lb, s.u,
+                 max(CASE WHEN s.lang = p.la THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN s.lang = p.lb THEN 1 ELSE 0 END) AS in_b
+          FROM skt s JOIN pairs p ON s.lang = p.la OR s.lang = p.lb
+          GROUP BY p.la, p.lb, s.u
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY la, lb
+                                       ORDER BY u ASC) AS rk
+          FROM mem
+        )
+        SELECT la AS lang_a, lb AS lang_b,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+               {j4} AS jaccard4
+        FROM ranked WHERE rk <= {k}
+        GROUP BY la, lb
+    """

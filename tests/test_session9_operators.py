@@ -108,3 +108,52 @@ def test_trap_detect_short_paths_never_error(spark):
     assert out.n_urls == 4
     assert out.n_repeat == 1  # only /7/7
     assert out.n_datey == 0  # needs >= 3 numeric segments
+
+
+# ---- kmv_slice_jaccard (corpus_similarity) ----------------------------------
+
+def test_kmv_slice_jaccard_identical_and_disjoint(spark):
+    from navigator_document_parser_spark.operators.sketches import (
+        kmv_slice_jaccard,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+    df = spark.createDataFrame(
+        [("a", t1), ("b", t1), ("c", t2)], ["lang", "text"]
+    )
+    out = {(r.lang_a, r.lang_b): r for r in kmv_slice_jaccard(df, k=8).collect()}
+    # a and b hold identical shingle sets -> J = 1.0
+    assert out[("a", "b")].jaccard4 == 1.0
+    assert out[("a", "b")].n_both == out[("a", "b")].n_kept
+    # c shares nothing with either
+    assert out[("a", "c")].jaccard4 == 0.0
+    assert out[("b", "c")].n_both == 0
+
+
+def test_kmv_slice_jaccard_sketch_bound(spark):
+    from navigator_document_parser_spark.operators.sketches import (
+        kmv_slice_jaccard,
+    )
+
+    # 30 distinct shingles per slice, k=4: kept union must cap at k
+    words_a = " ".join(f"w{i}" for i in range(32))
+    words_b = " ".join(f"w{i}" for i in range(16, 48))
+    df = spark.createDataFrame(
+        [("a", words_a), ("b", words_b)], ["lang", "text"]
+    )
+    row = kmv_slice_jaccard(df, k=4).collect()[0]
+    assert row.n_kept == 4
+    assert 0.0 <= row.jaccard4 <= 1.0
+
+
+def test_kmv_slice_jaccard_rejects_bad_k(spark):
+    import pytest
+
+    from navigator_document_parser_spark.operators.sketches import (
+        kmv_slice_jaccard,
+    )
+
+    df = spark.createDataFrame([("a", "x y z")], ["lang", "text"])
+    with pytest.raises(ValueError):
+        kmv_slice_jaccard(df, k=1)
