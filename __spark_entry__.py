@@ -2934,6 +2934,17 @@ def _corpus_similarity_oracle() -> str:
     return oracle_kmv_slice_jaccard(_SHINGLE_CTE, k=64)
 
 
+def _embedding_outliers(spark, sf):
+    """Farthest-from-centroid embedding triage (operators/similarity.py
+    embedding_outliers): fixed-point integer centroid sums (order-safe),
+    per-row 4dp distance fold, TakeOrderedAndProject top-20."""
+    from navigator_document_parser_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    return embedding_outliers(_emb(spark, sf), n_top=20)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3084,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_detect": _code_detect,                # code-vs-prose router
         "trap_detect": _trap_detect,                # crawler-trap hosts
         "corpus_similarity": _corpus_similarity,    # KMV slice Jaccard
+        "embedding_outliers": _embedding_outliers,  # centroid-distance tail
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4064,4 +4076,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["code_detect"] = _code_detect_oracle()
     oracles["trap_detect"] = _trap_detect_oracle()
     oracles["corpus_similarity"] = _corpus_similarity_oracle()
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_embedding_outliers,
+    )
+
+    oracles["embedding_outliers"] = oracle_embedding_outliers(n_top=20)
     return oracles

@@ -1436,3 +1436,132 @@ def oracle_feature_hash_embed(
         )
         SELECT *, CAST({norm} AS BIGINT) AS norm_sq FROM vec
     """
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    n_top: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier surfacing: squared distance to the
+    corpus centroid, top-``n_top`` ranked — the mislabeled/garbage-
+    input triage view an embedding-curation pipeline runs after every
+    encoder batch (SemDeDup keeps the near-duplicates; this surfaces
+    the opposite tail).
+
+    Engine-parity design: the centroid is built from per-dimension
+    INTEGER sums of 2^-20 fixed-point quantized components, so the
+    cross-ROW reduction is exact under any partition/visit order (the
+    float-sum order hazard is designed out, same discipline as
+    token_entropy); only the per-row distance fold is float, rounded
+    4dp (the accepted per-row risk class of the cosine operators).
+
+    100 TB shape: posexplode + groupBy(dim) is a 64-group hash
+    aggregate — map-side combine holds 64 cells per task, so the
+    exploded rows never reach the exchange; the centroid row is a
+    broadcast; top-N is TakeOrderedAndProject (no global window). The
+    per-row HOF distance fold is interpreted — at corpus scale swap it
+    for the fused Arrow matmul path (pq_encode's recon UDF) and keep
+    this expression as the oracle-parity reference.
+
+    Returns (vec_id, dist4, rank) — the n_top farthest, rank 1 = most
+    distant, ties broken by vec_id ascending.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    dims = embeddings.select(
+        F.posexplode(v).alias("pos", "val")
+    ).select(
+        "pos",
+        F.expr(
+            "CAST(floor(val * 1048576.0 + 0.5) AS BIGINT)"
+        ).alias("q"),
+    )
+    per_dim = dims.groupBy("pos").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cent = per_dim.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (
+                            F.col("s").cast("double")
+                            / (F.col("n") * F.lit(1048576.0))
+                        ).alias("c"),
+                    )
+                )
+            ),
+            lambda x: x["c"],
+        ).alias("carr")
+    )
+    scored = (
+        embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.col("carr"),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("dist4"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("dist4").desc(), F.col("vec_id").asc()
+    ).limit(n_top)
+    w = Window.orderBy(F.col("dist4").desc(), F.col("vec_id").asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )
+
+
+def oracle_embedding_outliers(
+    n_top: int = 20,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replica of embedding_outliers — same fixed-point centroid
+    sums, same squared-distance fold, same (dist4 desc, id asc) top-N."""
+    return f"""
+        WITH q AS (
+          SELECT {id_col} AS vec_id, CAST({vec_col} AS DOUBLE[]) AS v
+          FROM {table}
+        ), d AS (
+          SELECT i,
+                 CAST(SUM(CAST(floor(v[i] * 1048576.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM q, unnest(generate_series(1, len(v))) u(i)
+          GROUP BY i
+        ), c AS (
+          SELECT list(CAST(s AS DOUBLE) / (n * 1048576.0) ORDER BY i)
+                   AS carr
+          FROM d
+        ), sc AS (
+          SELECT vec_id,
+                 round(list_sum(list_transform(
+                   generate_series(1, len(v)),
+                   i -> (v[i] - carr[i]) * (v[i] - carr[i]))), 4)
+                   AS dist4
+          FROM q, c
+        )
+        SELECT vec_id, dist4,
+               CAST(row_number() OVER (ORDER BY dist4 DESC, vec_id ASC)
+                    AS BIGINT) AS rank
+        FROM sc
+        ORDER BY dist4 DESC, vec_id ASC
+        LIMIT {n_top}
+    """

@@ -157,3 +157,43 @@ def test_kmv_slice_jaccard_rejects_bad_k(spark):
     df = spark.createDataFrame([("a", "x y z")], ["lang", "text"])
     with pytest.raises(ValueError):
         kmv_slice_jaccard(df, k=1)
+
+
+# ---- embedding_outliers ------------------------------------------------------
+
+def test_embedding_outliers_ranks_farthest(spark):
+    from navigator_document_parser_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    # centroid of the first four ~ origin; vec 5 sits far away
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [-1.0, 0.0]),
+        (3, [0.0, 1.0]),
+        (4, [0.0, -1.0]),
+        (5, [10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_outliers(df, n_top=3).collect()
+    assert out[0].vec_id == 5 and out[0].rank == 1
+    # centroid is (2,2); among the unit vectors, (-1,0) and (0,-1) tie
+    # farthest -> vec_id ascending breaks the tie
+    assert [r.vec_id for r in out[1:]] == [2, 4]
+    assert all(out[i].dist4 >= out[i + 1].dist4 for i in range(2))
+
+
+def test_embedding_outliers_centroid_exact(spark):
+    from navigator_document_parser_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    # all identical vectors: centroid == the vector, every dist = 0,
+    # ranks fall back to vec_id order
+    df = spark.createDataFrame(
+        [(i, [0.5, -0.25, 0.125]) for i in range(1, 6)],
+        ["vec_id", "embedding"],
+    )
+    out = embedding_outliers(df, n_top=5).collect()
+    assert all(r.dist4 == 0.0 for r in out)
+    assert [r.vec_id for r in out] == [1, 2, 3, 4, 5]
