@@ -2945,6 +2945,22 @@ def _embedding_outliers(spark, sf):
     return embedding_outliers(_emb(spark, sf), n_top=20)
 
 
+def _mmr_rerank(spark, sf):
+    """MMR diversity reranking of the top-8 cosine candidates per
+    query, greedy 4-pick at lambda=0.7 (operators/similarity.py
+    mmr_rerank): all rounds operate on checkpointed n_cands-per-query
+    tables, never the corpus."""
+    from navigator_document_parser_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = _emb(spark, sf)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return mmr_rerank(emb, qs, n_cands=8, k=4, lam=0.7)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3096,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_detect": _trap_detect,                # crawler-trap hosts
         "corpus_similarity": _corpus_similarity,    # KMV slice Jaccard
         "embedding_outliers": _embedding_outliers,  # centroid-distance tail
+        "mmr_rerank": _mmr_rerank,                  # diversity rerank
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4081,4 +4098,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["embedding_outliers"] = oracle_embedding_outliers(n_top=20)
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_mmr_rerank,
+    )
+
+    oracles["mmr_rerank"] = oracle_mmr_rerank(
+        queries_pred="vec_id < 3", n_cands=8, k=4, lam=0.7
+    )
     return oracles

@@ -1565,3 +1565,203 @@ def oracle_embedding_outliers(
         ORDER BY dist4 DESC, vec_id ASC
         LIMIT {n_top}
     """
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_cands: int = 8,
+    k: int = 4,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-marginal-relevance reranking (Carbonell & Goldstein
+    1998): per query take the top-``n_cands`` cosine candidates, then
+    greedily pick ``k`` of them maximizing
+    lam * rel(i) - (1 - lam) * max_{j in picked} sim(i, j) — the
+    diversity rerank a RAG pipeline runs between retrieval and context
+    packing so near-duplicate passages don't crowd the window.
+
+    Engine parity: rel and the pairwise sims are the repo's 4dp cosine
+    (the knn_cosine risk class); every selection compares
+    lam*rel - (1-lam)*maxsim on those identical 4dp doubles with
+    (score desc, id asc) tie-breaks, so both engines walk the same
+    greedy path; lam and (1-lam) are injected as the same repr
+    literals.
+
+    100 TB shape: candidate generation is the broadcast-query knn scan;
+    everything after operates on n_cands rows per query (pairs =
+    n_cands^2, checkpointed once) — the k unrolled rounds are joins on
+    the TINY candidate tables, never the corpus. Keep k small (it is a
+    rerank, not a sort).
+
+    Returns (query_id, vec_id, pick, mmr_score) with pick in 1..k,
+    pick 1 = pure-relevance argmax (maxsim taken as 0).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1 or n_cands < k:
+        raise ValueError("need n_cands >= k >= 1")
+    lam = float(lam)
+    one_minus = 1.0 - lam
+
+    cands = knn_bruteforce(
+        embeddings,
+        queries,
+        k=n_cands,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).withColumnRenamed("sim", "rel").localCheckpoint(eager=True)
+
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cv = cands.select("query_id", "vec_id", "rel").join(ev, "vec_id")
+    pairs = (
+        cv.alias("a")
+        .join(
+            cv.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    score1 = F.round(F.lit(lam) * F.col("rel"), 4)
+    picked = cands.filter(F.col("rank") == 1).select(
+        "query_id",
+        "vec_id",
+        F.lit(1).cast("bigint").alias("pick"),
+        score1.alias("mmr_score"),
+    )
+    out = picked
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score0").desc(), F.col("vec_id").asc()
+    )
+    for t in range(2, k + 1):
+        sel_keys = out.select("query_id", "vec_id")
+        rem = cands.join(sel_keys, ["query_id", "vec_id"], "left_anti")
+        ms = (
+            pairs.join(
+                sel_keys.withColumnRenamed("vec_id", "ib"),
+                ["query_id", "ib"],
+            )
+            .groupBy("query_id", "ia")
+            .agg(F.max("s").alias("ms"))
+            .withColumnRenamed("ia", "vec_id")
+        )
+        sc = rem.join(ms, ["query_id", "vec_id"], "left").select(
+            "query_id",
+            "vec_id",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(one_minus) * F.coalesce(F.col("ms"), F.lit(0.0))
+            ).alias("score0"),
+        )
+        pick_t = (
+            sc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id",
+                "vec_id",
+                F.lit(t).cast("bigint").alias("pick"),
+                F.round(F.col("score0"), 4).alias("mmr_score"),
+            )
+        )
+        out = out.unionByName(pick_t)
+    return out
+
+
+def oracle_mmr_rerank(
+    queries_pred: str = "vec_id < 3",
+    n_cands: int = 8,
+    k: int = 4,
+    lam: float = 0.7,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB replica of mmr_rerank as an unrolled greedy CTE chain
+    (the bpe_train precedent). ``queries_pred`` selects the query rows
+    from ``table``."""
+    lam = float(lam)
+    one_minus = 1.0 - lam
+    parts = [
+        f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM {table} WHERE {queries_pred}
+        ), e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+        ), scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(e.v, q.qv), 4) AS rel
+          FROM e CROSS JOIN q
+          WHERE e.vec_id <> q.query_id
+        ), cand AS (
+          SELECT query_id, vec_id, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, vec_id ASC) AS rk
+            FROM scored
+          ) WHERE rk <= {n_cands}
+        ), cv AS (
+          SELECT c.query_id, c.vec_id, c.rel, e.v
+          FROM cand c JOIN e USING (vec_id)
+        ), p AS (
+          SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+                 round(list_cosine_similarity(a.v, b.v), 4) AS s
+          FROM cv a JOIN cv b
+            ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+        ), s1 AS (
+          SELECT query_id, vec_id, CAST(1 AS BIGINT) AS pick,
+                 round({lam!r} * rel, 4) AS mmr_score
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, vec_id ASC) AS rk
+            FROM cand
+          ) WHERE rk = 1
+        )"""
+    ]
+    union = ["SELECT * FROM s1"]
+    for t in range(2, k + 1):
+        prev_all = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM s{i}" for i in range(1, t)
+        )
+        parts.append(
+            f"""
+        , sel{t} AS ({prev_all})
+        , rem{t} AS (
+          SELECT c.* FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM sel{t} s
+                            WHERE s.query_id = c.query_id
+                              AND s.vec_id = c.vec_id)
+        ), ms{t} AS (
+          SELECT p.query_id, p.ia AS vec_id, max(p.s) AS ms
+          FROM p JOIN sel{t} s
+            ON p.query_id = s.query_id AND p.ib = s.vec_id
+          GROUP BY p.query_id, p.ia
+        ), sc{t} AS (
+          SELECT r.query_id, r.vec_id,
+                 {lam!r} * r.rel
+                   - {one_minus!r} * coalesce(m.ms, 0.0) AS score0
+          FROM rem{t} r LEFT JOIN ms{t} m
+            ON r.query_id = m.query_id AND r.vec_id = m.vec_id
+        ), s{t} AS (
+          SELECT query_id, vec_id, CAST({t} AS BIGINT) AS pick,
+                 round(score0, 4) AS mmr_score
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY score0 DESC, vec_id ASC) AS rk
+            FROM sc{t}
+          ) WHERE rk = 1
+        )"""
+        )
+        union.append(f"SELECT * FROM s{t}")
+    return "".join(parts) + " " + " UNION ALL ".join(union)

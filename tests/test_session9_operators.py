@@ -197,3 +197,63 @@ def test_embedding_outliers_centroid_exact(spark):
     out = embedding_outliers(df, n_top=5).collect()
     assert all(r.dist4 == 0.0 for r in out)
     assert [r.vec_id for r in out] == [1, 2, 3, 4, 5]
+
+
+# ---- mmr_rerank --------------------------------------------------------------
+
+def test_mmr_rerank_prefers_diversity(spark):
+    from navigator_document_parser_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # query along x; a and b are near-clones tilted +0.3/+0.31, c is
+    # the mirror tilt -0.3: rel(a) == rel(c) > rel(b), sim(a,b) ~ 1,
+    # sim(a,c) ~ 0.835. Pure relevance orders a,c,b or a,b,c within
+    # 4dp; MMR at lam=0.7 must pick the mirror c at 2 because the
+    # near-clone b pays the full redundancy penalty.
+    rows = [
+        (10, [1.0, 0.3]),    # clone a
+        (11, [1.0, 0.31]),   # clone b
+        (12, [1.0, -0.3]),   # mirror c
+    ]
+    emb = spark.createDataFrame(rows + [(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    qs = spark.createDataFrame([(0, [1.0, 0.0])], ["query_id", "embedding"])
+    out = sorted(
+        mmr_rerank(emb, qs, n_cands=3, k=3, lam=0.7).collect(),
+        key=lambda r: r.pick,
+    )
+    assert out[0].vec_id == 10  # rel tie with 12 -> vec_id tiebreak
+    assert out[1].vec_id == 12  # diversity beats the clone
+    assert out[2].vec_id == 11
+    assert [r.pick for r in out] == [1, 2, 3]
+
+
+def test_mmr_rerank_lambda_one_is_pure_relevance(spark):
+    from navigator_document_parser_spark.operators.similarity import (
+        knn_bruteforce,
+        mmr_rerank,
+    )
+
+    rows = [(i, [float(i % 5) + 0.1, float(i % 3)]) for i in range(1, 12)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = spark.createDataFrame(
+        [(1, [1.0, 0.5])], ["query_id", "embedding"]
+    )
+    mmr = sorted(
+        mmr_rerank(emb, qs, n_cands=6, k=4, lam=1.0).collect(),
+        key=lambda r: r.pick,
+    )
+    knn = knn_bruteforce(emb, qs, k=4).collect()
+    assert [r.vec_id for r in mmr] == [r.vec_id for r in sorted(knn, key=lambda r: r.rank)]
+
+
+def test_mmr_rerank_rejects_bad_params(spark):
+    import pytest
+
+    from navigator_document_parser_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, emb, n_cands=2, k=3)
