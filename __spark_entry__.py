@@ -2961,6 +2961,43 @@ def _mmr_rerank(spark, sf):
     return mmr_rerank(emb, qs, n_cands=8, k=4, lam=0.7)
 
 
+# script-profile synth: non-ASCII embedded as LITERAL chars in the
+# shared SQL (lesson 17: chr() is ASCII-mod-256 in Spark vs Unicode in
+# DuckDB — never build non-ASCII through chr()). \u escapes below are
+# PYTHON escapes; the rendered SQL carries the actual characters.
+_SCRIPT_SYNTH_SQL = (
+    "CASE doc_id % 6 "
+    " WHEN 0 THEN text || ' привет "
+    "мир' "                      # Cyrillic words
+    " WHEN 1 THEN text || ' 你好 世界 "
+    "こんにちは' "          # CJK + kana
+    " WHEN 2 THEN text || ' pаypal bаnk' "  # homoglyph spoofs
+    "ELSE text END"
+)
+
+
+def _script_stats(spark, sf):
+    """Unicode script profiling + homoglyph-spoof detection over
+    script-decorated synthetic documents (operators/text.py
+    script_stats): shared \\x{...} regex classes, map-only."""
+    from navigator_document_parser_spark.operators.text import script_stats
+
+    d = _docs(spark, sf).withColumn("text", F.expr(_SCRIPT_SYNTH_SQL))
+    return script_stats(d)
+
+
+def _script_stats_oracle() -> str:
+    from navigator_document_parser_spark.operators.text import (
+        oracle_script_stats,
+    )
+
+    prelude = (
+        "WITH synth AS (SELECT doc_id, "
+        f"{_SCRIPT_SYNTH_SQL} AS text FROM documents)"
+    )
+    return oracle_script_stats(table="synth", prelude_cte=prelude)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3113,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_similarity": _corpus_similarity,    # KMV slice Jaccard
         "embedding_outliers": _embedding_outliers,  # centroid-distance tail
         "mmr_rerank": _mmr_rerank,                  # diversity rerank
+        "script_stats": _script_stats,              # unicode script profile
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4105,4 +4143,5 @@ def oracle_sql() -> dict[str, str]:
     oracles["mmr_rerank"] = oracle_mmr_rerank(
         queries_pred="vec_id < 3", n_cands=8, k=4, lam=0.7
     )
+    oracles["script_stats"] = _script_stats_oracle()
     return oracles

@@ -2374,3 +2374,125 @@ def oracle_code_detect(
                 OR code_lines >= {min_code_lines}) AS is_code
         FROM sig
     """
+
+
+# ---------------------------------------------------------------------------
+# unicode script profiling / mixed-script spoof detection
+# ---------------------------------------------------------------------------
+
+# \x{h..h} escapes parse identically in Java regex (Spark) and RE2
+# (DuckDB); the patterns reach Spark via py4j strings and DuckDB via
+# verbatim single-quoted literals (no backslash processing), the
+# text_normalize discipline
+_SCRIPT_CLASSES = (
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("cyr", "[\\x{0400}-\\x{04FF}]"),
+    ("cjk", "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"),
+)
+_SPOOF_LATIN = "[A-Za-z]"
+_SPOOF_CYR = "[\\x{0400}-\\x{04FF}]"
+
+
+def script_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Unicode script profile + homoglyph-spoof signal —
+    the script-consistency gate a web corpus runs beside language ID
+    (a 'latin' document full of Cyrillic lookalikes is either mislabeled
+    or adversarial; mixed-script TOKENS are the classic phishing/SEO
+    homoglyph trick, per the UTS #39 confusables model).
+
+    Counts are size(regexp_extract_all(...)) per script class — one
+    map-only projection, no shuffle; spoof_tokens counts whitespace
+    tokens matching BOTH the Latin and Cyrillic classes.
+
+      main_script — integer-compare CASE ladder over the letter-script
+                    counts (latin >= cyr >= cjk precedence on ties);
+      is_suspect  — spoof_tokens >= 1.
+
+    Returns (doc_id, n_latin, n_digit, n_cyr, n_cjk, main_script,
+    spoof_tokens, is_suspect).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.split(F.col(text_col), "\\s+").alias("toks"),
+    ).localCheckpoint(eager=True)
+
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        ).cast("bigint")
+        for name, pat in _SCRIPT_CLASSES
+    }
+    spoof = F.size(
+        F.filter(
+            F.col("toks"),
+            lambda t: t.rlike(_SPOOF_LATIN) & t.rlike(_SPOOF_CYR),
+        )
+    ).cast("bigint")
+    main = (
+        F.when(
+            (counts["latin"] >= counts["cyr"])
+            & (counts["latin"] >= counts["cjk"]),
+            F.lit("latin"),
+        )
+        .when(counts["cyr"] >= counts["cjk"], F.lit("cyr"))
+        .otherwise(F.lit("cjk"))
+    )
+    return base.select(
+        "doc_id",
+        counts["latin"].alias("n_latin"),
+        counts["digit"].alias("n_digit"),
+        counts["cyr"].alias("n_cyr"),
+        counts["cjk"].alias("n_cjk"),
+        main.alias("main_script"),
+        spoof.alias("spoof_tokens"),
+        (spoof >= 1).alias("is_suspect"),
+    )
+
+
+def oracle_script_stats(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    prelude_cte: str = "",
+) -> str:
+    """DuckDB replica of script_stats (same \\x{{...}} patterns)."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    cnt = {
+        name: f"CAST(len(regexp_extract_all(text, {sql_quote(pat)}))"
+        f" AS BIGINT)"
+        for name, pat in _SCRIPT_CLASSES
+    }
+    head = f"{prelude_cte}, base AS (" if prelude_cte else "WITH base AS ("
+    return f"""
+        {head}
+          SELECT {id_col} AS doc_id, {text_col} AS text,
+                 string_split_regex({text_col}, '\\s+') AS toks
+          FROM {table}
+        ), sig AS (
+          SELECT doc_id,
+                 {cnt['latin']} AS n_latin,
+                 {cnt['digit']} AS n_digit,
+                 {cnt['cyr']} AS n_cyr,
+                 {cnt['cjk']} AS n_cjk,
+                 CAST(len(list_filter(toks, t ->
+                   regexp_matches(t, {sql_quote(_SPOOF_LATIN)}) AND
+                   regexp_matches(t, {sql_quote(_SPOOF_CYR)})))
+                   AS BIGINT) AS spoof_tokens
+          FROM base
+        )
+        SELECT doc_id, n_latin, n_digit, n_cyr, n_cjk,
+               CASE WHEN n_latin >= n_cyr AND n_latin >= n_cjk
+                    THEN 'latin'
+                    WHEN n_cyr >= n_cjk THEN 'cyr'
+                    ELSE 'cjk' END AS main_script,
+               spoof_tokens,
+               (spoof_tokens >= 1) AS is_suspect
+        FROM sig
+    """

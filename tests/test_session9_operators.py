@@ -257,3 +257,37 @@ def test_mmr_rerank_rejects_bad_params(spark):
     emb = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         mmr_rerank(emb, emb, n_cands=2, k=3)
+
+
+# ---- script_stats -------------------------------------------------------------
+
+def test_script_stats_counts_and_main(spark):
+    from navigator_document_parser_spark.operators.text import script_stats
+
+    docs = [
+        (1, "hello world 42"),
+        (2, "привет мир"),
+        (3, "你好世界 ok"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in script_stats(df).collect()}
+    assert out[1].n_latin == 10 and out[1].n_digit == 2
+    assert out[1].main_script == "latin" and not out[1].is_suspect
+    assert out[2].n_cyr == 9 and out[2].main_script == "cyr"
+    assert out[3].n_cjk == 4 and out[3].main_script == "cjk"
+    # doc 3 has 2 latin chars < 4 cjk -> cjk wins
+
+
+def test_script_stats_homoglyph_spoof(spark):
+    from navigator_document_parser_spark.operators.text import script_stats
+
+    # 'pаypal' with U+0430: latin+cyrillic in ONE token -> spoof
+    docs = [
+        (1, "pаypal login"),
+        (2, "plain latin мир separate scripts"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in script_stats(df).collect()}
+    assert out[1].spoof_tokens == 1 and out[1].is_suspect
+    # separate-token scripts are NOT spoofs
+    assert out[2].spoof_tokens == 0 and not out[2].is_suspect
