@@ -2998,6 +2998,29 @@ def _script_stats_oracle() -> str:
     return oracle_script_stats(table="synth", prelude_cte=prelude)
 
 
+def _vocab_coverage(spark, sf):
+    """Top-V vocabulary + per-language coverage/OOV table
+    (operators/text.py vocab_coverage). V=16 against the ~31-term
+    synthetic vocabulary so the OOV tail is non-trivial; TakeOrdered
+    vocabulary, broadcast membership join."""
+    from navigator_document_parser_spark.operators.text import (
+        vocab_coverage,
+    )
+
+    return vocab_coverage(_docs(spark, sf), vocab_size=16)
+
+
+def _topic_classify(spark, sf):
+    """Explainable keyword-lexicon topic routing (operators/text.py
+    topic_classify): whole-token lexicon scores, earlier-wins argmax
+    ladder, map-only."""
+    from navigator_document_parser_spark.operators.text import (
+        topic_classify,
+    )
+
+    return topic_classify(_docs(spark, sf))
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3151,6 +3174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _embedding_outliers,  # centroid-distance tail
         "mmr_rerank": _mmr_rerank,                  # diversity rerank
         "script_stats": _script_stats,              # unicode script profile
+        "vocab_coverage": _vocab_coverage,          # top-V OOV table
+        "topic_classify": _topic_classify,          # lexicon domain router
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4144,4 +4169,14 @@ def oracle_sql() -> dict[str, str]:
         queries_pred="vec_id < 3", n_cands=8, k=4, lam=0.7
     )
     oracles["script_stats"] = _script_stats_oracle()
+    from navigator_document_parser_spark.operators.text import (
+        oracle_vocab_coverage,
+    )
+
+    oracles["vocab_coverage"] = oracle_vocab_coverage(vocab_size=16)
+    from navigator_document_parser_spark.operators.text import (
+        oracle_topic_classify,
+    )
+
+    oracles["topic_classify"] = oracle_topic_classify()
     return oracles

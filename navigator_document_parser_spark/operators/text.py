@@ -2496,3 +2496,229 @@ def oracle_script_stats(
                (spoof_tokens >= 1) AS is_suspect
         FROM sig
     """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage / OOV-rate profiling (tokenizer prep)
+# ---------------------------------------------------------------------------
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 256,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``vocab_size`` corpus vocabulary and the per-slice coverage
+    it achieves — the first question of tokenizer design (how big must
+    V be before the OOV tail is negligible, and which language slices
+    it starves; the fertility/coverage table every BPE/unigram-LM
+    training run starts from).
+
+    Vocabulary = the ``vocab_size`` most frequent whitespace tokens,
+    (count desc, term asc) deterministic ties. Per slice:
+    n_tokens, n_covered (token OCCURRENCES whose term is in-vocab),
+    n_terms (distinct terms), oov4 = ratio4(n_tokens - n_covered,
+    n_tokens).
+
+    100 TB shape: one (term) hash aggregate with map-side combine; the
+    vocabulary is TakeOrdered top-V (never a global window) and joins
+    back as a broadcast semi-join onto the (slice, term) counts — the
+    corpus streams through exactly twice, shuffling only (slice, term)
+    aggregates.
+
+    Returns (lang, n_tokens, n_covered, n_terms, oov4).
+    """
+    from navigator_document_parser_spark.operators import ratio4
+
+    toks = df.select(
+        F.col(group_col).alias("lang"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    slice_tf = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+
+    vocab = (
+        slice_tf.groupBy("term")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term")
+    )
+    cov = slice_tf.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "term", "left"
+    )
+    n_tok = F.sum("c").cast("bigint")
+    n_cov = F.sum(
+        F.when(F.col("in_v").isNotNull(), F.col("c")).otherwise(0)
+    ).cast("bigint")
+    return cov.groupBy("lang").agg(
+        n_tok.alias("n_tokens"),
+        n_cov.alias("n_covered"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    ).select(
+        "lang",
+        "n_tokens",
+        "n_covered",
+        "n_terms",
+        ratio4(
+            F.col("n_tokens") - F.col("n_covered"), F.col("n_tokens")
+        ).alias("oov4"),
+    )
+
+
+def oracle_vocab_coverage(
+    vocab_size: int = 256,
+    group_col: str = "lang",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of vocab_coverage."""
+    from navigator_document_parser_spark.operators import ratio4_sql
+
+    oov = ratio4_sql("(n_tokens - n_covered)", "n_tokens")
+    return f"""
+        WITH toks AS (
+          SELECT {group_col} AS lang,
+                 unnest(string_split_regex(trim(lower({text_col})),
+                                           '\\s+')) AS term
+          FROM {table}
+        ), stf AS (
+          SELECT lang, term, count(*) AS c
+          FROM toks WHERE term <> '' GROUP BY lang, term
+        ), vocab AS (
+          SELECT term FROM (
+            SELECT term, CAST(SUM(c) AS BIGINT) AS tc FROM stf
+            GROUP BY term
+          ) ORDER BY tc DESC, term ASC LIMIT {vocab_size}
+        ), cov AS (
+          SELECT s.lang, s.c,
+                 CASE WHEN v.term IS NOT NULL THEN s.c ELSE 0 END AS cc
+          FROM stf s LEFT JOIN vocab v ON s.term = v.term
+        ), agg AS (
+          SELECT lang,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(cc) AS BIGINT) AS n_covered,
+                 CAST(count(*) AS BIGINT) AS n_terms
+          FROM cov GROUP BY lang
+        )
+        SELECT lang, n_tokens, n_covered, n_terms, {oov} AS oov4
+        FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# keyword-profile topic classification
+# ---------------------------------------------------------------------------
+
+# fixed topic lexicons — the transparent, auditable domain router a
+# corpus pipeline runs when an ML classifier is unavailable or must be
+# explainable (the RedPajama/CCNet domain-bucket precedent)
+TOPIC_LEXICONS = (
+    ("storage", ("table", "row", "column", "scan", "data", "part")),
+    ("compute", ("query", "join", "sort", "merge", "hash", "agg")),
+    ("stream", ("stream", "window", "batch", "line")),
+)
+
+
+def topic_classify(
+    df: DataFrame,
+    lexicons: tuple = TOPIC_LEXICONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-lexicon topic scores + argmax label per document.
+    Scores count whole-token occurrences of each topic's lexicon in
+    the lowered whitespace tokens; the label is an integer-compare
+    CASE ladder in lexicon order (earlier lexicon wins ties, 'none'
+    when every score is 0).
+
+    100 TB shape: map-only token-array filters behind one eager
+    checkpoint of the split (lessons 3/9) — no shuffle, no UDF.
+
+    Returns (doc_id, s_<topic>... one per lexicon, topic).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(
+            F.trim(F.lower(F.col(text_col))), r"\s+"
+        ).alias("toks"),
+    ).localCheckpoint(eager=True)
+
+    # closure FACTORY, never a default-arg lambda: a 2-param lambda is
+    # handed (element, index) by F.filter (CLAUDE.md lesson 1)
+    def _in_lexicon(kws):
+        return lambda t: t.isin(*kws)
+
+    scores = {
+        name: F.size(
+            F.filter(F.col("toks"), _in_lexicon(kws))
+        ).cast("bigint")
+        for name, kws in lexicons
+    }
+    label = F.lit("none")
+    # build the ladder back-to-front so earlier lexicons win ties
+    names = [n for n, _ in lexicons]
+    for i in range(len(names) - 1, -1, -1):
+        cond = scores[names[i]] > 0
+        for j in range(len(names)):
+            if j != i:
+                op = (
+                    scores[names[i]] >= scores[names[j]]
+                    if i < j
+                    else scores[names[i]] > scores[names[j]]
+                )
+                cond = cond & op
+        label = F.when(cond, F.lit(names[i])).otherwise(label)
+    cols = [F.col("doc_id")]
+    cols += [scores[n].alias(f"s_{n}") for n in names]
+    cols.append(label.alias("topic"))
+    return base.select(*cols)
+
+
+def oracle_topic_classify(
+    lexicons: tuple = TOPIC_LEXICONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of topic_classify — same lexicons, same
+    earlier-wins tie ladder."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    names = [n for n, _ in lexicons]
+    score_sql = {
+        n: (
+            "CAST(len(list_filter(toks, t -> t IN ("
+            + ", ".join(sql_quote(k) for k in kws)
+            + "))) AS BIGINT)"
+        )
+        for n, kws in lexicons
+    }
+    sel = ", ".join(f"{score_sql[n]} AS s_{n}" for n in names)
+    ladder = "'none'"
+    for i in range(len(names) - 1, -1, -1):
+        conds = [f"s_{names[i]} > 0"]
+        for j in range(len(names)):
+            if j != i:
+                op = ">=" if i < j else ">"
+                conds.append(f"s_{names[i]} {op} s_{names[j]}")
+        ladder = (
+            f"CASE WHEN {' AND '.join(conds)} THEN '{names[i]}' "
+            f"ELSE {ladder} END"
+        )
+    return f"""
+        WITH base AS (
+          SELECT {id_col} AS doc_id,
+                 string_split_regex(trim(lower({text_col})), '\\s+')
+                   AS toks
+          FROM {table}
+        ), sig AS (
+          SELECT doc_id, {sel} FROM base
+        )
+        SELECT doc_id, {', '.join('s_' + n for n in names)},
+               {ladder} AS topic
+        FROM sig
+    """

@@ -291,3 +291,54 @@ def test_script_stats_homoglyph_spoof(spark):
     assert out[1].spoof_tokens == 1 and out[1].is_suspect
     # separate-token scripts are NOT spoofs
     assert out[2].spoof_tokens == 0 and not out[2].is_suspect
+
+
+# ---- vocab_coverage ----------------------------------------------------------
+
+def test_vocab_coverage_oov(spark):
+    from navigator_document_parser_spark.operators.text import vocab_coverage
+
+    docs = [
+        ("en", "aa aa aa bb bb cc"),
+        ("de", "aa bb zz zz"),
+    ]
+    df = spark.createDataFrame(docs, ["lang", "text"])
+    # corpus counts: aa=4, bb=3, zz=2, cc=1 -> V=2 keeps {aa, bb}
+    out = {r.lang: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    assert out["en"].n_tokens == 6 and out["en"].n_covered == 5
+    assert out["en"].n_terms == 3
+    assert out["en"].oov4 == round(1 / 6, 4)
+    assert out["de"].n_tokens == 4 and out["de"].n_covered == 2
+    assert out["de"].oov4 == 0.5
+
+
+def test_vocab_coverage_tie_breaks_by_term(spark):
+    from navigator_document_parser_spark.operators.text import vocab_coverage
+
+    # xx and yy tie at 2; V=1 must keep 'xx' (term asc)
+    df = spark.createDataFrame(
+        [("en", "xx yy xx yy")], ["lang", "text"]
+    )
+    out = vocab_coverage(df, vocab_size=1).collect()[0]
+    assert out.n_covered == 2
+
+
+# ---- topic_classify ----------------------------------------------------------
+
+def test_topic_classify_argmax_and_ties(spark):
+    from navigator_document_parser_spark.operators.text import topic_classify
+
+    docs = [
+        (1, "table row column scan"),          # storage 4
+        (2, "query join sort"),                # compute 3
+        (3, "stream window stream"),           # stream 3
+        (4, "nothing matches here"),           # none
+        (5, "table query"),                    # 1-1 tie -> storage (earlier)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = _rows(topic_classify(df))
+    assert out[1].topic == "storage" and out[1].s_storage == 4
+    assert out[2].topic == "compute"
+    assert out[3].topic == "stream" and out[3].s_stream == 3
+    assert out[4].topic == "none"
+    assert out[5].topic == "storage"
