@@ -3021,6 +3021,64 @@ def _topic_classify(spark, sf):
     return topic_classify(_docs(spark, sf))
 
 
+def _url_templates(spark, sf):
+    """Dominant path-template mining per host over the same trap-shaped
+    URL synth (operators/urls.py url_templates): numeric runs -> <n>,
+    one aggregate + a per-host top-k window over aggregated rows."""
+    from navigator_document_parser_spark.operators.urls import (
+        url_templates,
+    )
+
+    u = _docs(spark, sf).selectExpr(
+        _TRAP_HOST_EXPR.replace("AS VARCHAR", "AS STRING") + " AS host",
+        _TRAP_PATH_EXPR.replace("AS VARCHAR", "AS STRING") + " AS path",
+    )
+    return url_templates(u, top_k=3)
+
+
+def _url_templates_oracle() -> str:
+    from navigator_document_parser_spark.operators.urls import (
+        oracle_url_templates,
+    )
+
+    return oracle_url_templates(_TRAP_URLS_SQL, top_k=3)
+
+
+# host-reputation synth: every 4th source mass-duplicates ~40% of its
+# pages into one boilerplate text (the SEO-farm profile); (doc_id % 100)
+# decorrelates the 40% pick from the source residue
+_REPUTATION_SYNTH_SQL = (
+    "CASE WHEN (doc_id % 20) % 4 = 0 AND doc_id % 100 < 40 "
+    "THEN 'duplicate boilerplate page body' ELSE text END"
+)
+
+
+def _host_reputation(spark, sf):
+    """Per-host reputation rollup over dup-farm-decorated sources
+    (operators/selection.py host_reputation): duplication ratio,
+    language coherence, integer cross-multiplied flags."""
+    from navigator_document_parser_spark.operators.selection import (
+        host_reputation,
+    )
+
+    d = _docs(spark, sf).withColumn(
+        "text", F.expr(_REPUTATION_SYNTH_SQL)
+    )
+    return host_reputation(d)
+
+
+def _host_reputation_oracle() -> str:
+    from navigator_document_parser_spark.operators.selection import (
+        oracle_host_reputation,
+    )
+
+    docs_sql = (
+        "SELECT source, lang, "
+        f"{_REPUTATION_SYNTH_SQL} AS text FROM documents"
+    )
+    return oracle_host_reputation(docs_sql)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3176,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_stats": _script_stats,              # unicode script profile
         "vocab_coverage": _vocab_coverage,          # top-V OOV table
         "topic_classify": _topic_classify,          # lexicon domain router
+        "url_templates": _url_templates,            # path-shape mining
+        "host_reputation": _host_reputation,        # SEO-farm profiling
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4179,4 +4239,6 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["topic_classify"] = oracle_topic_classify()
+    oracles["url_templates"] = _url_templates_oracle()
+    oracles["host_reputation"] = _host_reputation_oracle()
     return oracles

@@ -94,6 +94,10 @@ OP_QUERIES = [
     "c4_filters",
     "top_ngrams",
     "keyness_terms",
+    "code_detect",
+    "script_stats",
+    "topic_classify",
+    "vocab_coverage",
     "keyword_search",
     "boolean_search",
     "bm25_search",
@@ -111,6 +115,7 @@ OP_QUERIES = [
     "fetch_schedule",
     "recrawl_schedule",
     "dust_rules",
+    "trap_detect",
     "chunk_windows",
     "split_sentences",
     "bpe_tokenize",
@@ -142,6 +147,7 @@ OP_QUERIES = [
     "kmv_distinct",
     "cms_counts",
     "quantile_sketch",
+    "corpus_similarity",
     "dedup_exact",
     "dedup_incremental",
     "dedup_bloom",
@@ -163,6 +169,8 @@ OP_QUERIES = [
     "embed_hash",
     "bitext_mine",
     "embedding_neardup",
+    "embedding_outliers",
+    "mmr_rerank",
     "semdedup",
     "pq_encode",
     "knn_pq",

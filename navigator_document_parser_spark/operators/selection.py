@@ -597,3 +597,116 @@ def oracle_weighted_sample(
         )
         WHERE rank <= {int(k)}
     """
+
+
+def host_reputation(
+    df: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    dup_num: int = 1,
+    dup_den: int = 5,
+    lang_num: int = 9,
+    lang_den: int = 20,
+) -> DataFrame:
+    """Per-host reputation rollup — the ranking/selection signal a
+    corpus pipeline joins back onto documents before budget decisions
+    (hosts that mass-duplicate content or mix languages incoherently
+    are the classic SEO-farm profile; cf. the host-level priors in
+    TrustRank-style spam demotion).
+
+    Signals per host:
+      n_docs, n_unique (distinct md5(text)),
+      dup_ratio4       = ratio4(n_docs - n_unique, n_docs),
+      top_lang_share4  = ratio4(max per-language count, n_docs),
+      avg_chars4       = ratio4(sum(length(text)), n_docs),
+      reputable        — integer cross-multiplied thresholds (never a
+                         float compare): (n_docs - n_unique) * dup_den
+                         <= n_docs * dup_num  AND  top_lang * lang_den
+                         >= n_docs * lang_num.
+
+    100 TB shape: two host-grain hash aggregates (one per grain:
+    (host), (host, lang)), both map-side combinable, joined at host
+    cardinality. countDistinct shuffles (host, md5) — bounded by
+    unique TEXTS per host, the quantity being measured.
+
+    Returns (host, n_docs, n_unique, dup_ratio4, top_lang_share4,
+    avg_chars4, reputable).
+    """
+    from navigator_document_parser_spark.operators import ratio4
+
+    a = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_unique"),
+        F.sum(F.length(F.col(text_col))).cast("bigint").alias("s_chars"),
+    )
+    b = (
+        df.groupBy(
+            F.col(host_col).alias("host"), F.col(lang_col).alias("lang")
+        )
+        .agg(F.count(F.lit(1)).alias("lc"))
+        .groupBy("host")
+        .agg(F.max("lc").cast("bigint").alias("top_lang"))
+    )
+    j = a.join(b, "host")
+    dup_ok = (F.col("n_docs") - F.col("n_unique")) * dup_den <= F.col(
+        "n_docs"
+    ) * dup_num
+    lang_ok = F.col("top_lang") * lang_den >= F.col("n_docs") * lang_num
+    return j.select(
+        "host",
+        "n_docs",
+        "n_unique",
+        ratio4(F.col("n_docs") - F.col("n_unique"), F.col("n_docs"))
+        .alias("dup_ratio4"),
+        ratio4(F.col("top_lang"), F.col("n_docs"))
+        .alias("top_lang_share4"),
+        ratio4(F.col("s_chars"), F.col("n_docs")).alias("avg_chars4"),
+        (dup_ok & lang_ok).alias("reputable"),
+    )
+
+
+def oracle_host_reputation(
+    docs_sql: str,
+    host_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    dup_num: int = 1,
+    dup_den: int = 5,
+    lang_num: int = 9,
+    lang_den: int = 20,
+) -> str:
+    """DuckDB replica of host_reputation over ``docs_sql`` yielding at
+    least (host_col, text_col, lang_col)."""
+    from navigator_document_parser_spark.operators import ratio4_sql
+
+    dup4 = ratio4_sql("(n_docs - n_unique)", "n_docs")
+    top4 = ratio4_sql("top_lang", "n_docs")
+    avg4 = ratio4_sql("s_chars", "n_docs")
+    return f"""
+        WITH d AS ({docs_sql}),
+        a AS (
+          SELECT {host_col} AS host,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT md5({text_col})) AS BIGINT)
+                   AS n_unique,
+                 CAST(SUM(length({text_col})) AS BIGINT) AS s_chars
+          FROM d GROUP BY 1
+        ), b AS (
+          SELECT host, CAST(max(lc) AS BIGINT) AS top_lang FROM (
+            SELECT {host_col} AS host, {lang_col} AS lang,
+                   count(*) AS lc
+            FROM d GROUP BY 1, 2
+          ) GROUP BY host
+        )
+        SELECT a.host, n_docs, n_unique,
+               {dup4} AS dup_ratio4,
+               {top4} AS top_lang_share4,
+               {avg4} AS avg_chars4,
+               ((n_docs - n_unique) * {dup_den} <= n_docs * {dup_num}
+                AND top_lang * {lang_den} >= n_docs * {lang_num})
+                 AS reputable
+        FROM a JOIN b ON a.host = b.host
+    """

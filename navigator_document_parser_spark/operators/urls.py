@@ -671,3 +671,68 @@ def oracle_trap_detect(
         FROM sig
         GROUP BY host
     """
+
+
+def url_templates(
+    df: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    top_k: int = 3,
+) -> DataFrame:
+    """URL path-template mining: generalize every numeric run to '<n>'
+    and rank each host's dominant path shapes — the structure report a
+    crawl engineer reads before writing DUST rules or scoping a
+    recrawl (template cardinality is also the standard trap smell:
+    one template, unbounded distinct paths).
+
+    The generalization regex '[0-9]+' parses identically in Java regex
+    and RE2. One (host, template) hash aggregate with map-side
+    combine, then a per-host top-k window over the aggregated rows
+    (bounded by distinct templates per host, not URLs).
+
+    Returns (host, template, n_urls, n_paths, rank) for the top_k
+    templates per host, (n_urls desc, template asc) deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    t = df.select(
+        F.col(host_col).alias("host"),
+        F.col(path_col).alias("path"),
+        F.regexp_replace(F.col(path_col), "[0-9]+", "<n>").alias(
+            "template"
+        ),
+    )
+    agg = t.groupBy("host", "template").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        F.countDistinct("path").cast("bigint").alias("n_paths"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_urls").desc(), F.col("template").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select("host", "template", "n_urls", "n_paths", "rank")
+    )
+
+
+def oracle_url_templates(urls_sql: str, top_k: int = 3) -> str:
+    """DuckDB replica of url_templates; ``urls_sql`` yields
+    (host, path)."""
+    return f"""
+        WITH u AS ({urls_sql}),
+        agg AS (
+          SELECT host,
+                 regexp_replace(path, '[0-9]+', '<n>', 'g') AS template,
+                 CAST(count(*) AS BIGINT) AS n_urls,
+                 CAST(count(DISTINCT path) AS BIGINT) AS n_paths
+          FROM u GROUP BY 1, 2
+        )
+        SELECT host, template, n_urls, n_paths,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY host
+                    ORDER BY n_urls DESC, template ASC) AS rank
+          FROM agg
+        ) WHERE rank <= {top_k}
+    """

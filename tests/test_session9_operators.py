@@ -342,3 +342,53 @@ def test_topic_classify_argmax_and_ties(spark):
     assert out[3].topic == "stream" and out[3].s_stream == 3
     assert out[4].topic == "none"
     assert out[5].topic == "storage"
+
+
+# ---- url_templates -----------------------------------------------------------
+
+def test_url_templates_generalize_and_rank(spark):
+    from navigator_document_parser_spark.operators.urls import url_templates
+
+    urls = [
+        ("h1", "/cal/2024/5/17"),
+        ("h1", "/cal/2024/5/18"),
+        ("h1", "/cal/2023/12/1"),
+        ("h1", "/about"),
+        ("h2", "/p/1"),
+        ("h2", "/p/2"),
+    ]
+    df = spark.createDataFrame(urls, ["host", "path"])
+    out = url_templates(df, top_k=2).collect()
+    byhost = {}
+    for r in out:
+        byhost.setdefault(r.host, []).append(r)
+    h1 = sorted(byhost["h1"], key=lambda r: r.rank)
+    assert h1[0].template == "/cal/<n>/<n>/<n>"
+    assert h1[0].n_urls == 3 and h1[0].n_paths == 3
+    assert h1[1].template == "/about" and h1[1].rank == 2
+    assert byhost["h2"][0].template == "/p/<n>" and byhost["h2"][0].n_urls == 2
+
+
+# ---- host_reputation ---------------------------------------------------------
+
+def test_host_reputation_flags_dup_farm(spark):
+    from navigator_document_parser_spark.operators.selection import (
+        host_reputation,
+    )
+
+    rows = (
+        # clean host: 5 unique docs, one language
+        [(f"u{i}", "en", "h1") for i in range(5)]
+        # dup farm: 5 docs, 4 identical
+        + [("same", "en", "h2")] * 4
+        + [("other", "en", "h2")]
+        # language-incoherent host: 4 docs, 4 langs
+        + [(f"v{i}", l, "h3") for i, l in enumerate(["en", "de", "fr", "zh"])]
+    )
+    df = spark.createDataFrame(rows, ["text", "lang", "source"])
+    out = {r.host: r for r in host_reputation(df).collect()}
+    assert out["h1"].reputable
+    assert out["h1"].dup_ratio4 == 0.0 and out["h1"].top_lang_share4 == 1.0
+    assert not out["h2"].reputable  # dup_ratio 3/5 = 0.6 > 0.2
+    assert out["h2"].n_unique == 2 and out["h2"].dup_ratio4 == 0.6
+    assert not out["h3"].reputable  # top lang share 0.25 < 0.45
