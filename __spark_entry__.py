@@ -3079,6 +3079,63 @@ def _host_reputation_oracle() -> str:
     return oracle_host_reputation(docs_sql)
 
 
+def _training_pairs(spark, sf):
+    """Contrastive (anchor, positive, negative) triplets: positives =
+    the embedding near-dup pairs, negatives = deterministic hash picks
+    over the dense id space (operators/similarity.py
+    contrastive_triplets)."""
+    from navigator_document_parser_spark.operators.similarity import (
+        contrastive_triplets,
+        embedding_neardup_pairs,
+    )
+
+    emb = _emb(spark, sf)
+    pairs = embedding_neardup_pairs(emb, threshold=0.35)
+    return contrastive_triplets(emb, pairs)
+
+
+def _training_pairs_oracle() -> str:
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_contrastive_triplets,
+    )
+
+    pairs_sql = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])), 4) AS sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+    """
+    return oracle_contrastive_triplets(pairs_sql)
+
+
+def _dedup_bbit(spark, sf):
+    """b-bit MinHash resemblance over the standard LSH candidates
+    (operators/dedup.py bbit_minhash_pairs): 8 one-byte signature
+    columns instead of md5-string arrays — the 100 TB signature-store
+    compression path, with the Li-König collision correction as an
+    exact integer ratio."""
+    from navigator_document_parser_spark.operators.dedup import (
+        bbit_minhash_pairs,
+    )
+
+    return bbit_minhash_pairs(_docs(spark, sf), num_hashes=8, b=8)
+
+
+def _dedup_bbit_oracle() -> str:
+    from navigator_document_parser_spark.operators.dedup import (
+        oracle_bbit_minhash_pairs,
+    )
+
+    return oracle_bbit_minhash_pairs(
+        num_hashes=8, b=8, shingle_cte=_SHINGLE_CTE
+    )
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3236,6 +3293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_classify": _topic_classify,          # lexicon domain router
         "url_templates": _url_templates,            # path-shape mining
         "host_reputation": _host_reputation,        # SEO-farm profiling
+        "training_pairs": _training_pairs,          # contrastive triplets
+        "dedup_bbit": _dedup_bbit,                  # b-bit minhash estimate
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4241,4 +4300,6 @@ def oracle_sql() -> dict[str, str]:
     oracles["topic_classify"] = oracle_topic_classify()
     oracles["url_templates"] = _url_templates_oracle()
     oracles["host_reputation"] = _host_reputation_oracle()
+    oracles["training_pairs"] = _training_pairs_oracle()
+    oracles["dedup_bbit"] = _dedup_bbit_oracle()
     return oracles

@@ -1768,3 +1768,175 @@ def oracle_sorted_neighborhood(
           AND {jac.replace('a.s', 's_a').replace('b.s', 's_b')}
                 >= {threshold!r}
     """
+
+
+def bbit_minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    b: int = 8,
+) -> DataFrame:
+    """b-bit MinHash resemblance estimation (Li & König 2010) over the
+    standard LSH candidate pairs: store only the low ``b`` bits of each
+    of ``num_hashes`` MinHash values — a 2^b-fold signature-memory
+    reduction (the difference between a signature store that fits in
+    executor memory at 100 TB and one that does not) — and correct the
+    accidental-collision inflation exactly:
+
+        E = matches / num_hashes,  C = 2^-b,
+        J_hat = (E - C) / (1 - C)
+              = (matches * 2^b - num_hashes)
+                / (num_hashes * (2^b - 1))   — pure integers until the
+                                               one ratio4 division.
+
+    The b-bit value is the md5_u32 primitive of the SAME md5-string
+    minima minhash_signature/band_keys_from_shingles use (prefix
+    'h:'), mod 2^b — one hash-family definition repo-wide. Signatures
+    ride the candidate join as ``num_hashes`` SMALLINT-sized columns,
+    never arrays through the shuffle.
+
+    100 TB shape: bare (id, shingles) projection checkpointed once
+    (lessons 3/20); candidates are the (4,2) banded equi-join (no
+    all-pairs path); the estimate join touches candidate rows only.
+
+    Returns (id_a, id_b, n_match, jhat4) — jhat4 clamped at 0 (a pair
+    matching fewer than the collision floor estimates 0, not negative).
+    """
+    if b < 1 or b > 16:
+        raise ValueError("b must be in [1, 16]")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    mod = 1 << b
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col)).alias("sh"),
+    ).localCheckpoint(eager=True)
+    ne = base.filter(F.size("sh") > 0)
+
+    def min_hash(h: int) -> Column:
+        def hasher(prefix: str):
+            return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+        return F.array_min(F.transform(F.col("sh"), hasher(f"{h}:")))
+
+    def bbit(h: int) -> Column:
+        return (
+            F.conv(F.substring(min_hash(h), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % mod
+        )
+
+    sig = ne.select(
+        "id", *[bbit(h).alias(f"b{h}") for h in range(num_hashes)]
+    )
+    bands = ne.select(
+        "id",
+        F.explode(
+            band_keys_from_shingles(F.col("sh"), num_hashes=4, bands=2)
+        ).alias("bk"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"b{h}").alias(f"a{h}") for h in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"b{h}").alias(f"bb{h}") for h in range(num_hashes)],
+    )
+    j = cand.join(sa, "id_a").join(sb, "id_b")
+    m = None
+    for h in range(num_hashes):
+        term = F.when(F.col(f"a{h}") == F.col(f"bb{h}"), 1).otherwise(0)
+        m = term if m is None else m + term
+    num = F.greatest(
+        F.lit(0), (m * mod - F.lit(num_hashes)).cast("bigint")
+    )
+    den = F.lit(num_hashes * (mod - 1)).cast("bigint")
+    return j.select(
+        "id_a",
+        "id_b",
+        m.cast("bigint").alias("n_match"),
+        ratio4(num, den).alias("jhat4"),
+    )
+
+
+def oracle_bbit_minhash_pairs(
+    id_col: str = "doc_id",
+    table: str = "documents",
+    num_hashes: int = 8,
+    b: int = 8,
+    shingle_cte: str = "",
+) -> str:
+    """DuckDB replica of bbit_minhash_pairs(num_hashes, b) with (4,2)
+    banded candidates. ``shingle_cte`` must be the shared _SHINGLE_CTE
+    (relation ``sh`` with doc_id, s)."""
+    mod = 1 << b
+
+    def min_sql(h: int) -> str:
+        return (
+            f"list_aggregate(list_transform(s, x -> md5('{h}:' || x)),"
+            f" 'min')"
+        )
+
+    def bbit_sql(h: int) -> str:
+        return (
+            f"CAST('0x' || substring({min_sql(h)}, 1, 8) AS BIGINT)"
+            f" % {mod}"
+        )
+
+    sig_cols = ", ".join(
+        f"{bbit_sql(h)} AS b{h}" for h in range(num_hashes)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.b{h} = bb.b{h} THEN 1 ELSE 0 END"
+        for h in range(num_hashes)
+    )
+    num = f"greatest(0, mm * {mod} - {num_hashes})"
+    den = f"{num_hashes * (mod - 1)}"
+    from navigator_document_parser_spark.operators import ratio4_sql
+
+    j4 = ratio4_sql(num, den)
+    return f"""
+        {shingle_cte}
+        , shf AS (
+          SELECT doc_id, s FROM sh WHERE length(s) > 0
+        ), sig AS (
+          SELECT doc_id, {sig_cols} FROM shf
+        ), bnd AS (
+          SELECT doc_id,
+                 md5({min_sql(0)} || ',' || {min_sql(1)}) AS band0,
+                 md5({min_sql(2)} || ',' || {min_sql(3)}) AS band1
+          FROM shf
+        ), bl AS (
+          SELECT doc_id, band0 AS bk FROM bnd
+          UNION ALL
+          SELECT doc_id, band1 AS bk FROM bnd
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bl a JOIN bl b
+            ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ), scored AS (
+          SELECT c.id_a, c.id_b, ({matches}) AS mm
+          FROM cand c
+          JOIN sig a ON a.doc_id = c.id_a
+          JOIN sig bb ON bb.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, CAST(mm AS BIGINT) AS n_match,
+               {j4} AS jhat4
+        FROM scored
+    """

@@ -1765,3 +1765,85 @@ def oracle_mmr_rerank(
         )
         union.append(f"SELECT * FROM s{t}")
     return "".join(parts) + " " + " UNION ALL ".join(union)
+
+
+def contrastive_triplets(
+    embeddings: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive
+    fine-tuning (the SimCSE/E5 data-prep shape): positives are the
+    supplied near-duplicate pairs; negatives are deterministic hash
+    picks over the dense [0, max_id] id space — md5 of the pair key,
+    stepped forward up to twice to dodge the anchor/positive ids (two
+    forbidden values, three candidates: one is always free).
+
+    Sampled negatives are RANDOM negatives, not hard negatives — the
+    standard first-epoch recipe; swap the sampler for an ANN-mined one
+    (knn_cosine ranks 2..k) when hard negatives are wanted. Ids absent
+    from a sparse id space would emit dangling negatives; the corpus
+    id space is dense (synth tables and any row_number'd real corpus).
+
+    100 TB shape: one 1-row max aggregate broadcast back (a single
+    crossJoin fold, never inside a loop — lesson 16) and a pure
+    projection over the pairs; no joins against the corpus.
+
+    Returns (anchor_id, pos_id, neg_id, pos_sim); requires at least 3
+    ids (pairs vanish otherwise).
+    """
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    m = embeddings.groupBy().agg(
+        (F.max(F.col(id_col)) + 1).cast("bigint").alias("m")
+    )
+    h = md5_u32_sql(
+        "concat(cast(id_a as string), ':', cast(id_b as string))",
+        "spark",
+    )
+    neg = (
+        f"CASE WHEN ({h}) % m NOT IN (id_a, id_b) THEN ({h}) % m "
+        f"WHEN (({h}) + 1) % m NOT IN (id_a, id_b) THEN (({h}) + 1) % m "
+        f"ELSE (({h}) + 2) % m END"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(m))
+        .filter(F.col("m") >= 3)
+        .selectExpr(
+            "id_a AS anchor_id",
+            "id_b AS pos_id",
+            f"CAST({neg} AS BIGINT) AS neg_id",
+            "sim AS pos_sim",
+        )
+    )
+
+
+def oracle_contrastive_triplets(
+    pairs_sql: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB replica of contrastive_triplets; ``pairs_sql`` must yield
+    (id_a, id_b, sim)."""
+    from navigator_document_parser_spark.operators import md5_u32_sql
+
+    h = md5_u32_sql(
+        "cast(id_a AS VARCHAR) || ':' || cast(id_b AS VARCHAR)",
+        "duckdb",
+    )
+    neg = (
+        f"CASE WHEN ({h}) % m NOT IN (id_a, id_b) THEN ({h}) % m "
+        f"WHEN (({h}) + 1) % m NOT IN (id_a, id_b) THEN (({h}) + 1) % m "
+        f"ELSE (({h}) + 2) % m END"
+    )
+    return f"""
+        WITH p AS ({pairs_sql}),
+        mm AS (
+          SELECT CAST(max({id_col}) + 1 AS BIGINT) AS m FROM {table}
+        )
+        SELECT id_a AS anchor_id, id_b AS pos_id,
+               CAST({neg} AS BIGINT) AS neg_id,
+               sim AS pos_sim
+        FROM p CROSS JOIN mm
+        WHERE m >= 3
+    """

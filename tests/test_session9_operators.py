@@ -392,3 +392,70 @@ def test_host_reputation_flags_dup_farm(spark):
     assert not out["h2"].reputable  # dup_ratio 3/5 = 0.6 > 0.2
     assert out["h2"].n_unique == 2 and out["h2"].dup_ratio4 == 0.6
     assert not out["h3"].reputable  # top lang share 0.25 < 0.45
+
+
+# ---- contrastive_triplets ----------------------------------------------------
+
+def test_contrastive_triplets_negative_dodges_pair(spark):
+    from navigator_document_parser_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)], ["vec_id", "embedding"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.99), (2, 3, 0.98)], ["id_a", "id_b", "sim"]
+    )
+    out = {(r.anchor_id, r.pos_id): r for r in
+           contrastive_triplets(emb, pairs).collect()}
+    assert len(out) == 2
+    for (a, p), r in out.items():
+        assert r.neg_id not in (a, p)
+        assert 0 <= r.neg_id < 6
+
+
+def test_contrastive_triplets_tiny_space_drops(spark):
+    from navigator_document_parser_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    # 2 ids: no valid negative exists -> zero triplets
+    emb = spark.createDataFrame(
+        [(0, [1.0]), (1, [1.0])], ["vec_id", "embedding"]
+    )
+    pairs = spark.createDataFrame([(0, 1, 1.0)], ["id_a", "id_b", "sim"])
+    assert contrastive_triplets(emb, pairs).count() == 0
+
+
+# ---- bbit_minhash_pairs ------------------------------------------------------
+
+def test_bbit_identical_docs_estimate_one(spark):
+    from navigator_document_parser_spark.operators.dedup import (
+        bbit_minhash_pairs,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    out = {(r.id_a, r.id_b): r for r in bbit_minhash_pairs(df).collect()}
+    # identical docs share every band key and every b-bit value
+    assert out[(1, 2)].n_match == 8
+    assert out[(1, 2)].jhat4 == 1.0
+    # the unrelated doc shares no band key -> never a candidate
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_bbit_estimate_clamped_at_zero(spark):
+    from navigator_document_parser_spark.operators.dedup import (
+        bbit_minhash_pairs,
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        bbit_minhash_pairs(
+            spark.createDataFrame([(1, "a b c")], ["doc_id", "text"]),
+            b=0,
+        )
