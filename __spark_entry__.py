@@ -3136,6 +3136,20 @@ def _dedup_bbit_oracle() -> str:
     )
 
 
+def _dedup_cluster_stats(spark, sf):
+    """Duplicate-cluster size histogram over the same n-gram-Jaccard
+    pair graph as dedup_components (operators/dedup.py
+    dedup_cluster_stats); singletons reported as the size-1 row."""
+    from navigator_document_parser_spark.operators.dedup import (
+        dedup_cluster_stats,
+        ngram_jaccard_pairs,
+    )
+
+    d = _docs(spark, sf)
+    pairs = ngram_jaccard_pairs(d, threshold=0.1, length_band=64)
+    return dedup_cluster_stats(d, pairs)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3295,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": _host_reputation,        # SEO-farm profiling
         "training_pairs": _training_pairs,          # contrastive triplets
         "dedup_bbit": _dedup_bbit,                  # b-bit minhash estimate
+        "dedup_cluster_stats": _dedup_cluster_stats,  # cluster histogram
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4302,4 +4317,45 @@ def oracle_sql() -> dict[str, str]:
     oracles["host_reputation"] = _host_reputation_oracle()
     oracles["training_pairs"] = _training_pairs_oracle()
     oracles["dedup_bbit"] = _dedup_bbit_oracle()
+    oracles["dedup_cluster_stats"] = f"""
+        {_SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)}
+        , pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang
+           AND (length(a.text) // 64) = (length(b.text) // 64)
+           AND a.doc_id < b.doc_id
+          WHERE {_JACCARD} >= 0.1
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT reach.node, e.dst AS r
+          FROM reach JOIN edges e ON reach.r = e.src
+        ), comp AS (
+          SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+        ), sizes AS (
+          SELECT comp, count(*) AS sz FROM comp GROUP BY comp
+        ), hist AS (
+          SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(sz) AS BIGINT) AS n_docs
+          FROM sizes GROUP BY sz
+        ), tot AS (
+          SELECT count(*) AS total FROM documents
+        ), clus AS (
+          SELECT coalesce(sum(sz), 0) AS c FROM sizes
+        )
+        SELECT CAST(sz AS BIGINT) AS cluster_size, n_clusters, n_docs
+        FROM hist
+        UNION ALL
+        SELECT CAST(1 AS BIGINT) AS cluster_size,
+               CAST(total - c AS BIGINT) AS n_clusters,
+               CAST(total - c AS BIGINT) AS n_docs
+        FROM tot, clus WHERE total - c > 0
+    """
     return oracles

@@ -116,6 +116,7 @@ OP_QUERIES = [
     "recrawl_schedule",
     "dust_rules",
     "trap_detect",
+    "url_templates",
     "chunk_windows",
     "split_sentences",
     "bpe_tokenize",
@@ -130,6 +131,7 @@ OP_QUERIES = [
     "temperature_mix",
     "host_split",
     "weighted_sample",
+    "host_reputation",
     "ccnet_buckets",
     "importance_select",
     "pagerank_hosts",
@@ -156,12 +158,14 @@ OP_QUERIES = [
     "dedup_paragraphs",
     "dedup_substring",
     "dedup_minhash_pairs",
+    "dedup_bbit",
     "lsh_audit",
     "dedup_snm",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_components",
+    "dedup_cluster_stats",
     "fuzzy_dedup_corpus",
     "knn_cosine",
     "knn_lsh",
@@ -171,6 +175,7 @@ OP_QUERIES = [
     "embedding_neardup",
     "embedding_outliers",
     "mmr_rerank",
+    "training_pairs",
     "semdedup",
     "pq_encode",
     "knn_pq",

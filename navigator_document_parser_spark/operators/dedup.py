@@ -1940,3 +1940,57 @@ def oracle_bbit_minhash_pairs(
                {j4} AS jhat4
         FROM scored
     """
+
+
+def dedup_cluster_stats(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup POST-MORTEM report:
+    how much of the corpus sits in 2-doc mirrors vs 1000-doc template
+    farms decides whether to tighten thresholds or write host rules
+    (cluster-size tails are also the standard sanity check that LSH
+    banding isn't chaining unrelated docs through hubs).
+
+    Input ``pairs`` (id_a, id_b) feeds the batched connected-components
+    operator; singletons (docs in no pair) are reported as the
+    cluster_size = 1 row so the histogram masses sum to the corpus.
+
+    100 TB shape: components is the existing batched-rounds operator;
+    the histogram is two tiny aggregates over (comp) rows; the two
+    1-row counts fold back via one crossJoin each (never in a loop —
+    lesson 16).
+
+    Returns (cluster_size, n_clusters, n_docs).
+    """
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    hist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+    total = df.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    )
+    clustered = sizes.groupBy().agg(
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("c")
+    )
+    singles = (
+        total.crossJoin(F.broadcast(clustered))
+        .select(
+            F.lit(1).cast("bigint").alias("sz"),
+            (F.col("total") - F.col("c")).alias("n_clusters"),
+            (F.col("total") - F.col("c")).alias("n_docs"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return hist.select(
+        F.col("sz").alias("cluster_size"), "n_clusters", "n_docs"
+    ).unionByName(
+        singles.select(
+            F.col("sz").alias("cluster_size"), "n_clusters", "n_docs"
+        )
+    )

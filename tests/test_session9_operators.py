@@ -459,3 +459,39 @@ def test_bbit_estimate_clamped_at_zero(spark):
             spark.createDataFrame([(1, "a b c")], ["doc_id", "text"]),
             b=0,
         )
+
+
+# ---- dedup_cluster_stats -----------------------------------------------------
+
+def test_dedup_cluster_stats_histogram(spark):
+    from navigator_document_parser_spark.operators.dedup import (
+        dedup_cluster_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], ["doc_id", "text"]
+    )
+    # clusters: {0,1,2} via chain, {3,4}; singletons 5..9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], ["id_a", "id_b"]
+    )
+    out = {r.cluster_size: r for r in
+           dedup_cluster_stats(docs, pairs).collect()}
+    assert out[3].n_clusters == 1 and out[3].n_docs == 3
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2
+    assert out[1].n_clusters == 5 and out[1].n_docs == 5
+    assert sum(r.n_docs for r in out.values()) == 10
+
+
+def test_dedup_cluster_stats_no_pairs(spark):
+    from navigator_document_parser_spark.operators.dedup import (
+        dedup_cluster_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(4)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    out = dedup_cluster_stats(docs, pairs).collect()
+    assert len(out) == 1
+    assert out[0].cluster_size == 1 and out[0].n_docs == 4
