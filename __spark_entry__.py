@@ -3099,18 +3099,9 @@ def _training_pairs_oracle() -> str:
         oracle_contrastive_triplets,
     )
 
-    pairs_sql = """
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(
-                 CAST(a.embedding AS DOUBLE[]),
-                 CAST(b.embedding AS DOUBLE[])), 4) AS sim
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(
-                 CAST(a.embedding AS DOUBLE[]),
-                 CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
-    """
-    return oracle_contrastive_triplets(pairs_sql)
+    # ONE pair definition shared with the embedding_neardup oracle
+    # (module constant below) — the positive set cannot drift
+    return oracle_contrastive_triplets(_NEARDUP_PAIRS_SQL)
 
 
 def _dedup_bbit(spark, sf):
@@ -3345,6 +3336,54 @@ _JACCARD = (
     )
     + " END"
 )
+
+# ONE definition of the n-gram-Jaccard pair graph + recursive
+# connected-components reach, shared by the dedup_components /
+# fuzzy_dedup_corpus / dedup_cluster_stats oracles — the blocking
+# params (threshold 0.1, length band 64) are pinned in exactly one
+# place, mirroring ngram_jaccard_pairs' entry arguments
+_COMPONENTS_CTE_TAIL = """
+    , pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang
+       AND (length(a.text) // 64) = (length(b.text) // 64)
+       AND a.doc_id < b.doc_id
+      WHERE {jaccard} >= 0.1
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT reach.node, e.dst AS r
+      FROM reach JOIN edges e ON reach.r = e.src
+    )
+"""
+
+
+def _components_cte() -> str:
+    return _SHINGLE_CTE.replace(
+        "WITH", "WITH RECURSIVE", 1
+    ) + _COMPONENTS_CTE_TAIL.format(jaccard=_JACCARD)
+
+# the embedding near-dup pair SQL — shared verbatim by the
+# embedding_neardup oracle and the training_pairs (contrastive
+# triplets) oracle so the positive-pair definition cannot drift
+_NEARDUP_PAIRS_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+"""
 
 
 def _lsh_oracle_sql(dim: int = 64, n_planes: int = 4, n_tables: int = 4,
@@ -3653,50 +3692,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_JACCARD} >= 0.2
         """,
         "dedup_components": f"""
-            {_SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)}
-            , pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM sh a JOIN sh b
-                ON a.lang = b.lang
-               AND (length(a.text) // 64) = (length(b.text) // 64)
-               AND a.doc_id < b.doc_id
-              WHERE {_JACCARD} >= 0.1
-            ), edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION ALL
-              SELECT id_b AS src, id_a AS dst FROM pairs
-            ), nodes AS (
-              SELECT DISTINCT src AS node FROM edges
-            ), reach AS (
-              SELECT node, node AS r FROM nodes
-              UNION
-              SELECT reach.node, e.dst AS r
-              FROM reach JOIN edges e ON reach.r = e.src
-            )
+            {_components_cte()}
             SELECT node, CAST(MIN(r) AS BIGINT) AS comp
             FROM reach GROUP BY node
         """,
         "fuzzy_dedup_corpus": f"""
-            {_SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)}
-            , pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM sh a JOIN sh b
-                ON a.lang = b.lang
-               AND (length(a.text) // 64) = (length(b.text) // 64)
-               AND a.doc_id < b.doc_id
-              WHERE {_JACCARD} >= 0.1
-            ), edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION ALL
-              SELECT id_b AS src, id_a AS dst FROM pairs
-            ), nodes AS (
-              SELECT DISTINCT src AS node FROM edges
-            ), reach AS (
-              SELECT node, node AS r FROM nodes
-              UNION
-              SELECT reach.node, e.dst AS r
-              FROM reach JOIN edges e ON reach.r = e.src
-            ), losers AS (
+            {_components_cte()}
+            , losers AS (
               SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node
             )
             SELECT d.doc_id, d.lang, d.n_chars
@@ -3827,17 +3829,7 @@ def oracle_sql() -> dict[str, str]:
                           END AS INTEGER)), ',') AS q_csv
             FROM m
         """,
-        "embedding_neardup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(
-                     CAST(a.embedding AS DOUBLE[]),
-                     CAST(b.embedding AS DOUBLE[])), 4) AS sim
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(
-                     CAST(a.embedding AS DOUBLE[]),
-                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
-        """,
+        "embedding_neardup": _NEARDUP_PAIRS_SQL,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
@@ -4318,26 +4310,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["training_pairs"] = _training_pairs_oracle()
     oracles["dedup_bbit"] = _dedup_bbit_oracle()
     oracles["dedup_cluster_stats"] = f"""
-        {_SHINGLE_CTE.replace("WITH", "WITH RECURSIVE", 1)}
-        , pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM sh a JOIN sh b
-            ON a.lang = b.lang
-           AND (length(a.text) // 64) = (length(b.text) // 64)
-           AND a.doc_id < b.doc_id
-          WHERE {_JACCARD} >= 0.1
-        ), edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pairs
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM pairs
-        ), nodes AS (
-          SELECT DISTINCT src AS node FROM edges
-        ), reach AS (
-          SELECT node, node AS r FROM nodes
-          UNION
-          SELECT reach.node, e.dst AS r
-          FROM reach JOIN edges e ON reach.r = e.src
-        ), comp AS (
+        {_components_cte()}
+        , comp AS (
           SELECT node, MIN(r) AS comp FROM reach GROUP BY node
         ), sizes AS (
           SELECT comp, count(*) AS sz FROM comp GROUP BY comp

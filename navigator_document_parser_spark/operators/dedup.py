@@ -1821,21 +1821,35 @@ def bbit_minhash_pairs(
 
         return F.array_min(F.transform(F.col("sh"), hasher(f"{h}:")))
 
+    # evaluate every interpreted HOF minimum exactly ONCE: the b-bit
+    # signature columns AND the (4,2) band keys both derive from the
+    # materialized min strings (two downstream plans would otherwise
+    # re-run the minima per consumer — the lesson-2/3 class)
+    n_min = max(num_hashes, 4)
+    mins = ne.select(
+        "id", *[min_hash(h).alias(f"m{h}") for h in range(n_min)]
+    ).localCheckpoint(eager=True)
+
     def bbit(h: int) -> Column:
         return (
-            F.conv(F.substring(min_hash(h), 1, 8), 16, 10).cast(
+            F.conv(F.substring(F.col(f"m{h}"), 1, 8), 16, 10).cast(
                 "bigint"
             )
             % mod
         )
 
-    sig = ne.select(
+    sig = mins.select(
         "id", *[bbit(h).alias(f"b{h}") for h in range(num_hashes)]
     )
-    bands = ne.select(
+    # band_keys_from_shingles(num_hashes=4, bands=2) spelled over the
+    # shared minima: md5(m0 || ',' || m1), md5(m2 || ',' || m3)
+    bands = mins.select(
         "id",
         F.explode(
-            band_keys_from_shingles(F.col("sh"), num_hashes=4, bands=2)
+            F.array(
+                F.md5(F.concat_ws(",", F.col("m0"), F.col("m1"))),
+                F.md5(F.concat_ws(",", F.col("m2"), F.col("m3"))),
+            )
         ).alias("bk"),
     )
     cand = (
@@ -1962,9 +1976,14 @@ def dedup_cluster_stats(
     1-row counts fold back via one crossJoin each (never in a loop —
     lesson 16).
 
+    Pair endpoints absent from ``df`` are dropped (semi-join) so the
+    sum-to-corpus invariant holds even when the pair graph was mined
+    from a wider snapshot than the corpus being reported on.
+
     Returns (cluster_size, n_clusters, n_docs).
     """
-    comps = connected_components(pairs)
+    ids = df.select(F.col(id_col).alias("node"))
+    comps = connected_components(pairs).join(ids, "node", "left_semi")
     sizes = comps.groupBy("comp").agg(
         F.count(F.lit(1)).cast("bigint").alias("sz")
     )
@@ -1987,10 +2006,18 @@ def dedup_cluster_stats(
         )
         .filter(F.col("n_clusters") > 0)
     )
-    return hist.select(
+    out = hist.select(
         F.col("sz").alias("cluster_size"), "n_clusters", "n_docs"
     ).unionByName(
         singles.select(
             F.col("sz").alias("cluster_size"), "n_clusters", "n_docs"
         )
+    )
+    # a component reduced to one in-df node by the semi-join lands in
+    # the sz=1 bin alongside the never-paired singles — merge the two
+    # cluster_size=1 rows (a no-op when pairs came from df itself,
+    # where every component has >= 2 nodes)
+    return out.groupBy("cluster_size").agg(
+        F.sum("n_clusters").cast("bigint").alias("n_clusters"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
     )

@@ -545,10 +545,15 @@ def kmv_slice_jaccard(
         .dropDuplicates(["lang", "u"])
     )
     w = Window.partitionBy("lang").orderBy(F.col("u").asc())
+    # checkpoint the sketch: langs/pairs AND the membership join all
+    # read these <= k rows per slice — without the barrier the
+    # broadcast side would re-run the whole explode+hash+window plan
+    # a second time just to enumerate the languages
     sk = (
         uh.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("lang", "u")
+        .localCheckpoint(eager=True)
     )
     langs = sk.select("lang").distinct()
     pairs = (
