@@ -3141,6 +3141,93 @@ def _dedup_cluster_stats(spark, sf):
     return dedup_cluster_stats(d, pairs)
 
 
+# shared page synth for the metadata/markup miners: head tags vary by
+# residue (og on %3, description on %4, rss feed on %5, scripts on %6),
+# link count by parity — every field exercises both present and absent
+_META_HTML_SRC_SQL = """
+    SELECT doc_id,
+      '<html><head><title>Doc ' || CAST(doc_id AS STRING) || '</title>'
+      || CASE WHEN doc_id % 3 = 0
+              THEN '<meta property="og:title" content="OG '
+                || CAST(doc_id AS STRING)
+                || '"><meta property="og:type" content="article">'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 1
+              THEN '<meta name="description" content="about '
+                || source || '">'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 2
+              THEN '<link rel="alternate" type="application/rss+xml"'
+                || ' href="/feed' || CAST(doc_id % 3 AS STRING)
+                || '.xml">'
+              ELSE '' END
+      || CASE WHEN doc_id % 6 = 0
+              THEN '<script src="a.js"></script><script>var x=1;'
+                || '</script>'
+              ELSE '' END
+      || '</head><body><a href="/l1">one</a>'
+      || CASE WHEN doc_id % 2 = 0
+              THEN '<a href="/l2">two</a>' ELSE '' END
+      || '<p>' || text || '</p></body></html>' AS html
+    FROM documents
+"""
+
+
+def _meta_tags(spark, sf):
+    """Page-metadata mining (title/OpenGraph/description/feed link)
+    over head-tag-decorated synthetic pages (operators/tables.py
+    meta_tags): one shared-safe regexp_extract per field, map-only."""
+    from navigator_document_parser_spark.operators.tables import meta_tags
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    return meta_tags(spark.sql(_META_HTML_SRC_SQL))
+
+
+def _markup_stats(spark, sf):
+    """Markup-density profile (tag/link/script counts, text-to-markup
+    ratio) over the same synthetic pages (operators/tables.py
+    markup_stats)."""
+    from navigator_document_parser_spark.operators.tables import (
+        markup_stats,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    return markup_stats(spark.sql(_META_HTML_SRC_SQL))
+
+
+# redirect-chain synth by decade position p = doc_id % 10:
+# p 1,2 -> the decade's 5-slot; 5 -> the 9-slot; 3 -> ITSELF (cycle);
+# everything else terminal. Chains: 1/2 resolve in 2 hops, 5 in 1,
+# 3 never (self-cycle), rest in 0.
+_REDIRECTS_SRC_SQL = """
+    SELECT 'u' || CAST(doc_id AS STRING) AS url,
+           CASE WHEN doc_id % 10 IN (1, 2)
+                THEN 'u' || CAST(doc_id - (doc_id % 10) + 5 AS STRING)
+                WHEN doc_id % 10 = 5
+                THEN 'u' || CAST(doc_id + 4 AS STRING)
+                WHEN doc_id % 10 = 3
+                THEN 'u' || CAST(doc_id AS STRING)
+                ELSE NULL END AS target
+    FROM documents
+"""
+
+
+def _resolve_redirects(spark, sf):
+    """Bounded redirect/canonical-chain resolution over a synthetic
+    301 map with chains, terminals, and a self-cycle
+    (operators/urls.py resolve_redirects): max_hops equi-joins against
+    the checkpointed map, cycles surface as resolved=false."""
+    from navigator_document_parser_spark.operators.urls import (
+        resolve_redirects,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    return resolve_redirects(spark.sql(_REDIRECTS_SRC_SQL), max_hops=4)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3301,6 +3388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pairs": _training_pairs,          # contrastive triplets
         "dedup_bbit": _dedup_bbit,                  # b-bit minhash estimate
         "dedup_cluster_stats": _dedup_cluster_stats,  # cluster histogram
+        "meta_tags": _meta_tags,                    # og/title/feed mining
+        "markup_stats": _markup_stats,              # markup-density profile
+        "resolve_redirects": _resolve_redirects,    # canonical chains
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4309,6 +4399,20 @@ def oracle_sql() -> dict[str, str]:
     oracles["host_reputation"] = _host_reputation_oracle()
     oracles["training_pairs"] = _training_pairs_oracle()
     oracles["dedup_bbit"] = _dedup_bbit_oracle()
+    from navigator_document_parser_spark.operators.tables import (
+        oracle_markup_stats,
+        oracle_meta_tags,
+    )
+
+    oracles["meta_tags"] = oracle_meta_tags(_META_HTML_SRC_SQL)
+    oracles["markup_stats"] = oracle_markup_stats(_META_HTML_SRC_SQL)
+    from navigator_document_parser_spark.operators.urls import (
+        oracle_resolve_redirects,
+    )
+
+    oracles["resolve_redirects"] = oracle_resolve_redirects(
+        _REDIRECTS_SRC_SQL, max_hops=4
+    )
     oracles["dedup_cluster_stats"] = f"""
         {_components_cte()}
         , comp AS (

@@ -112,11 +112,14 @@ OP_QUERIES = [
     "robots_filter",
     "sitemap_parse",
     "html_tables",
+    "meta_tags",
+    "markup_stats",
     "fetch_schedule",
     "recrawl_schedule",
     "dust_rules",
     "trap_detect",
     "url_templates",
+    "resolve_redirects",
     "chunk_windows",
     "split_sentences",
     "bpe_tokenize",

@@ -132,3 +132,131 @@ def oracle_extract_html_tables(html_table_sql: str) -> str:
                  AS cell_text
         FROM ({lvl3})
     """
+
+
+# ---------------------------------------------------------------------------
+# page metadata mining (title / OpenGraph / description / feed link)
+# ---------------------------------------------------------------------------
+
+# shared Java-regex/RE2-safe patterns (non-greedy via negated classes,
+# no backreferences/lookaround) — the sitemap/table discipline. Both
+# engines return '' on no match (verified), so absent tags are ''.
+_META_PATTERNS = (
+    ("title", "<title>([^<]*)</title>"),
+    ("og_title", '<meta property="og:title" content="([^"]*)"'),
+    ("og_type", '<meta property="og:type" content="([^"]*)"'),
+    ("description", '<meta name="description" content="([^"]*)"'),
+    (
+        "feed_href",
+        '<link rel="alternate" type="application/rss\\+xml"'
+        ' href="([^"]*)"',
+    ),
+)
+
+
+def meta_tags(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Page-metadata extraction: <title>, OpenGraph title/type, meta
+    description, and RSS feed discovery from raw markup — the
+    enrichment columns a web corpus carries next to the extracted text
+    (search snippets, social cards, feed-based recrawl discovery).
+    Attribute-ORDER sensitive by design (property before content, the
+    overwhelmingly dominant emitted order); a full attribute parser
+    belongs in the extraction DOM core, not this map stage.
+
+    100 TB shape: one regexp_extract per field, map-only, fused into
+    codegen above the scan; absent tags yield ''.
+
+    Returns (doc_id, title, og_title, og_type, description, feed_href).
+    """
+    cols = [F.col(id_col).alias("doc_id")]
+    for name, pat in _META_PATTERNS:
+        cols.append(
+            F.regexp_extract(F.col(html_col), pat, 1).alias(name)
+        )
+    return pages.select(*cols)
+
+
+def oracle_meta_tags(pages_sql: str) -> str:
+    """DuckDB replica of meta_tags; ``pages_sql`` yields
+    (doc_id, html)."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    sel = ", ".join(
+        f"regexp_extract(html, {sql_quote(pat)}, 1) AS {name}"
+        for name, pat in _META_PATTERNS
+    )
+    return f"WITH p AS ({pages_sql}) SELECT doc_id, {sel} FROM p"
+
+
+def markup_stats(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """Markup-density profile per page: tag/link/script counts and the
+    text-to-markup ratio — the boilerplate-richness prior an extraction
+    pipeline reads before choosing a parser policy (script-heavy,
+    link-farm, and markup-dominated pages fail readability-style
+    scoring in predictable ways; cf. the text-density family of
+    boilerplate detectors).
+
+    Counts are size(regexp_extract_all(...)); visible-text length is
+    length after tag-strip. All shared-safe patterns, map-only.
+
+    Returns (doc_id, n_tags, n_links, n_scripts, text_chars,
+    text_ratio4).
+    """
+    from navigator_document_parser_spark.operators import ratio4
+
+    h = F.col(html_col)
+    n_tags = F.size(
+        F.regexp_extract_all(h, F.lit("<[A-Za-z/][^>]*>"), F.lit(0))
+    ).cast("bigint")
+    n_links = F.size(
+        F.regexp_extract_all(h, F.lit("<a [^>]*>"), F.lit(0))
+    ).cast("bigint")
+    n_scripts = F.size(
+        F.regexp_extract_all(h, F.lit("<script[^>]*>"), F.lit(0))
+    ).cast("bigint")
+    text_chars = F.length(
+        F.regexp_replace(h, "<[^>]*>", "")
+    ).cast("bigint")
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        n_tags.alias("n_tags"),
+        n_links.alias("n_links"),
+        n_scripts.alias("n_scripts"),
+        text_chars.alias("text_chars"),
+        ratio4(
+            text_chars, F.greatest(F.length(h).cast("bigint"), F.lit(1))
+        ).alias("text_ratio4"),
+    )
+
+
+def oracle_markup_stats(pages_sql: str) -> str:
+    """DuckDB replica of markup_stats."""
+    from navigator_document_parser_spark.operators import ratio4_sql
+
+    r4 = ratio4_sql("text_chars", "greatest(length(html), 1)")
+    return f"""
+        WITH p AS ({pages_sql}),
+        sig AS (
+          SELECT doc_id, html,
+                 CAST(len(regexp_extract_all(html, '<[A-Za-z/][^>]*>'))
+                      AS BIGINT) AS n_tags,
+                 CAST(len(regexp_extract_all(html, '<a [^>]*>'))
+                      AS BIGINT) AS n_links,
+                 CAST(len(regexp_extract_all(html, '<script[^>]*>'))
+                      AS BIGINT) AS n_scripts,
+                 CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
+                      AS BIGINT) AS text_chars
+          FROM p
+        )
+        SELECT doc_id, n_tags, n_links, n_scripts, text_chars,
+               {r4} AS text_ratio4
+        FROM sig
+    """

@@ -736,3 +736,90 @@ def oracle_url_templates(urls_sql: str, top_k: int = 3) -> str:
           FROM agg
         ) WHERE rank <= {top_k}
     """
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    url_col: str = "url",
+    target_col: str = "target",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Bounded redirect/canonical-chain resolution: follow the
+    (url -> target) map up to ``max_hops`` hops and report the final
+    URL — the canonicalization a crawl pipeline runs over 301/308 and
+    rel=canonical edges before keying its result store (the reference
+    keys on url: /root/reference/cli/parse_htmls.py insert-if-absent).
+    Chains longer than ``max_hops`` and cycles (self- or multi-node)
+    surface as resolved = false for frontier triage, never an
+    exception or an unbounded loop.
+
+    100 TB shape: ``max_hops`` equi-joins against the checkpointed
+    non-null redirect map (bounded synchronized relaxations, the
+    bfs_depth discipline); each round's state is one row per url.
+
+    Returns (url, final_url, hops, resolved).
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    m = (
+        redirects.filter(F.col(target_col).isNotNull())
+        .select(
+            F.col(url_col).alias("src"), F.col(target_col).alias("dst")
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = redirects.select(
+        F.col(url_col).alias("url"),
+        F.col(url_col).alias("cur"),
+        F.lit(0).cast("bigint").alias("hops"),
+    )
+    for _ in range(max_hops):
+        state = (
+            state.join(m, state["cur"] == m["src"], "left")
+            .select(
+                "url",
+                F.coalesce(F.col("dst"), F.col("cur")).alias("cur"),
+                (
+                    F.col("hops")
+                    + F.when(F.col("dst").isNotNull(), 1).otherwise(0)
+                ).cast("bigint").alias("hops"),
+            )
+        )
+    return state.join(m, state["cur"] == m["src"], "left").select(
+        "url",
+        F.col("cur").alias("final_url"),
+        "hops",
+        F.col("dst").isNull().alias("resolved"),
+    )
+
+
+def oracle_resolve_redirects(redirects_sql: str, max_hops: int = 4) -> str:
+    """DuckDB replica of resolve_redirects as unrolled left joins;
+    ``redirects_sql`` yields (url, target)."""
+    parts = [
+        f"""
+        WITH r AS ({redirects_sql}),
+        m AS (SELECT url AS src, target AS dst FROM r
+              WHERE target IS NOT NULL),
+        s0 AS (SELECT url, url AS cur, CAST(0 AS BIGINT) AS hops FROM r)
+        """
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"""
+        , s{i} AS (
+          SELECT s.url,
+                 coalesce(m.dst, s.cur) AS cur,
+                 CAST(s.hops + CASE WHEN m.dst IS NOT NULL
+                                    THEN 1 ELSE 0 END AS BIGINT) AS hops
+          FROM s{i - 1} s LEFT JOIN m ON s.cur = m.src
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT s.url, s.cur AS final_url, s.hops,
+               (m.dst IS NULL) AS resolved
+        FROM s{max_hops} s LEFT JOIN m ON s.cur = m.src
+        """
+    )
+    return "".join(parts)

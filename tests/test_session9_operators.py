@@ -495,3 +495,70 @@ def test_dedup_cluster_stats_no_pairs(spark):
     out = dedup_cluster_stats(docs, pairs).collect()
     assert len(out) == 1
     assert out[0].cluster_size == 1 and out[0].n_docs == 4
+
+
+# ---- meta_tags / markup_stats -------------------------------------------------
+
+def test_meta_tags_fields(spark):
+    from navigator_document_parser_spark.operators.tables import meta_tags
+
+    html = (
+        '<html><head><title>My Page</title>'
+        '<meta property="og:title" content="OG Page">'
+        '<meta property="og:type" content="article">'
+        '<meta name="description" content="a nice page">'
+        '<link rel="alternate" type="application/rss+xml"'
+        ' href="/feed.xml"></head><body></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<html><body>bare</body></html>")],
+        ["doc_id", "html"],
+    )
+    out = _rows(meta_tags(df))
+    assert out[1].title == "My Page"
+    assert out[1].og_title == "OG Page" and out[1].og_type == "article"
+    assert out[1].description == "a nice page"
+    assert out[1].feed_href == "/feed.xml"
+    assert out[2].title == "" and out[2].feed_href == ""
+
+
+def test_markup_stats_counts(spark):
+    from navigator_document_parser_spark.operators.tables import markup_stats
+
+    html = (
+        '<html><body><a href="/x">one</a><a href="/y">two</a>'
+        "<script>var x;</script><p>hello</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    out = _rows(markup_stats(df))[1]
+    assert out.n_links == 2
+    assert out.n_scripts == 1
+    # visible text: one two var x; hello
+    assert out.text_chars == len("onetwovar x;hello")
+    assert 0.0 < out.text_ratio4 < 1.0
+
+
+# ---- resolve_redirects --------------------------------------------------------
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    from navigator_document_parser_spark.operators.urls import (
+        resolve_redirects,
+    )
+
+    rows = [
+        ("a", "b"),
+        ("b", "c"),
+        ("c", None),
+        ("loop", "loop"),
+        ("p", "q"),
+        ("q", "p"),
+        ("t", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, target string")
+    out = {r.url: r for r in resolve_redirects(df, max_hops=4).collect()}
+    assert out["a"].final_url == "c" and out["a"].hops == 2
+    assert out["a"].resolved
+    assert out["t"].hops == 0 and out["t"].resolved
+    assert not out["loop"].resolved and out["loop"].hops == 4
+    assert not out["p"].resolved  # 2-cycle never terminates
+    assert out["p"].final_url in ("p", "q")
