@@ -3228,6 +3228,39 @@ def _resolve_redirects(spark, sf):
     return resolve_redirects(spark.sql(_REDIRECTS_SRC_SQL), max_hops=4)
 
 
+_JSONLD_HTML_SRC_SQL = """
+    SELECT doc_id,
+      '<html><head>'
+      || CASE WHEN doc_id % 3 = 0 THEN
+           '<script type="application/ld+json">{"@type": "Article",'
+           || ' "name": "Doc ' || CAST(doc_id AS STRING)
+           || '", "datePublished": "2026-0'
+           || CAST(1 + doc_id % 9 AS STRING)
+           || '-01", "author": {"name": "au'
+           || CAST(doc_id % 5 AS STRING) || '"}}</script>'
+         WHEN doc_id % 3 = 1 THEN
+           '<script type="application/ld+json">{"@type": "Product",'
+           || ' "name": "P' || CAST(doc_id AS STRING) || '"}</script>'
+         ELSE '' END
+      || '</head><body><p>x</p></body></html>' AS html
+    FROM documents
+"""
+
+
+def _jsonld_extract(spark, sf):
+    """schema.org JSON-LD mining over ld+json-decorated synthetic pages
+    (operators/tables.py jsonld_extract): shared block regex + JSONPath
+    probes (engine-specific quoting for the '@type' key), map-only;
+    pages without a block yield NULL fields."""
+    from navigator_document_parser_spark.operators.tables import (
+        jsonld_extract,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    return jsonld_extract(spark.sql(_JSONLD_HTML_SRC_SQL))
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3391,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_tags": _meta_tags,                    # og/title/feed mining
         "markup_stats": _markup_stats,              # markup-density profile
         "resolve_redirects": _resolve_redirects,    # canonical chains
+        "jsonld_extract": _jsonld_extract,          # schema.org mining
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4412,6 +4446,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["resolve_redirects"] = oracle_resolve_redirects(
         _REDIRECTS_SRC_SQL, max_hops=4
+    )
+    from navigator_document_parser_spark.operators.tables import (
+        oracle_jsonld_extract,
+    )
+
+    oracles["jsonld_extract"] = oracle_jsonld_extract(
+        _JSONLD_HTML_SRC_SQL
     )
     oracles["dedup_cluster_stats"] = f"""
         {_components_cte()}

@@ -114,6 +114,7 @@ OP_QUERIES = [
     "html_tables",
     "meta_tags",
     "markup_stats",
+    "jsonld_extract",
     "fetch_schedule",
     "recrawl_schedule",
     "dust_rules",

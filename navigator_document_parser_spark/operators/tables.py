@@ -260,3 +260,82 @@ def oracle_markup_stats(pages_sql: str) -> str:
                {r4} AS text_ratio4
         FROM sig
     """
+
+
+# ---------------------------------------------------------------------------
+# schema.org JSON-LD mining
+# ---------------------------------------------------------------------------
+
+_JSONLD_BLOCK_RE = (
+    '<script type="application/ld\\+json">([^<]*)</script>'
+)
+# (column, spark JSONPath, duckdb JSONPath): the '@type' key needs
+# engine-specific quoting — Spark accepts $['@type'], DuckDB $."@type"
+_JSONLD_FIELDS = (
+    ("ld_type", "$['@type']", '$."@type"'),
+    ("name", "$.name", "$.name"),
+    ("date_published", "$.datePublished", "$.datePublished"),
+    ("author", "$.author.name", "$.author.name"),
+)
+
+
+def jsonld_extract(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+) -> DataFrame:
+    """schema.org JSON-LD mining: pull the first
+    <script type="application/ld+json"> block and extract the standard
+    Article fields — the structured-data channel (WDC-style) that rides
+    alongside the visible text on news/product pages and feeds
+    knowledge-graph and date-detection pipelines.
+
+    The block regex is shared-safe; field access is JSONPath
+    (get_json_object / json_extract_string — same unquoting and same
+    NULL-on-missing in both engines). Pages without a block (or whose
+    first block is empty) yield NULLs via the guarding CASE — Spark
+    would return NULL on malformed JSON anyway, DuckDB would raise, so
+    the guard is what keeps the two engines' behavior identical.
+
+    100 TB shape: map-only projection, one regex + four JSON probes
+    per page, fused into codegen above the scan.
+
+    Returns (doc_id, ld_type, name, date_published, author).
+    """
+    block = F.regexp_extract(F.col(html_col), _JSONLD_BLOCK_RE, 1)
+    base = pages.select(
+        F.col(id_col).alias("doc_id"), block.alias("block")
+    )
+    cols = [F.col("doc_id")]
+    for name, spark_path, _ in _JSONLD_FIELDS:
+        cols.append(
+            F.when(
+                F.col("block") != "",
+                F.get_json_object(F.col("block"), spark_path),
+            ).alias(name)
+        )
+    return base.select(*cols)
+
+
+def oracle_jsonld_extract(pages_sql: str) -> str:
+    """DuckDB replica of jsonld_extract; ``pages_sql`` yields
+    (doc_id, html)."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    sel = []
+    for name, _, duck_path in _JSONLD_FIELDS:
+        sel.append(
+            f"CASE WHEN block <> '' THEN "
+            f"json_extract_string(block, {sql_quote(duck_path)}) END"
+            f" AS {name}"
+        )
+    return f"""
+        WITH p AS ({pages_sql}),
+        b AS (
+          SELECT doc_id,
+                 regexp_extract(html, {sql_quote(_JSONLD_BLOCK_RE)}, 1)
+                   AS block
+          FROM p
+        )
+        SELECT doc_id, {', '.join(sel)} FROM b
+    """

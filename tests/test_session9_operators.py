@@ -562,3 +562,27 @@ def test_resolve_redirects_chains_and_cycles(spark):
     assert not out["loop"].resolved and out["loop"].hops == 4
     assert not out["p"].resolved  # 2-cycle never terminates
     assert out["p"].final_url in ("p", "q")
+
+
+# ---- jsonld_extract -----------------------------------------------------------
+
+def test_jsonld_extract_fields_and_absent(spark):
+    from navigator_document_parser_spark.operators.tables import (
+        jsonld_extract,
+    )
+
+    html = (
+        '<html><head><script type="application/ld+json">'
+        '{"@type": "Article", "name": "T", '
+        '"datePublished": "2026-01-02", '
+        '"author": {"name": "Ann"}}</script></head></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "<html><body>plain</body></html>")],
+        ["doc_id", "html"],
+    )
+    out = _rows(jsonld_extract(df))
+    assert out[1].ld_type == "Article" and out[1].name == "T"
+    assert out[1].date_published == "2026-01-02"
+    assert out[1].author == "Ann"
+    assert out[2].ld_type is None and out[2].author is None
