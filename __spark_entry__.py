@@ -3261,6 +3261,18 @@ def _jsonld_extract(spark, sf):
     return jsonld_extract(spark.sql(_JSONLD_HTML_SRC_SQL))
 
 
+def _readability_score(spark, sf):
+    """Flesch reading-ease per document (operators/text.py
+    readability_score): vowel-group syllables, terminator-run
+    sentences, and the whole score assembled in BIGINT fixed point —
+    no round() anywhere for HALF_UP to diverge on."""
+    from navigator_document_parser_spark.operators.text import (
+        readability_score,
+    )
+
+    return readability_score(_docs(spark, sf))
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3425,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markup_stats": _markup_stats,              # markup-density profile
         "resolve_redirects": _resolve_redirects,    # canonical chains
         "jsonld_extract": _jsonld_extract,          # schema.org mining
+        "readability_score": _readability_score,    # Flesch reading ease
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4454,6 +4467,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["jsonld_extract"] = oracle_jsonld_extract(
         _JSONLD_HTML_SRC_SQL
     )
+    from navigator_document_parser_spark.operators.text import (
+        oracle_readability_score,
+    )
+
+    oracles["readability_score"] = oracle_readability_score()
     oracles["dedup_cluster_stats"] = f"""
         {_components_cte()}
         , comp AS (

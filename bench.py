@@ -91,6 +91,7 @@ OP_QUERIES = [
     "ml_quality_score",
     "lm_rarity",
     "token_entropy",
+    "readability_score",
     "c4_filters",
     "top_ngrams",
     "keyness_terms",

@@ -2722,3 +2722,105 @@ def oracle_topic_classify(
                {ladder} AS topic
         FROM sig
     """
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (Flesch reading ease)
+# ---------------------------------------------------------------------------
+
+def readability_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease per document — the audience-level signal
+    education/simplification corpora filter on (206.835 - 1.015·w/s -
+    84.6·sy/w; Flesch 1948). Syllables via the standard vowel-group
+    heuristic ([aeiouy]+ runs), sentences via terminator runs
+    ([.!?]+), both shared-safe regexes.
+
+    Engine parity is EXACT, not rounded: both per-doc ratios use the
+    integer half-up fixed point of ratio4 (lesson 18), and the score
+    is assembled in BIGINT at 10^7 scale —
+    score_fx = 2068350000 - 1015*wps_fx - 84600*spw_fx — so there is
+    no round() anywhere for shortest-repr HALF_UP to diverge on (the
+    4dp-decimal products this formula generates are exactly the
+    .xxxx5 boundary class that bites).
+
+    100 TB shape: map-only projection, zero shuffle.
+
+    Returns (doc_id, n_words, n_sentences, n_syllables, wps4, spw4,
+    flesch).
+    """
+    t = F.col(text_col)
+    w = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(t)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).cast("bigint"),
+        F.lit(1),
+    )
+    s = F.greatest(
+        F.size(
+            F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))
+        ).cast("bigint"),
+        F.lit(1),
+    )
+    sy = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("bigint")
+    # integer half-up 10^4 fixed points (the ratio4 numerator)
+    wps_fx = F.floor((w * 20000 + s) / (s * 2)).cast("bigint")
+    spw_fx = F.floor((sy * 20000 + w) / (w * 2)).cast("bigint")
+    score_fx = (
+        F.lit(2068350000).cast("bigint")
+        - F.lit(1015) * wps_fx
+        - F.lit(84600) * spw_fx
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        sy.alias("n_syllables"),
+        (wps_fx / F.lit(1e4)).alias("wps4"),
+        (spw_fx / F.lit(1e4)).alias("spw4"),
+        (score_fx.cast("double") / F.lit(1e7)).alias("flesch"),
+    )
+
+
+def oracle_readability_score(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of readability_score — identical fixed-point
+    assembly."""
+    return f"""
+        WITH base AS (
+          SELECT {id_col} AS doc_id,
+                 greatest(CAST(len(list_filter(
+                   string_split_regex(trim(lower({text_col})), '\\s+'),
+                   x -> x <> '')) AS BIGINT), 1) AS w,
+                 greatest(CAST(len(regexp_extract_all({text_col},
+                   '[.!?]+')) AS BIGINT), 1) AS s,
+                 CAST(len(regexp_extract_all(lower({text_col}),
+                   '[aeiouy]+')) AS BIGINT) AS sy
+          FROM {table}
+        ), fx AS (
+          SELECT doc_id, w, s, sy,
+                 CAST(floor((w * 20000 + s) / (s * 2)) AS BIGINT)
+                   AS wps_fx,
+                 CAST(floor((sy * 20000 + w) / (w * 2)) AS BIGINT)
+                   AS spw_fx
+          FROM base
+        )
+        SELECT doc_id, w AS n_words, s AS n_sentences,
+               sy AS n_syllables,
+               wps_fx / 10000.0 AS wps4,
+               spw_fx / 10000.0 AS spw4,
+               CAST(2068350000 - 1015 * wps_fx - 84600 * spw_fx
+                    AS DOUBLE) / 10000000.0 AS flesch
+        FROM fx
+    """

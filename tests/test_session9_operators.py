@@ -586,3 +586,34 @@ def test_jsonld_extract_fields_and_absent(spark):
     assert out[1].date_published == "2026-01-02"
     assert out[1].author == "Ann"
     assert out[2].ld_type is None and out[2].author is None
+
+
+# ---- readability_score --------------------------------------------------------
+
+def test_readability_score_known_value(spark):
+    from navigator_document_parser_spark.operators.text import (
+        readability_score,
+    )
+
+    # "the cat sat. the dog ran." -> 6 words, 2 sentences, 6 syllables
+    # wps = 3.0, spw = 1.0 -> flesch = 206.835 - 3.045 - 84.6 = 119.19
+    df = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran.")], ["doc_id", "text"]
+    )
+    out = _rows(readability_score(df))[1]
+    assert out.n_words == 6 and out.n_sentences == 2
+    assert out.n_syllables == 6
+    assert out.wps4 == 3.0 and out.spw4 == 1.0
+    assert abs(out.flesch - 119.19) < 1e-9
+
+
+def test_readability_score_guards_empty(spark):
+    from navigator_document_parser_spark.operators.text import (
+        readability_score,
+    )
+
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    out = _rows(readability_score(df))[1]
+    # denominators clamp at 1; no nulls, no division errors
+    assert out.n_words == 1 and out.n_sentences == 1
+    assert out.n_syllables == 0
