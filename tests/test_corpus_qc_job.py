@@ -14,6 +14,19 @@ def test_corpus_qc_build(spark):
     from jobs.corpus_qc import build_qc
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try:
+        _run_build_assertions(spark, docs)
+    finally:
+        # build_qc persists the documents scan (process-lifetime in the
+        # CLI); in the SHARED pytest session a lingering cache entry
+        # gets CacheManager-substituted into LATER tests' plans as
+        # InMemoryTableScan and breaks their ReusedExchange pins
+        spark.catalog.clearCache()
+
+
+def _run_build_assertions(spark, docs):
+    from jobs.corpus_qc import build_qc
+
     flags, host_report, summary = build_qc(spark, docs)
 
     assert summary["docs"] == docs.count()
