@@ -3273,6 +3273,54 @@ def _readability_score(spark, sf):
     return readability_score(_docs(spark, sf))
 
 
+def _gibberish_score(spark, sf):
+    """Char-trigram LM gibberish detector (operators/text.py
+    gibberish_score): corpus trigram counts -> per-doc mean log2
+    probability, summed as exact fixed-point BIGINT (the token_entropy
+    discipline)."""
+    from navigator_document_parser_spark.operators.text import (
+        gibberish_score,
+    )
+
+    return gibberish_score(_docs(spark, sf))
+
+
+# mirror synth: src0 and src4 serve IDENTICAL content sets keyed by the
+# doc's decade index k = (doc_id - doc_id%20)/20 (same k for both hosts
+# by construction); src8 mirrors only even k — a partial mirror
+_MIRROR_K = "CAST((doc_id - doc_id % 20) / 20 AS BIGINT)"
+_MIRROR_SYNTH_SQL = (
+    f"CASE WHEN doc_id % 20 IN (0, 4) THEN "
+    f"'mirror page ' || CAST({_MIRROR_K} AS STRING) "
+    f"WHEN doc_id % 20 = 8 AND {_MIRROR_K} % 2 = 0 THEN "
+    f"'mirror page ' || CAST({_MIRROR_K} AS STRING) "
+    f"ELSE text END"
+)
+
+
+def _mirror_hosts(spark, sf):
+    """Cross-host mirror detection over mirror-decorated sources
+    (operators/dedup.py mirror_hosts): content collapses to md5, pair
+    join per hash, integer cross-multiplied overlap thresholds."""
+    from navigator_document_parser_spark.operators.dedup import (
+        mirror_hosts,
+    )
+
+    d = _docs(spark, sf).withColumn("text", F.expr(_MIRROR_SYNTH_SQL))
+    return mirror_hosts(d)
+
+
+def _mirror_hosts_oracle() -> str:
+    from navigator_document_parser_spark.operators.dedup import (
+        oracle_mirror_hosts,
+    )
+
+    docs_sql = (
+        f"SELECT source, {_MIRROR_SYNTH_SQL} AS text FROM documents"
+    )
+    return oracle_mirror_hosts(docs_sql)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3438,6 +3486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": _resolve_redirects,    # canonical chains
         "jsonld_extract": _jsonld_extract,          # schema.org mining
         "readability_score": _readability_score,    # Flesch reading ease
+        "gibberish_score": _gibberish_score,        # char-trigram LM
+        "mirror_hosts": _mirror_hosts,              # cross-host mirrors
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4472,6 +4522,12 @@ def oracle_sql() -> dict[str, str]:
     )
 
     oracles["readability_score"] = oracle_readability_score()
+    from navigator_document_parser_spark.operators.text import (
+        oracle_gibberish_score,
+    )
+
+    oracles["gibberish_score"] = oracle_gibberish_score()
+    oracles["mirror_hosts"] = _mirror_hosts_oracle()
     oracles["dedup_cluster_stats"] = f"""
         {_components_cte()}
         , comp AS (

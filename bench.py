@@ -92,6 +92,7 @@ OP_QUERIES = [
     "lm_rarity",
     "token_entropy",
     "readability_score",
+    "gibberish_score",
     "c4_filters",
     "top_ngrams",
     "keyness_terms",
@@ -171,6 +172,7 @@ OP_QUERIES = [
     "dedup_containment",
     "dedup_components",
     "dedup_cluster_stats",
+    "mirror_hosts",
     "fuzzy_dedup_corpus",
     "knn_cosine",
     "knn_lsh",

@@ -2021,3 +2021,117 @@ def dedup_cluster_stats(
         F.sum("n_clusters").cast("bigint").alias("n_clusters"),
         F.sum("n_docs").cast("bigint").alias("n_docs"),
     )
+
+
+def mirror_hosts(
+    df: DataFrame,
+    host_col: str = "source",
+    text_col: str = "text",
+    min_shared: int = 2,
+    ratio_num: int = 1,
+    ratio_den: int = 2,
+) -> DataFrame:
+    """Cross-host mirror detection: host pairs whose DISTINCT content
+    sets overlap heavily are mirrors (the classic Common-Crawl
+    curation problem — cdn./www./country-TLD copies of one site — and
+    the host-level view exact dedup alone doesn't surface). A pair is
+    flagged when it shares >= ``min_shared`` distinct texts AND the
+    overlap covers more than ratio_num/ratio_den of the SMALLER host's
+    distinct content (integer cross-multiply, never a float compare).
+
+    100 TB shape: content collapses to md5 immediately (text never
+    rides a join); the pair join is per content-hash — cost is
+    Σ df(h)² over hosts sharing a hash, the inverted-index shape, with
+    genuinely-mirrored content (small per-hash host lists) cheap by
+    construction. Hot hashes (site-template boilerplate shared by
+    thousands of hosts) belong to boilerplate_strip upstream; a
+    production run caps per-hash host-list length the same way
+    containment_pairs caps df.
+
+    Returns (host_a, host_b, n_shared, n_a, n_b, overlap4, is_mirror).
+    """
+    hh = df.select(
+        F.col(host_col).alias("host"),
+        F.md5(F.col(text_col)).alias("h"),
+    ).dropDuplicates(["host", "h"])
+    sizes = hh.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    pairs = (
+        hh.alias("a")
+        .join(
+            hh.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.host") < F.col("b.host")),
+        )
+        .groupBy(
+            F.col("a.host").alias("host_a"),
+            F.col("b.host").alias("host_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    out = (
+        pairs.join(
+            sizes.select(
+                F.col("host").alias("host_a"), F.col("n").alias("n_a")
+            ),
+            "host_a",
+        )
+        .join(
+            sizes.select(
+                F.col("host").alias("host_b"), F.col("n").alias("n_b")
+            ),
+            "host_b",
+        )
+    )
+    least_n = F.least(F.col("n_a"), F.col("n_b"))
+    return out.select(
+        "host_a",
+        "host_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        ratio4(F.col("n_shared"), least_n).alias("overlap4"),
+        (
+            (F.col("n_shared") >= min_shared)
+            & (F.col("n_shared") * ratio_den > least_n * ratio_num)
+        ).alias("is_mirror"),
+    )
+
+
+def oracle_mirror_hosts(
+    docs_sql: str,
+    host_col: str = "source",
+    text_col: str = "text",
+    min_shared: int = 2,
+    ratio_num: int = 1,
+    ratio_den: int = 2,
+) -> str:
+    """DuckDB replica of mirror_hosts over ``docs_sql`` yielding at
+    least (host_col, text_col)."""
+    r4 = ratio4_sql("n_shared", "least(n_a, n_b)")
+    return f"""
+        WITH d AS ({docs_sql}),
+        hh AS (
+          SELECT DISTINCT {host_col} AS host, md5({text_col}) AS h
+          FROM d
+        ), sizes AS (
+          SELECT host, CAST(count(*) AS BIGINT) AS n
+          FROM hh GROUP BY host
+        ), pairs AS (
+          SELECT a.host AS host_a, b.host AS host_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM hh a JOIN hh b
+            ON a.h = b.h AND a.host < b.host
+          GROUP BY 1, 2
+        )
+        SELECT host_a, host_b, n_shared,
+               sa.n AS n_a, sb.n AS n_b,
+               {r4} AS overlap4,
+               (n_shared >= {min_shared}
+                AND n_shared * {ratio_den}
+                    > least(sa.n, sb.n) * {ratio_num}) AS is_mirror
+        FROM pairs
+        JOIN sizes sa ON sa.host = pairs.host_a
+        JOIN sizes sb ON sb.host = pairs.host_b
+    """

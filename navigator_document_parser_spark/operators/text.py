@@ -2824,3 +2824,111 @@ def oracle_readability_score(
                     AS DOUBLE) / 10000000.0 AS flesch
         FROM fx
     """
+
+
+# ---------------------------------------------------------------------------
+# character-trigram gibberish scoring
+# ---------------------------------------------------------------------------
+
+def gibberish_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-trigram LM score per document — the gibberish /
+    keyboard-mash / encoding-garbage detector that catches what the
+    word-level LM (lm_rarity) cannot: tokens that are not words at
+    all. Model = corpus trigram frequencies; score = mean log2
+    P(trigram) over the document's trigram occurrences (higher = more
+    natural for this corpus).
+
+    Engine parity is the token_entropy discipline: each occurrence
+    contributes floor(log2(C(t)) * 2^20 + 0.5) as BIGINT — the per-doc
+    sum is exact integers under any shuffle order; the only floats are
+    one per-row log2 (accepted ulp class) and the final assembly
+    score = sum_fx / 2^20 / n - log2(T), identical doubles both sides.
+
+    100 TB shape: trigram explode feeds two hash aggregates (corpus
+    counts, then per-doc sums) — both map-side combinable; the corpus
+    count table joins back by trigram (dictionary-sized, hot keys are
+    combiner-absorbed).
+
+    Returns (doc_id, n_tris, score4) — score4 is round()-free: the
+    raw double is emitted (hash-stable because its inputs are exact).
+    """
+    tris = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.lower(F.col(text_col)).alias("s"),
+        )
+        .filter(F.length("s") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 2),"
+                    " i -> substring(s, i, 3))"
+                )
+            ).alias("t"),
+        )
+    )
+    corpus = tris.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    total = corpus.groupBy().agg(
+        F.sum("c").cast("bigint").alias("tt")
+    )
+    contrib = F.expr(
+        "CAST(floor(log2(CAST(c AS DOUBLE)) * 1048576.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    per_doc = (
+        tris.join(corpus, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tris"),
+            F.sum(contrib).cast("bigint").alias("s_fx"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tris",
+        (
+            (F.col("s_fx").cast("double") / F.lit(1048576.0))
+            / F.col("n_tris")
+            - F.expr("log2(CAST(tt AS DOUBLE))")
+        ).alias("score"),
+    )
+
+
+def oracle_gibberish_score(
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of gibberish_score."""
+    return f"""
+        WITH tris AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(list_transform(
+                   generate_series(1, length(lower({text_col})) - 2),
+                   i -> substr(lower({text_col}), i, 3))) AS t
+          FROM {table}
+          WHERE length({text_col}) >= 3
+        ), corpus AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS c FROM tris GROUP BY t
+        ), tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS tt FROM corpus
+        ), per_doc AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tris,
+                 CAST(SUM(CAST(floor(log2(CAST(c AS DOUBLE))
+                      * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_fx
+          FROM tris JOIN corpus USING (t)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_tris,
+               (CAST(s_fx AS DOUBLE) / 1048576.0) / n_tris
+                 - log2(CAST(tt AS DOUBLE)) AS score
+        FROM per_doc, tot
+    """

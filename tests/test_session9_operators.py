@@ -617,3 +617,62 @@ def test_readability_score_guards_empty(spark):
     # denominators clamp at 1; no nulls, no division errors
     assert out.n_words == 1 and out.n_sentences == 1
     assert out.n_syllables == 0
+
+
+# ---- gibberish_score ----------------------------------------------------------
+
+def test_gibberish_score_orders_natural_above_mash(spark):
+    from navigator_document_parser_spark.operators.text import (
+        gibberish_score,
+    )
+
+    # doc 1/2 share common trigrams; doc 3 is keyboard mash whose
+    # trigrams are singletons -> lowest mean log-probability
+    docs = [
+        (1, "the cat and the hat and the bat"),
+        (2, "the cat and the rat and the mat"),
+        (3, "zqxv jkwp qzzv xkjw"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = _rows(gibberish_score(df))
+    assert out[3].score < out[1].score
+    assert out[3].score < out[2].score
+    assert out[1].n_tris == len("the cat and the hat and the bat") - 2
+
+
+def test_gibberish_score_short_text_dropped(spark):
+    from navigator_document_parser_spark.operators.text import (
+        gibberish_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abcd")], ["doc_id", "text"]
+    )
+    out = _rows(gibberish_score(df))
+    assert 1 not in out  # < 3 chars: no trigrams, no row
+    assert out[2].n_tris == 2
+
+
+# ---- mirror_hosts -------------------------------------------------------------
+
+def test_mirror_hosts_full_and_partial(spark):
+    from navigator_document_parser_spark.operators.dedup import (
+        mirror_hosts,
+    )
+
+    rows = (
+        [(f"m{i}", "h1") for i in range(4)]
+        + [(f"m{i}", "h2") for i in range(4)]     # full mirror of h1
+        + [(f"m{i}", "h3") for i in range(2)]
+        + [("own3a", "h3"), ("own3b", "h3")]      # half mirror
+        + [("solo", "h4")]                        # unrelated
+    )
+    df = spark.createDataFrame(rows, ["text", "source"])
+    out = {(r.host_a, r.host_b): r for r in mirror_hosts(df).collect()}
+    assert out[("h1", "h2")].is_mirror
+    assert out[("h1", "h2")].overlap4 == 1.0 and out[("h1", "h2")].n_shared == 4
+    # h3 shares 2 of min(4,4)=4 -> 0.5 NOT > 0.5 -> no mirror
+    assert not out[("h1", "h3")].is_mirror
+    assert out[("h1", "h3")].overlap4 == 0.5
+    # h4 shares nothing: no pair row at all
+    assert not any("h4" in k for k in out)
