@@ -676,3 +676,51 @@ def test_mirror_hosts_full_and_partial(spark):
     assert out[("h1", "h3")].overlap4 == 0.5
     # h4 shares nothing: no pair row at all
     assert not any("h4" in k for k in out)
+
+
+# ---- plan shapes (scale pins) -------------------------------------------------
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_session6_plan_shapes(spark):
+    """Pin the 100 TB shapes of the session-6 operators: map-only ops
+    carry no Exchange, pair ops never degrade to nested-loop or
+    cartesian plans, top-N is TakeOrdered rather than a global sort."""
+    from navigator_document_parser_spark.operators.dedup import (
+        mirror_hosts,
+    )
+    from navigator_document_parser_spark.operators.similarity import (
+        embedding_outliers,
+    )
+    from navigator_document_parser_spark.operators.sketches import (
+        kmv_slice_jaccard,
+    )
+    from navigator_document_parser_spark.operators.text import (
+        code_detect,
+        readability_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    # map-only profilers: zero shuffles
+    p = _plan(code_detect(docs))
+    assert "Exchange" not in p
+    p = _plan(readability_score(docs))
+    assert "Exchange" not in p
+
+    # outlier top-N: TakeOrdered, never a global Sort over the corpus
+    p = _plan(embedding_outliers(emb, n_top=5))
+    assert "TakeOrderedAndProject" in p
+
+    # pair ops: equi-join plans only
+    p = _plan(mirror_hosts(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    p = _plan(kmv_slice_jaccard(docs, k=8))
+    assert "CartesianProduct" not in p
+    # the (pair, role) membership join broadcasts the tiny unpivot
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
