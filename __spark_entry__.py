@@ -3321,6 +3321,84 @@ def _mirror_hosts_oracle() -> str:
     return oracle_mirror_hosts(docs_sql)
 
 
+# title synth: a third of pages title themselves with their own first
+# three words (consistent), a third with one real word + clickbait
+# filler (partial), a third with pure clickbait (inconsistent)
+_TITLE_SYNTH_SQL = """
+    SELECT doc_id, text,
+           CASE doc_id % 3
+            WHEN 0 THEN regexp_extract(text,
+              '^ *([a-z]+ [a-z]+ [a-z]+)', 1)
+            WHEN 1 THEN regexp_extract(text, '^ *([a-z]+)', 1)
+              || ' shocking secret trick'
+            ELSE 'totally unrelated clickbait here' END AS title
+    FROM documents
+"""
+
+
+def _title_consistency(spark, sf):
+    """Title-vs-body token-overlap consistency (operators/tables.py
+    title_consistency): the clickbait / wrong-metadata signal; shared
+    tokenization, ratio4, map-only."""
+    from navigator_document_parser_spark.operators.tables import (
+        title_consistency,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    return title_consistency(spark.sql(_TITLE_SYNTH_SQL))
+
+
+def _degree_stats(spark, sf):
+    """Link-graph degree distribution: log2-bucket histogram of in- and
+    out-degrees over the doc-derived host graph (same edge synth as
+    pagerank_hosts) — the power-law sanity report read before any
+    centrality run; buckets via binary-string length (integer-exact,
+    the hll/quantile discipline)."""
+    d = _docs(spark, sf)
+    edges = (
+        d.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("h"), ((F.col("doc_id") * 7 + 3) % 40).cast("string")
+            ).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).select(F.lit("out").alias("direction"), "deg")
+    in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).select(F.lit("in").alias("direction"), "deg")
+    both = out_deg.unionByName(in_deg)
+    return (
+        both.withColumn(
+            "bucket", F.length(F.expr("conv(deg, 10, 2)")).cast("bigint")
+        )
+        .groupBy("direction", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hosts"))
+    )
+
+
+_DEGREE_STATS_ORACLE = """
+    WITH edges AS (
+      SELECT source AS src,
+             'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst,
+             count(*) AS w
+      FROM documents GROUP BY 1, 2
+    ), degs AS (
+      SELECT 'out' AS direction, count(*) AS deg FROM edges GROUP BY src
+      UNION ALL
+      SELECT 'in' AS direction, count(*) AS deg FROM edges GROUP BY dst
+    )
+    SELECT direction, CAST(length(bin(deg)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_hosts
+    FROM degs GROUP BY 1, 2
+"""
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3488,6 +3566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_score": _readability_score,    # Flesch reading ease
         "gibberish_score": _gibberish_score,        # char-trigram LM
         "mirror_hosts": _mirror_hosts,              # cross-host mirrors
+        "title_consistency": _title_consistency,    # clickbait signal
+        "degree_stats": _degree_stats,              # degree histogram
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4528,6 +4608,14 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["gibberish_score"] = oracle_gibberish_score()
     oracles["mirror_hosts"] = _mirror_hosts_oracle()
+    from navigator_document_parser_spark.operators.tables import (
+        oracle_title_consistency,
+    )
+
+    oracles["title_consistency"] = oracle_title_consistency(
+        _TITLE_SYNTH_SQL
+    )
+    oracles["degree_stats"] = _DEGREE_STATS_ORACLE
     oracles["dedup_cluster_stats"] = f"""
         {_components_cte()}
         , comp AS (

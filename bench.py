@@ -117,6 +117,7 @@ OP_QUERIES = [
     "meta_tags",
     "markup_stats",
     "jsonld_extract",
+    "title_consistency",
     "fetch_schedule",
     "recrawl_schedule",
     "dust_rules",
@@ -150,6 +151,7 @@ OP_QUERIES = [
     "host_communities",
     "related_hosts",
     "domain_quality",
+    "degree_stats",
     "corpus_report",
     "hll_distinct",
     "kmv_distinct",

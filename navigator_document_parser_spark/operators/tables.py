@@ -339,3 +339,77 @@ def oracle_jsonld_extract(pages_sql: str) -> str:
         )
         SELECT doc_id, {', '.join(sel)} FROM b
     """
+
+
+def title_consistency(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    title_col: str = "title",
+    text_col: str = "text",
+) -> DataFrame:
+    """Title-vs-body consistency: the fraction of distinct title tokens
+    that actually appear in the body — the clickbait / SEO-stuffing /
+    wrong-metadata signal (a page whose title shares no vocabulary with
+    its content is usually one of the three). Tokenization is the
+    shared [^a-z0-9_]+ split; membership tests the DISTINCT title
+    tokens against the body token SET; ratio is ratio4.
+
+    100 TB shape: map-only — both token arrays computed once behind an
+    eager checkpoint (lessons 3/9), membership via an array HOF on
+    per-row data, no shuffle.
+
+    Returns (doc_id, n_title_tokens, n_matched, consistency4).
+    """
+    from navigator_document_parser_spark.operators import ratio4
+
+    base = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(
+            f"array_distinct(filter(split(lower({title_col}),"
+            " '[^a-z0-9_]+'), x -> x <> ''))"
+        ).alias("tt"),
+        F.expr(
+            f"array_distinct(filter(split(lower({text_col}),"
+            " '[^a-z0-9_]+'), x -> x <> ''))"
+        ).alias("bt"),
+    ).localCheckpoint(eager=True)
+    n_title = F.size("tt").cast("bigint")
+    n_match = F.size(F.array_intersect("tt", "bt")).cast("bigint")
+    return base.select(
+        "doc_id",
+        n_title.alias("n_title_tokens"),
+        n_match.alias("n_matched"),
+        ratio4(n_match, F.greatest(n_title, F.lit(1))).alias(
+            "consistency4"
+        ),
+    )
+
+
+def oracle_title_consistency(pages_sql: str) -> str:
+    """DuckDB replica of title_consistency; ``pages_sql`` yields
+    (doc_id, title, text)."""
+    from navigator_document_parser_spark.operators import ratio4_sql
+
+    tok = (
+        "list_distinct(list_filter(string_split_regex(lower({c}),"
+        " '[^a-z0-9_]+'), x -> x <> ''))"
+    )
+    r4 = ratio4_sql("n_matched", "greatest(n_title_tokens, 1)")
+    return f"""
+        WITH p AS ({pages_sql}),
+        base AS (
+          SELECT doc_id,
+                 {tok.format(c='title')} AS tt,
+                 {tok.format(c='text')} AS bt
+          FROM p
+        ), sig AS (
+          SELECT doc_id,
+                 CAST(length(tt) AS BIGINT) AS n_title_tokens,
+                 CAST(length(list_intersect(tt, bt)) AS BIGINT)
+                   AS n_matched
+          FROM base
+        )
+        SELECT doc_id, n_title_tokens, n_matched,
+               {r4} AS consistency4
+        FROM sig
+    """

@@ -724,3 +724,23 @@ def test_session6_plan_shapes(spark):
     assert "CartesianProduct" not in p
     # the (pair, role) membership join broadcasts the tiny unpivot
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+# ---- title_consistency --------------------------------------------------------
+
+def test_title_consistency_bands(spark):
+    from navigator_document_parser_spark.operators.tables import (
+        title_consistency,
+    )
+
+    rows = [
+        (1, "the cat sat mat", "the cat sat on the mat today ok"),
+        (2, "free money secret trick", "a long article about history"),
+        (3, "", "body text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "title", "text"])
+    out = _rows(title_consistency(df))
+    assert out[1].consistency4 == 1.0 and out[1].n_title_tokens == 4
+    assert out[2].n_matched == 0 and out[2].consistency4 == 0.0
+    # empty title: zero tokens, guarded denominator
+    assert out[3].n_title_tokens == 0 and out[3].consistency4 == 0.0
