@@ -794,13 +794,32 @@ def _fetch_schedule(spark, sf):
     return fetch_schedule(plan, n_workers=8)
 
 
+def _serialize_postings(idx):
+    """The driver's canonicalizer sorts result rows with pandas
+    sort_values over every raw column, which crashes on list values
+    (CORRECTNESS_r04 TypeError: unhashable type) — so the CONTRACT
+    projection serializes the posting array to a comma-joined string.
+    The operator itself keeps the typed array column."""
+    return idx.select(
+        "shard",
+        "term",
+        "block_id",
+        "block_df",
+        F.array_join(
+            F.col("postings").cast("array<string>"), ","
+        ).alias("postings"),
+    )
+
+
 def _index_export(spark, sf):
     """Sharded inverted-index materialization: delta-encoded posting
     blocks keyed (term, doc-range block) so hot terms never build one
     giant array on one reducer (operators/search.py index_export)."""
     from navigator_document_parser_spark.operators.search import index_export
 
-    return index_export(_docs(spark, sf), n_shards=8, block_size=128)
+    return _serialize_postings(
+        index_export(_docs(spark, sf), n_shards=8, block_size=128)
+    )
 
 
 def _index_merge(spark, sf):
@@ -818,12 +837,26 @@ def _index_merge(spark, sf):
     old_idx = index_export(
         d.filter(F.col("doc_id") % 10 != 7), n_shards=8, block_size=128
     )
-    return index_merge(
-        old_idx,
-        d.filter(F.col("doc_id") % 10 == 7),
-        n_shards=8,
-        block_size=128,
+    return _serialize_postings(
+        index_merge(
+            old_idx,
+            d.filter(F.col("doc_id") % 10 == 7),
+            n_shards=8,
+            block_size=128,
+        )
     )
+
+
+def _oracle_index_export_str():
+    """index_export oracle with the posting array serialized to the
+    same comma-joined string as _serialize_postings (DuckDB
+    array_to_string casts BIGINT elements exactly like Spark's
+    cast(array<string>))."""
+    return f"""
+        SELECT shard, term, block_id, block_df,
+               array_to_string(postings, ',') AS postings
+        FROM ({_oracle_index_export()})
+    """
 
 
 _INDEX_LOOKUP_TERMS = ["hash", "join", "table"]
@@ -3802,10 +3835,10 @@ def oracle_sql() -> dict[str, str]:
         "boolean_search": _oracle_boolean_search(_BOOLEAN_QUERIES),
         "phrase_search": _oracle_phrase_search(_PHRASE_QUERIES),
         "bm25_search": _oracle_bm25_search(_SEARCH_QUERIES),
-        "index_export": _oracle_index_export(),
+        "index_export": _oracle_index_export_str(),
         # merge(index(9/10), last tenth) must equal the from-scratch
         # full-corpus index — the oracle IS index_export's oracle
-        "index_merge": _oracle_index_export(),
+        "index_merge": _oracle_index_export_str(),
         "index_lookup": _oracle_index_lookup(_INDEX_LOOKUP_TERMS),
         "fetch_schedule": _oracle_fetch_schedule(_FETCH_PLAN_SQL, 8),
         "text_normalize": T.oracle_normalize_text(_MESSY_TEXT_SQL),

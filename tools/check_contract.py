@@ -26,12 +26,25 @@ TABLES = [
 
 
 def value_hash(df: pd.DataFrame) -> str:
+    """Driver-faithful canonicalization (CORRECTNESS gate replica).
+
+    The driver's _canon sorts rows with pandas sort_values over every
+    RAW column before hashing — which raises TypeError on list/struct
+    values (CORRECTNESS_r04 index_export/index_merge shipped because
+    the old replica stringified columns BEFORE sorting and so passed
+    locally). Canonicalize the driver's way so any non-scalar result
+    column fails here first.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
+    # raises on unhashable (list/struct) cells, exactly like the driver
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    df = df.reset_index(drop=True)
+    for c in df.columns:
         df[c] = df[c].astype(str)
-    rows = sorted(df.apply("|".join, axis=1).tolist())
+    rows = df.apply("|".join, axis=1).tolist()
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
