@@ -1367,6 +1367,26 @@ _BITEXT_TGT_SQL = ("SELECT vec_id, embedding FROM embeddings "
                    "WHERE vec_id % 3 = 0")
 
 
+def _bitext_mine_lsh(spark, sf):
+    """LSH-band-blocked margin mining — the scale path for bitext_mine
+    (VERDICT r4 #4): candidates come from a (tbl, bkt) equi-join instead
+    of the exact baseline's crossJoin, with the same top-2 margin
+    criterion per block. Deterministic md5 hyperplanes keep the
+    approximate banding fully oracle-checkable
+    (operators/similarity.py bitext_margin_mine_lsh)."""
+    from navigator_document_parser_spark.operators.similarity import (
+        bitext_margin_mine_lsh,
+    )
+
+    emb = _emb(spark, sf)
+    src = emb.filter(F.col("vec_id") % 3 != 0)
+    tgt = emb.filter(F.col("vec_id") % 3 == 0)
+    return bitext_margin_mine_lsh(
+        src, tgt, dim=64, min_sim=0.3, min_margin=0.02,
+        n_planes=4, n_tables=4,
+    )
+
+
 def _embedding_neardup(spark, sf):
     return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)
 
@@ -3519,6 +3539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,    # == brute force
         "embedding_neardup": _embedding_neardup,
         "bitext_mine": _bitext_mine,                # margin-based alignment
+        "bitext_mine_lsh": _bitext_mine_lsh,        # blocked mining (scale path)
         "semdedup": _semdedup,                      # semantic cluster dedup
         "pq_encode": _pq_encode,                    # product quantization
         "knn_pq": _knn_pq,                          # ADC search over codes
@@ -4314,6 +4335,13 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["bitext_mine"] = _oracle_bitext_margin_mine(
         _BITEXT_SRC_SQL, _BITEXT_TGT_SQL, min_sim=0.3, min_margin=0.02
+    )
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_bitext_margin_mine_lsh as _oracle_bitext_margin_mine_lsh,
+    )
+    oracles["bitext_mine_lsh"] = _oracle_bitext_margin_mine_lsh(
+        _BITEXT_SRC_SQL, _BITEXT_TGT_SQL, dim=64,
+        min_sim=0.3, min_margin=0.02, n_planes=4, n_tables=4,
     )
     oracles["pagerank_hosts"] = _pagerank_hosts_oracle_sql()
     oracles["hits_hosts"] = _hits_hosts_oracle_sql()

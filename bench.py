@@ -181,6 +181,7 @@ OP_QUERIES = [
     "knn_ivf",
     "embed_hash",
     "bitext_mine",
+    "bitext_mine_lsh",
     "embedding_neardup",
     "embedding_outliers",
     "mmr_rerank",

@@ -40,7 +40,13 @@ from pyspark.sql import functions as F
 
 
 def build_qc(spark, docs, host_col: str = "source"):
-    """Returns (doc_flags, host_report, summary_dict)."""
+    """Returns (doc_flags, host_report, summary_dict).
+
+    ``doc_flags`` (and the caller's ``docs``) are returned PERSISTED so
+    the caller's writes reuse the scan the summary counts already paid
+    for — callers must release them when done (``release_qc``; library
+    callers that skip this inherit process-lifetime cache entries,
+    ADVICE r4)."""
     from navigator_document_parser_spark.operators.selection import (
         host_reputation,
     )
@@ -99,6 +105,13 @@ def build_qc(spark, docs, host_col: str = "source"):
     return flags, host_report, summary
 
 
+def release_qc(docs, flags) -> None:
+    """Drop the cache entries build_qc created (docs was persisted
+    in-place, so the caller's handle is the persisted one)."""
+    flags.unpersist()
+    docs.unpersist()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
@@ -118,6 +131,7 @@ def main(argv=None):
     host_report.write.mode("overwrite").parquet(
         args.output + "/host_report"
     )
+    release_qc(docs, flags)
     print(json.dumps(summary))
     return 0
 

@@ -136,6 +136,18 @@ def lsh_bucket(vec: Column | str, dim: int, n_planes: int = 8, seed: int = 42) -
     return bucket
 
 
+def _bucket_case(vec_name: str, dim: int, n_planes: int, n_tables: int) -> Column:
+    """Per-table LSH bucket for a row holding an exploded literal table
+    id ``tbl``: a CASE evaluates one branch per row, so each exploded
+    copy pays only its own table's n_planes folds, and the whole tree
+    parses in ONE gateway call (see _lsh_bucket_sql)."""
+    whens = " ".join(
+        f"WHEN {t} THEN {_lsh_bucket_sql(vec_name, dim, n_planes, 42 + t)}"
+        for t in range(n_tables)
+    )
+    return F.expr(f"CASE tbl {whens} END")
+
+
 def knn_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -178,22 +190,12 @@ def knn_lsh(
 
     tbl_ids = F.array(*[F.lit(t) for t in range(n_tables)])
 
-    def bucket_case(vec_name: str) -> Column:
-        """bkt for this row's table id — CASE evaluates one branch per
-        row, so each exploded copy pays only its own table's folds. The
-        whole CASE parses in ONE gateway call (see _lsh_bucket_sql)."""
-        whens = " ".join(
-            f"WHEN {t} THEN {_lsh_bucket_sql(vec_name, dim, n_planes, 42 + t)}"
-            for t in range(n_tables)
-        )
-        return F.expr(f"CASE tbl {whens} END")
-
     e_idx = (
         embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec")
         )
         .withColumn("tbl", F.explode(tbl_ids))
-        .withColumn("bkt", bucket_case("evec"))
+        .withColumn("bkt", _bucket_case("evec", dim, n_planes, n_tables))
     )
     q_idx = (
         queries.select(
@@ -201,7 +203,7 @@ def knn_lsh(
             F.col(vec_col).alias("qvec"),
         )
         .withColumn("tbl", F.explode(tbl_ids))
-        .withColumn("bkt", bucket_case("qvec"))
+        .withColumn("bkt", _bucket_case("qvec", dim, n_planes, n_tables))
     )
 
     cand = (
@@ -1313,6 +1315,167 @@ def oracle_bitext_margin_mine(
                    CAST(t.embedding AS DOUBLE[]),
                    CAST(s.embedding AS DOUBLE[])), 4) AS sim
           FROM t CROSS JOIN s
+        ), top2 AS (
+          SELECT *, row_number() OVER (PARTITION BY src_id
+                   ORDER BY sim DESC, tgt_id ASC) AS rank
+          FROM scored
+          QUALIFY rank <= 2
+        ), best AS (
+          SELECT src_id,
+                 max(CASE WHEN rank = 1 THEN tgt_id END) AS tgt_id,
+                 max(CASE WHEN rank = 1 THEN sim END) AS sim,
+                 max(CASE WHEN rank = 2 THEN sim END) AS sim2
+          FROM top2 GROUP BY src_id
+        )
+        SELECT src_id, tgt_id, sim,
+               round(sim - coalesce(sim2, -1.0), 4) AS margin
+        FROM best
+        WHERE sim >= {float(min_sim)!r}
+          AND round(sim - coalesce(sim2, -1.0), 4) >= {float(min_margin)!r}
+    """
+
+
+def bitext_margin_mine_lsh(
+    src: DataFrame,
+    tgt: DataFrame,
+    dim: int,
+    min_sim: float = 0.3,
+    min_margin: float = 0.02,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-blocked margin mining — the scale path for
+    ``bitext_margin_mine`` (which is the exact O(|src| x |tgt|)
+    baseline and stays as this operator's recall yardstick, mirroring
+    the knn_ivf <-> knn_ivf_fullprobe pattern).
+
+    Blocking: both sides explode a LITERAL [0..n_tables) table-id array
+    (literal, so InferFiltersFromGenerate costs nothing — lesson 3) and
+    derive a random-hyperplane bucket per table with a single-parse
+    CASE (each exploded row pays exactly its own table's n_planes
+    folds, the knn_lsh shape). Candidates are ONE shuffled equi-join on
+    (tbl, bkt) — deliberately NOT broadcast: at mining scale
+    (10^8 x 10^8 sentence embeddings) both sides are large, and the
+    (tbl, bkt) shuffle is the whole point. A pair colliding in m tables
+    appears m times with an identical 4dp sim; dedup + top-2 rank share
+    ONE exchange on src_id (lag-based dedup uses the same partitioning
+    as the rank window), and the final groupBy(src_id) reuses it again.
+
+    Semantics: the CCMatrix/LASER top-2 margin criterion applied WITHIN
+    the candidate block — a source whose true runner-up lands outside
+    every shared bucket sees an inflated margin, so acceptance is
+    approximate (recall vs the exact baseline is pytest-checked).
+    Bucket assignment is deterministic (md5 hyperplanes, left-
+    associated double folds), so the whole operator is still
+    oracle-exact: oracle_bitext_margin_mine_lsh replicates the banding
+    bit-for-bit in DuckDB.
+
+    Returns (src_id, tgt_id, sim, margin) for accepted pairs.
+    """
+    tbl_ids = F.array(*[F.lit(t) for t in range(n_tables)])
+    s_idx = (
+        src.select(
+            F.col(id_col).alias("src_id"), F.col(vec_col).alias("qvec")
+        )
+        .withColumn("tbl", F.explode(tbl_ids))
+        .withColumn("bkt", _bucket_case("qvec", dim, n_planes, n_tables))
+    )
+    t_idx = (
+        tgt.select(
+            F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tvec")
+        )
+        .withColumn("tbl", F.explode(tbl_ids))
+        .withColumn("bkt", _bucket_case("tvec", dim, n_planes, n_tables))
+    )
+    cand = s_idx.join(t_idx, ["tbl", "bkt"]).select(
+        "src_id",
+        "tgt_id",
+        cosine(F.col("tvec"), F.col("qvec")).alias("sim"),
+    )
+    # multi-table collisions carry identical sims: dedup via lag in the
+    # same src_id exchange the rank window needs (no extra shuffle)
+    w_d = Window.partitionBy("src_id").orderBy(F.col("tgt_id").asc())
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("sim").desc(), F.col("tgt_id").asc()
+    )
+    top2 = (
+        cand.withColumn("_dup", F.col("tgt_id") == F.lag("tgt_id").over(w_d))
+        .filter(~F.coalesce(F.col("_dup"), F.lit(False)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+    )
+    best = top2.groupBy("src_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("tgt_id"))).alias("tgt_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("sim"))).alias("sim"),
+        F.max(F.when(F.col("rank") == 2, F.col("sim"))).alias("sim2"),
+    )
+    margin = F.round(
+        F.col("sim") - F.coalesce(F.col("sim2"), F.lit(-1.0)), 4
+    )
+    return (
+        best.select("src_id", "tgt_id", "sim", margin.alias("margin"))
+        .filter(
+            (F.col("sim") >= F.lit(float(min_sim)))
+            & (F.col("margin") >= F.lit(float(min_margin)))
+        )
+    )
+
+
+def oracle_bitext_margin_mine_lsh(
+    src_sql: str,
+    tgt_sql: str,
+    dim: int,
+    min_sim: float = 0.3,
+    min_margin: float = 0.02,
+    n_planes: int = 4,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB replica of bitext_margin_mine_lsh: hyperplanes are
+    deterministic md5 literals and projections are explicit
+    left-associated sums starting at 0.0 (bit-identical to Spark's
+    aggregate(zip_with(...)) fold order), so the approximate banding is
+    still hash-checkable. Pair candidates come from a UNION over the
+    per-table branch joins (set semantics dedup multi-table
+    collisions, matching the Spark side's lag dedup)."""
+
+    def proj(t: int, p: int) -> str:
+        plane = _hyperplane(dim, p, seed=42 + t)
+        terms = " + ".join(f"v[{d + 1}]*({plane[d]!r})" for d in range(dim))
+        return f"(0.0 + {terms})"
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {proj(t, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    bcols = ", ".join(f"({bucket(t)}) AS b{t}" for t in range(n_tables))
+    branches = "\n          UNION\n".join(
+        f"          SELECT s.src_id, t.tgt_id, s.qvec, t.tvec\n"
+        f"          FROM sb s JOIN tb t ON s.b{t} = t.b{t}"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH sraw AS (
+          SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
+          FROM ({src_sql})
+        ), traw AS (
+          SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
+          FROM ({tgt_sql})
+        ), sb AS (
+          SELECT vec_id AS src_id, embedding AS qvec, {bcols} FROM sraw
+        ), tb AS (
+          SELECT vec_id AS tgt_id, embedding AS tvec, {bcols} FROM traw
+        ), cand AS (
+{branches}
+        ), scored AS (
+          SELECT src_id, tgt_id,
+                 round(list_cosine_similarity(
+                   CAST(tvec AS DOUBLE[]),
+                   CAST(qvec AS DOUBLE[])), 4) AS sim
+          FROM cand
         ), top2 AS (
           SELECT *, row_number() OVER (PARTITION BY src_id
                    ORDER BY sim DESC, tgt_id ASC) AS rank

@@ -293,9 +293,15 @@ def jsonld_extract(
     The block regex is shared-safe; field access is JSONPath
     (get_json_object / json_extract_string — same unquoting and same
     NULL-on-missing in both engines). Pages without a block (or whose
-    first block is empty) yield NULLs via the guarding CASE — Spark
-    would return NULL on malformed JSON anyway, DuckDB would raise, so
-    the guard is what keeps the two engines' behavior identical.
+    first block is empty) yield NULLs via the guarding CASE, and the
+    oracle additionally gates on json_valid(block): Spark returns NULL
+    on malformed JSON where DuckDB would raise, so the oracle's
+    validity guard is what keeps the engines identical on garbage
+    blocks. Residual contract: blocks containing '<' are truncated by
+    the [^<]* block regex (HTML embeds no raw '<' in well-formed
+    JSON-LD), and leniently-parsed-but-not-strictly-valid JSON (e.g.
+    NaN tokens) may extract in Spark while the oracle yields NULL —
+    well-formed JSON-LD is assumed.
 
     100 TB shape: map-only projection, one regex + four JSON probes
     per page, fused into codegen above the scan.
@@ -325,7 +331,7 @@ def oracle_jsonld_extract(pages_sql: str) -> str:
     sel = []
     for name, _, duck_path in _JSONLD_FIELDS:
         sel.append(
-            f"CASE WHEN block <> '' THEN "
+            f"CASE WHEN block <> '' AND json_valid(block) THEN "
             f"json_extract_string(block, {sql_quote(duck_path)}) END"
             f" AS {name}"
         )

@@ -2853,8 +2853,10 @@ def gibberish_score(
     count table joins back by trigram (dictionary-sized, hot keys are
     combiner-absorbed).
 
-    Returns (doc_id, n_tris, score4) — score4 is round()-free: the
+    Returns (doc_id, n_tris, score) — score is round()-free: the
     raw double is emitted (hash-stable because its inputs are exact).
+    Documents shorter than 3 chars have no trigrams and yield NO row
+    (both engines identically).
     """
     tris = (
         df.select(
@@ -2871,6 +2873,10 @@ def gibberish_score(
                 )
             ).alias("t"),
         )
+        # (doc_id, t) feeds THREE consumers (corpus counts, total via
+        # the broadcast 1-row agg, per-doc join): barrier the explode
+        # so it runs once, not three times (lessons 3/7; ADVICE r4)
+        .localCheckpoint(eager=True)
     )
     corpus = tris.groupBy("t").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")

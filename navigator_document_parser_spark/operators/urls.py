@@ -755,7 +755,11 @@ def resolve_redirects(
 
     100 TB shape: ``max_hops`` equi-joins against the checkpointed
     non-null redirect map (bounded synchronized relaxations, the
-    bfs_depth discipline); each round's state is one row per url.
+    bfs_depth discipline); each round's state is one row per url. The
+    map is forced one-target-per-url (deterministic min(dst) pick)
+    before the checkpoint: duplicate (url, target) edges would
+    otherwise fan out EVERY hop join, multiplying rows per url
+    (ADVICE r4).
 
     Returns (url, final_url, hops, resolved).
     """
@@ -766,6 +770,8 @@ def resolve_redirects(
         .select(
             F.col(url_col).alias("src"), F.col(target_col).alias("dst")
         )
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
         .localCheckpoint(eager=True)
     )
     state = redirects.select(
@@ -799,8 +805,8 @@ def oracle_resolve_redirects(redirects_sql: str, max_hops: int = 4) -> str:
     parts = [
         f"""
         WITH r AS ({redirects_sql}),
-        m AS (SELECT url AS src, target AS dst FROM r
-              WHERE target IS NOT NULL),
+        m AS (SELECT url AS src, min(target) AS dst FROM r
+              WHERE target IS NOT NULL GROUP BY url),
         s0 AS (SELECT url, url AS cur, CAST(0 AS BIGINT) AS hops FROM r)
         """
     ]

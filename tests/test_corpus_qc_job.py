@@ -24,6 +24,17 @@ def test_corpus_qc_build(spark):
         spark.catalog.clearCache()
 
 
+def test_release_qc_drops_cache_entries(spark):
+    from jobs.corpus_qc import build_qc, release_qc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    flags, _, _ = build_qc(spark, docs)
+    assert flags.storageLevel.useMemory
+    release_qc(docs, flags)
+    assert not flags.storageLevel.useMemory
+    assert not docs.storageLevel.useMemory
+
+
 def _run_build_assertions(spark, docs):
     from jobs.corpus_qc import build_qc
 
