@@ -1523,6 +1523,22 @@ def _knn_lsh(spark, sf):
     )
 
 
+def _knn_graph(spark, sf):
+    """All-vectors top-k neighbor graph, LSH-banded + per-block numpy
+    gram matmul with a containment-safe in-block prune; deterministic
+    banding makes the approximate graph fully oracle-checkable
+    (operators/similarity.py knn_graph)."""
+    from navigator_document_parser_spark.operators.similarity import (
+        knn_graph,
+    )
+
+    out = knn_graph(_emb(spark, sf), dim=64, k=5, n_planes=4, n_tables=4)
+    return out.select(
+        "src_id", "nbr_id", "sim",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def _knn_ivf(spark, sf):
     """IVF coarse-quantizer ANN (rows-only: iterative k-means is not a
     single SQL statement; recall is pytest-checked vs brute force).
@@ -3536,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup_corpus": _fuzzy_dedup_corpus,
         "knn_cosine": _knn_cosine,
         "knn_lsh": _knn_lsh,                # oracle: deterministic planes
+        "knn_graph": _knn_graph,            # kNN graph (banded, oracle-exact)
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,    # == brute force
         "embedding_neardup": _embedding_neardup,
         "bitext_mine": _bitext_mine,                # margin-based alignment
@@ -4342,6 +4359,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["bitext_mine_lsh"] = _oracle_bitext_margin_mine_lsh(
         _BITEXT_SRC_SQL, _BITEXT_TGT_SQL, dim=64,
         min_sim=0.3, min_margin=0.02, n_planes=4, n_tables=4,
+    )
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_knn_graph as _oracle_knn_graph,
+    )
+    oracles["knn_graph"] = _oracle_knn_graph(
+        "SELECT vec_id, embedding FROM embeddings",
+        dim=64, k=5, n_planes=4, n_tables=4,
     )
     oracles["pagerank_hosts"] = _pagerank_hosts_oracle_sql()
     oracles["hits_hosts"] = _hits_hosts_oracle_sql()

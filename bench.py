@@ -178,6 +178,7 @@ OP_QUERIES = [
     "fuzzy_dedup_corpus",
     "knn_cosine",
     "knn_lsh",
+    "knn_graph",
     "knn_ivf",
     "embed_hash",
     "bitext_mine",

@@ -805,6 +805,174 @@ def embedding_neardup_pairs(
     )
 
 
+def knn_graph(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """All-vectors top-k cosine neighbor graph — the offline kNN-graph
+    build that semantic dedup, diversity sampling, and graph-based
+    curation all sit on. Every vector is simultaneously a query and a
+    candidate; an exact build is N^2, so candidates are blocked through
+    the same deterministic multi-table hyperplane banding as knn_lsh /
+    bitext_margin_mine_lsh (a neighbor is considered iff it shares a
+    bucket in ANY table; recall amplifies with n_tables).
+
+    Within each (tbl, bkt) block the scoring is ONE Arrow pandas group
+    with a chunked numpy gram matmul (lesson 11 — interpreted HOF folds
+    per pair lose by >10x). The block emits, per source row, every
+    candidate whose RAW sim is >= (k-th best raw in block) - 2e-4: a
+    candidate below that bound has rounded sim strictly below k
+    emitted rivals' rounded sims (|round(x) - x| <= 5e-5), so the
+    pruned union provably contains the global 4dp top-k — the in-block
+    cut is a pure row-count optimization, never a semantics change.
+    Multi-table duplicates collapse via groupBy(src, nbr) max; the
+    final rank is on the ROUNDED sim with nbr-ascending ties, so the
+    deterministic banding keeps the whole operator oracle-checkable.
+
+    Scale shape: one corpus scan, one shuffle to the (tbl, bkt) blocks,
+    ~(k + ties) emitted rows per (vector, table), one (src, nbr)
+    aggregate, one per-src top-k window. Per-task memory is
+    O(block_size x dim) (the applyInPandas group) — size n_planes so
+    buckets stay bounded, exactly the embedding_neardup discipline.
+
+    Returns (src_id, nbr_id, sim, rank), rank in [1, k].
+    """
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    tbl_ids = F.array(*[F.lit(t) for t in range(n_tables)])
+    base = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("tbl", F.explode(tbl_ids))
+        .withColumn("bkt", _bucket_case("v", dim, n_planes, n_tables))
+    )
+    kk = int(k)
+    chunk = int(chunk_rows)
+
+    def block_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"src": [], "nbr": [], "sim_raw": []})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["id"].to_numpy()
+        x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((x * x).sum(axis=1))
+        frames = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            denom = norms[s:e, None] * norms[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom == 0.0, 0.0, (x[s:e] @ x.T) / denom)
+            sim[ids[s:e, None] == ids[None, :]] = -np.inf  # self
+            m = sim.shape[1]
+            if m - 1 > kk:
+                kth = np.partition(sim, m - kk, axis=1)[:, m - kk]
+            else:
+                kth = np.full(e - s, -np.inf)
+            mask = sim >= np.maximum(kth - 2e-4, -1.5)[:, None]
+            ra, rb = np.nonzero(mask)
+            if len(ra):
+                frames.append(pd.DataFrame({
+                    "src": ids[s + ra],
+                    "nbr": ids[rb],
+                    "sim_raw": sim[ra, rb],
+                }))
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    cand = base.groupBy("tbl", "bkt").applyInPandas(
+        block_topk,
+        schema=f"src {id_type}, nbr {id_type}, sim_raw double",
+    )
+    merged = cand.groupBy("src", "nbr").agg(
+        F.max("sim_raw").alias("sim_raw")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.round(F.col("sim_raw"), 4).desc(), F.col("nbr").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(
+            F.col("src").alias("src_id"),
+            F.col("nbr").alias("nbr_id"),
+            F.round(F.col("sim_raw"), 4).alias("sim"),
+            "rank",
+        )
+    )
+
+
+def oracle_knn_graph(
+    emb_sql: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB replica of knn_graph: deterministic md5-literal
+    hyperplanes, left-associated projection folds, per-table
+    within-bucket directed pairs UNIONed (set semantics = the Spark
+    side's multi-table max-dedup), rank on the 4dp-rounded sim with
+    nbr-ascending ties. The Spark side's in-block prune is
+    containment-safe by construction, so the oracle ranks the FULL
+    banded candidate set."""
+
+    def proj(t: int, p: int) -> str:
+        plane = _hyperplane(dim, p, seed=42 + t)
+        terms = " + ".join(f"v[{d + 1}]*({plane[d]!r})" for d in range(dim))
+        return f"(0.0 + {terms})"
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {proj(t, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    bcols = ", ".join(f"({bucket(t)}) AS b{t}" for t in range(n_tables))
+    branches = "\n          UNION\n".join(
+        f"          SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,\n"
+        f"                 a.embedding AS av, b.embedding AS bv\n"
+        f"          FROM eb a JOIN eb b ON a.b{t} = b.b{t}"
+        f" AND a.vec_id <> b.vec_id"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH eraw AS (
+          SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v
+          FROM ({emb_sql})
+        ), eb AS (
+          SELECT vec_id, embedding, {bcols} FROM eraw
+        ), cand AS (
+{branches}
+        ), scored AS (
+          SELECT src_id, nbr_id,
+                 round(list_cosine_similarity(
+                   CAST(av AS DOUBLE[]),
+                   CAST(bv AS DOUBLE[])), 4) AS sim
+          FROM cand
+        )
+        SELECT src_id, nbr_id, sim,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY src_id
+                   ORDER BY sim DESC, nbr_id ASC) AS rank
+          FROM scored
+        )
+        WHERE rank <= {int(k)}
+    """
+
+
 def _pq_encode_udf(books: list[list[list[float]]]):
     """Fused PQ codes + reconstruction error in one Arrow batch: per
     subspace a (batch x sub) @ (sub x C) matmul; err accumulates

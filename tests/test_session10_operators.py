@@ -115,3 +115,99 @@ def test_bitext_lsh_empty_sides(spark):
     )
     assert bitext_margin_mine_lsh(empty, one, dim=dim).count() == 0
     assert bitext_margin_mine_lsh(one, empty, dim=dim).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# knn_graph — all-vectors top-k neighbor graph (LSH-banded, oracle-exact)
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.similarity import knn_graph  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def graph_corpus(spark):
+    dim = 16
+    rows = [(i, _det_unit(f"g:{i}", dim)) for i in range(60)]
+    # plant 10 near-duplicate pairs so some top-1 sims are ~1
+    rows += [(1000 + i, _perturb(_det_unit(f"g:{i}", dim), f"gn:{i}", 0.03))
+             for i in range(10)]
+    return dim, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_knn_graph_invariants(graph_corpus):
+    dim, emb = graph_corpus
+    out = knn_graph(emb, dim=dim, k=4, n_planes=3, n_tables=4).collect()
+    per_src = {}
+    for r in out:
+        assert r.src_id != r.nbr_id
+        per_src.setdefault(r.src_id, []).append(r)
+    for src, rs in per_src.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 4
+        # sim non-increasing; ties broken nbr-ascending
+        for a, b in zip(rs, rs[1:]):
+            assert (a.sim, -a.nbr_id) >= (b.sim, -b.nbr_id) or a.sim > b.sim
+            if a.sim == b.sim:
+                assert a.nbr_id < b.nbr_id
+
+
+def test_knn_graph_sims_are_4dp_cosine(graph_corpus):
+    """Emitted sims must equal the 4dp cosine computed independently."""
+    dim, emb = graph_corpus
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    out = knn_graph(emb, dim=dim, k=3, n_planes=3, n_tables=4).collect()
+    assert out
+    for r in out:
+        a, b = vecs[r.src_id], vecs[r.nbr_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        assert r.sim == pytest.approx(round(dot / (na * nb), 4), abs=1e-12)
+
+
+def test_knn_graph_prefix_consistent_across_k(graph_corpus):
+    """rank<=2 slice of the k=5 graph must equal the k=2 graph — the
+    in-block prune (kth-best - 2e-4 cut) may never change what survives
+    at smaller ranks."""
+    dim, emb = graph_corpus
+    k5 = {(r.src_id, r.rank): (r.nbr_id, r.sim)
+          for r in knn_graph(emb, dim=dim, k=5, n_planes=3,
+                             n_tables=4).collect()}
+    k2 = {(r.src_id, r.rank): (r.nbr_id, r.sim)
+          for r in knn_graph(emb, dim=dim, k=2, n_planes=3,
+                             n_tables=4).collect()}
+    assert k2 == {key: v for key, v in k5.items() if key[1] <= 2}
+
+
+def test_knn_graph_chunked_matmul_invariant(graph_corpus):
+    """chunk_rows=7 (forces many partial gram blocks) == default."""
+    dim, emb = graph_corpus
+    a = sorted((r.src_id, r.rank, r.nbr_id, r.sim) for r in knn_graph(
+        emb, dim=dim, k=3, n_planes=3, n_tables=4).collect())
+    b = sorted((r.src_id, r.rank, r.nbr_id, r.sim) for r in knn_graph(
+        emb, dim=dim, k=3, n_planes=3, n_tables=4,
+        chunk_rows=7).collect())
+    assert a == b
+
+
+def test_knn_graph_tie_at_k_breaks_nbr_ascending(spark):
+    """Six identical candidate vectors around one source: every sim is
+    equal, so k=3 must pick the three smallest nbr ids at ranks 1-3."""
+    dim = 8
+    base = _det_unit("tie", dim)
+    rows = [(0, base)] + [(i, base) for i in (7, 3, 9, 5, 11, 13)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.rank: r.nbr_id
+           for r in knn_graph(emb, dim=dim, k=3, n_planes=2,
+                              n_tables=2).collect() if r.src_id == 0}
+    assert out == {1: 3, 2: 5, 3: 7}
+
+
+def test_knn_graph_singleton_and_empty(spark):
+    dim = 8
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert knn_graph(empty, dim=dim, k=3).count() == 0
+    one = spark.createDataFrame(
+        [(0, _det_unit("solo", dim))], ["vec_id", "embedding"])
+    assert knn_graph(one, dim=dim, k=3).count() == 0
