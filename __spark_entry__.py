@@ -3468,6 +3468,105 @@ _DEGREE_STATS_ORACLE = """
 """
 
 
+# edit-distance family synth: groups of 10 docs share a 12-hex-char
+# base title; per-doc mutation m = doc_id % 5 (0 identical, 1 delete,
+# 2 substitute 'z', 3 insert 'q', 4 unrelated) at position p in 1..9.
+# Everything is md5/substring/concat — identical in both engines; only
+# the int->string cast spelling differs (STRING vs VARCHAR).
+def _editdist_titles_sql(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    base = (
+        "substring(md5(concat('t', CAST(CAST(floor(doc_id / 10) AS"
+        f" BIGINT) AS {s}))), 1, 12)"
+    )
+    far = f"substring(md5(concat('far', CAST(id AS {s}))), 1, 12)"
+    return f"""
+        SELECT id, CASE m
+            WHEN 0 THEN base
+            WHEN 1 THEN concat(substring(base, 1, p-1),
+                               substring(base, p+1, 100))
+            WHEN 2 THEN concat(substring(base, 1, p-1), 'z',
+                               substring(base, p+1, 100))
+            WHEN 3 THEN concat(substring(base, 1, p-1), 'q',
+                               substring(base, p, 100))
+            ELSE {far} END AS s
+        FROM (
+          SELECT doc_id AS id, CAST(doc_id % 5 AS INT) AS m,
+                 1 + CAST(doc_id % 9 AS INT) AS p, {base} AS base
+          FROM documents
+        )
+    """
+
+
+def _dedup_editdist(spark, sf):
+    """SymSpell deletion-neighborhood title dedup: all pairs within
+    Levenshtein distance 1, EXACT (100% recall blocking + native
+    levenshtein verify; operators/editdist.py). Integer distances —
+    no rounding surface."""
+    from navigator_document_parser_spark.operators.editdist import (
+        dedup_editdist,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    titles = spark.sql(_editdist_titles_sql("spark"))
+    return dedup_editdist(titles, id_col="id", str_col="s", max_dist=1)
+
+
+# spell-correct synth: queries are corpus first-words mutated by
+# m = doc_id % 3 (0 as-is, 1 delete, 2 substitute) at p2 in 1..4 —
+# no backslash regex classes (Spark SQL literals eat unknown escapes,
+# lesson 17), so ONE string serves both engines.
+_SPELL_QUERIES_SQL = """
+    SELECT qid, CASE m
+        WHEN 0 THEN w
+        WHEN 1 THEN concat(substring(w, 1, p2-1),
+                           substring(w, p2+1, 100))
+        ELSE concat(substring(w, 1, p2-1), 'z',
+                    substring(w, p2+1, 100)) END AS q
+    FROM (
+      SELECT doc_id AS qid, CAST(doc_id % 3 AS INT) AS m,
+             1 + CAST(doc_id % 4 AS INT) AS p2,
+             regexp_extract(text, '^ *([a-z]+)', 1) AS w
+      FROM documents WHERE doc_id % 7 = 0
+    )
+"""
+
+_SPELL_VOCAB_ORACLE = """
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text),
+             '[^a-z0-9_]+'), x -> x <> '')) AS term
+      FROM documents
+    ) GROUP BY term
+"""
+
+
+def _spell_correct(spark, sf):
+    """SymSpell spelling correction of query terms against the corpus
+    vocabulary: deletes-join candidates, best = (dist asc, count desc,
+    term asc) — operators/editdist.py spell_correct."""
+    from navigator_document_parser_spark.operators.editdist import (
+        spell_correct,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "filter(split(lower(text), '[^a-z0-9_]+'),"
+                    " x -> x <> '')"
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    qs = spark.sql(_SPELL_QUERIES_SQL)
+    return spell_correct(qs, vocab, max_dist=1)
+
+
 def _boilerplate_strip_oracle() -> str:
     from navigator_document_parser_spark.operators.text import (
         oracle_boilerplate_strip,
@@ -3639,6 +3738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _mirror_hosts,              # cross-host mirrors
         "title_consistency": _title_consistency,    # clickbait signal
         "degree_stats": _degree_stats,              # degree histogram
+        "dedup_editdist": _dedup_editdist,          # SymSpell pairs, exact
+        "spell_correct": _spell_correct,            # deletes-join correction
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
         "translate_pipeline": _translate_pipeline,  # M14 invariant pytest
@@ -4701,6 +4802,17 @@ def oracle_sql() -> dict[str, str]:
         _TITLE_SYNTH_SQL
     )
     oracles["degree_stats"] = _DEGREE_STATS_ORACLE
+    from navigator_document_parser_spark.operators.editdist import (
+        oracle_dedup_editdist,
+        oracle_spell_correct,
+    )
+
+    oracles["dedup_editdist"] = oracle_dedup_editdist(
+        _editdist_titles_sql("duckdb"), max_dist=1
+    )
+    oracles["spell_correct"] = oracle_spell_correct(
+        _SPELL_QUERIES_SQL, _SPELL_VOCAB_ORACLE, max_dist=1
+    )
     oracles["dedup_cluster_stats"] = f"""
         {_components_cte()}
         , comp AS (

@@ -152,6 +152,8 @@ OP_QUERIES = [
     "related_hosts",
     "domain_quality",
     "degree_stats",
+    "dedup_editdist",
+    "spell_correct",
     "corpus_report",
     "hll_distinct",
     "kmv_distinct",
