@@ -2565,6 +2565,168 @@ def _sitemap_parse_oracle() -> str:
     return oracle_parse_sitemap(synth)
 
 
+def _feed_parse(spark, sf):
+    """RSS/Atom feed ingestion roundtrip: synthesize one feed document
+    per source (format chosen by md5(source) — ~half RSS 2.0, half
+    Atom), entries pretty-printed across lines, with deliberate field
+    omissions (title / pubDate / Atom link) to exercise NULLs and the
+    required-url drop; parse back with sources/feed.parse_feed. The
+    DuckDB oracle replays synthesis AND parse."""
+    from navigator_document_parser_spark.sources.feed import parse_feed
+
+    d = _docs(spark, sf)
+    n = F.col("doc_id").cast("string")
+    date = F.concat(
+        F.lit("2025-"),
+        F.lpad(((F.col("doc_id") % 12) + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+    )
+    title = F.when(
+        F.col("doc_id") % 5 != 0,
+        F.concat(F.lit("<title>Doc "), n, F.lit("</title>\n")),
+    ).otherwise(F.lit(""))
+    rss_item = F.concat(
+        F.lit("<item>\n"),
+        title,
+        F.lit("<link>https://"), F.col("source"), F.lit("/doc/"), n,
+        F.lit("</link>\n"),
+        F.lit('<guid isPermaLink="true">guid-'), n, F.lit("</guid>\n"),
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.concat(F.lit("<pubDate>"), date, F.lit("</pubDate>\n")),
+        ).otherwise(F.lit("")),
+        F.lit("</item>"),
+    )
+    atom_entry = F.concat(
+        F.lit("<entry>\n"),
+        title,
+        F.lit("<id>tag:"), F.col("source"), F.lit(","), n,
+        F.lit("</id>\n"),
+        F.when(
+            F.col("doc_id") % 6 != 0,
+            F.concat(
+                F.lit('<link rel="alternate" href="https://'),
+                F.col("source"), F.lit("/doc/"), n, F.lit('"/>\n'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<updated>"), date, F.lit("</updated>\n</entry>"),
+    )
+    fmt = F.when(
+        F.substring(F.md5(F.col("source")), 1, 1) < "8", F.lit("rss")
+    ).otherwise(F.lit("atom"))
+    entry = F.when(fmt == "rss", rss_item).otherwise(atom_entry)
+    feeds = (
+        d.select(
+            F.col("source").alias("feed"),
+            fmt.alias("fmt"),
+            F.struct(F.col("doc_id"), entry.alias("e")).alias("s"),
+        )
+        .groupBy("feed", "fmt")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["e"]
+                ),
+                "\n",
+            ).alias("body")
+        )
+    )
+    xml = feeds.select(
+        "feed",
+        F.when(
+            F.col("fmt") == "rss",
+            F.concat(
+                F.lit('<?xml version="1.0"?>\n<rss version="2.0">'
+                      "<channel>\n<title>"),
+                F.col("feed"),
+                F.lit(" feed</title>\n"),
+                F.col("body"),
+                F.lit("\n</channel></rss>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<feed xmlns="http://www.w3.org/2005/Atom">\n'
+                      "<title>"),
+                F.col("feed"),
+                F.lit(" feed</title>\n<id>tag:"),
+                F.col("feed"),
+                F.lit("</id>\n"),
+                F.col("body"),
+                F.lit("\n</feed>"),
+            ),
+        ).alias("xml"),
+    )
+    return parse_feed(xml, xml_col="xml", feed_col="feed")
+
+
+def _feed_parse_oracle() -> str:
+    from navigator_document_parser_spark.sources.feed import (
+        oracle_parse_feed,
+    )
+
+    synth = """
+        WITH e AS (
+          SELECT source AS feed, doc_id,
+                 CASE WHEN substring(md5(source), 1, 1) < '8'
+                      THEN 'rss' ELSE 'atom' END AS fmt,
+                 CASE WHEN doc_id % 5 <> 0
+                      THEN '<title>Doc ' || CAST(doc_id AS VARCHAR)
+                           || '</title>' || chr(10)
+                      ELSE '' END AS title,
+                 '2025-'
+                 || lpad(CAST((doc_id % 12) + 1 AS VARCHAR), 2, '0')
+                 || '-'
+                 || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                   AS dt
+          FROM documents
+        ), entries AS (
+          SELECT feed, fmt, doc_id,
+                 CASE WHEN fmt = 'rss' THEN
+                   '<item>' || chr(10) || title
+                   || '<link>https://' || feed || '/doc/'
+                   || CAST(doc_id AS VARCHAR) || '</link>' || chr(10)
+                   || '<guid isPermaLink="true">guid-'
+                   || CAST(doc_id AS VARCHAR) || '</guid>' || chr(10)
+                   || CASE WHEN doc_id % 7 <> 0
+                           THEN '<pubDate>' || dt || '</pubDate>'
+                                || chr(10)
+                           ELSE '' END
+                   || '</item>'
+                 ELSE
+                   '<entry>' || chr(10) || title
+                   || '<id>tag:' || feed || ','
+                   || CAST(doc_id AS VARCHAR) || '</id>' || chr(10)
+                   || CASE WHEN doc_id % 6 <> 0
+                           THEN '<link rel="alternate" href="https://'
+                                || feed || '/doc/'
+                                || CAST(doc_id AS VARCHAR) || '"/>'
+                                || chr(10)
+                           ELSE '' END
+                   || '<updated>' || dt || '</updated>' || chr(10)
+                   || '</entry>'
+                 END AS entry
+          FROM e
+        )
+        SELECT feed,
+               CASE WHEN fmt = 'rss' THEN
+                 '<?xml version="1.0"?>' || chr(10)
+                 || '<rss version="2.0"><channel>' || chr(10)
+                 || '<title>' || feed || ' feed</title>' || chr(10)
+                 || string_agg(entry, chr(10) ORDER BY doc_id)
+                 || chr(10) || '</channel></rss>'
+               ELSE
+                 '<feed xmlns="http://www.w3.org/2005/Atom">' || chr(10)
+                 || '<title>' || feed || ' feed</title>' || chr(10)
+                 || '<id>tag:' || feed || '</id>' || chr(10)
+                 || string_agg(entry, chr(10) ORDER BY doc_id)
+                 || chr(10) || '</feed>'
+               END AS xml
+        FROM entries GROUP BY feed, fmt
+    """
+    return oracle_parse_feed(synth)
+
+
 # shared Spark/DuckDB synthesis (chr(10) is ASCII-safe in both engines —
 # CLAUDE.md lesson 17): every doc gets a host nav line + a copyright
 # footer; 1/3 get a semi-common 'subscribe' line that must SURVIVE the
@@ -3678,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_layout": _shard_layout,              # rendezvous shards
         "fix_encoding": _fix_encoding,              # mojibake repair
         "sitemap_parse": _sitemap_parse,            # sitemap roundtrip
+        "feed_parse": _feed_parse,                  # RSS/Atom roundtrip
         "snippet_search": _snippet_search,          # serving snippets
         "triangle_hosts": _triangle_hosts,          # triangle counts
         "weighted_sample": _weighted_sample,        # A-ES exemplars
@@ -4586,6 +4749,7 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["fix_encoding"] = _fix_encoding_oracle()
     oracles["sitemap_parse"] = _sitemap_parse_oracle()
+    oracles["feed_parse"] = _feed_parse_oracle()
     from navigator_document_parser_spark.operators.search import (
         oracle_snippet_search,
     )

@@ -113,6 +113,7 @@ OP_QUERIES = [
     "url_filter",
     "robots_filter",
     "sitemap_parse",
+    "feed_parse",
     "html_tables",
     "meta_tags",
     "markup_stats",

@@ -120,3 +120,98 @@ def test_spell_correct_d2_reaches_further(spark):
     assert spell_correct(qs, vocab, max_dist=1).count() == 0
     r = spell_correct(qs, vocab, max_dist=2).collect()
     assert [(x.suggestion, x.dist) for x in r] == [("spark", 2)]
+
+
+# ---------------------------------------------------------------------------
+# parse_feed — RSS 2.0 / Atom ingestion (sources/feed.py)
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.sources.feed import parse_feed  # noqa: E402
+
+_RSS = """<?xml version="1.0"?>
+<rss version="2.0"><channel>
+<title>Channel Title Must Not Leak</title>
+<link>https://example.com</link>
+<item>
+  <title>First post</title>
+  <link>https://example.com/a</link>
+  <guid isPermaLink="false">g-1</guid>
+  <pubDate>Mon, 01 Jan 2025 00:00:00 GMT</pubDate>
+</item>
+<item>
+  <link>https://example.com/b</link>
+</item>
+<item>
+  <title>no link, dropped</title>
+  <guid>g-3</guid>
+</item>
+</channel></rss>"""
+
+_ATOM = """<feed xmlns="http://www.w3.org/2005/Atom">
+<title>Feed Title Must Not Leak</title>
+<id>tag:example.org,feed</id>
+<entry>
+  <title>Entry one</title>
+  <id>tag:example.org,1</id>
+  <link rel="alternate" href="https://example.org/1"/>
+  <updated>2025-01-02</updated>
+</entry>
+<entry>
+  <id>tag:example.org,2</id>
+  <link href="https://example.org/2"/>
+</entry>
+</feed>"""
+
+
+def _parse(spark, xml, feed="f"):
+    df = spark.createDataFrame([(feed, xml)], ["feed", "xml"])
+    return {(r.format, r.url): (r.title, r.entry_id, r.published)
+            for r in parse_feed(df).collect()}
+
+
+def test_parse_feed_rss(spark):
+    out = _parse(spark, _RSS)
+    assert out == {
+        ("rss", "https://example.com/a"):
+            ("First post", "g-1", "Mon, 01 Jan 2025 00:00:00 GMT"),
+        ("rss", "https://example.com/b"): (None, None, None),
+    }  # channel-level title/link never leak; the no-link item drops
+
+
+def test_parse_feed_atom(spark):
+    out = _parse(spark, _ATOM)
+    assert out == {
+        ("atom", "https://example.org/1"):
+            ("Entry one", "tag:example.org,1", "2025-01-02"),
+        ("atom", "https://example.org/2"):
+            (None, "tag:example.org,2", None),
+    }
+
+
+def test_parse_feed_garbage_yields_no_rows_never_raises(spark):
+    for blob in ["", "not xml at all", "<html><body>hi</body></html>",
+                 "<rss><channel><item><title>no url</title></item>"
+                 "</channel></rss>"]:
+        assert not _parse(spark, blob)
+
+
+def test_parse_feed_multiline_entries_flattened(spark):
+    # a block whose fields span many lines still parses (flatten step)
+    xml = ("<rss><channel><item>\n\n  <link>\nhttps://x.io/p\n</link>"
+           "\n</item></channel></rss>")
+    out = _parse(spark, xml)
+    # flatten joins with one space INSIDE the element text, so the raw
+    # match is ' https://x.io/p ' — the contract does no silent trimming
+    # (downstream url_filter canonicalization owns that).
+    assert list(out) == [("rss", " https://x.io/p ")]
+
+
+def test_read_feeds_from_files(spark, tmp_path):
+    from navigator_document_parser_spark.sources.feed import read_feeds
+
+    (tmp_path / "a.xml").write_text(_RSS)
+    (tmp_path / "b.xml").write_text(_ATOM)
+    out = read_feeds(spark, str(tmp_path / "*.xml"))
+    assert out.count() == 4
+    fmts = {r.format for r in out.select("format").distinct().collect()}
+    assert fmts == {"rss", "atom"}
