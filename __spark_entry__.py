@@ -1391,6 +1391,18 @@ def _embedding_neardup(spark, sf):
     return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)
 
 
+def _semantic_clusters(spark, sf):
+    """Transitive closure of the embedding near-dup pairs into clusters
+    (operators/similarity.py semantic_clusters): pair semantics are
+    embedding_neardup VERBATIM, closure is the oracle-checked
+    connected_components; cluster_id = min member id."""
+    from navigator_document_parser_spark.operators.similarity import (
+        semantic_clusters,
+    )
+
+    return semantic_clusters(_emb(spark, sf), threshold=0.35)
+
+
 def _hll_distinct(spark, sf):
     """HyperLogLog per-language vocabulary-size estimate (p=8, integer
     rho via binary-string length, dyadic harmonic sum — exact across
@@ -3816,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _knn_graph,            # kNN graph (banded, oracle-exact)
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,    # == brute force
         "embedding_neardup": _embedding_neardup,
+        "semantic_clusters": _semantic_clusters,  # neardup closure
         "bitext_mine": _bitext_mine,                # margin-based alignment
         "bitext_mine_lsh": _bitext_mine_lsh,        # blocked mining (scale path)
         "semdedup": _semdedup,                      # semantic cluster dedup
@@ -4432,6 +4445,30 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "embedding_neardup": _NEARDUP_PAIRS_SQL,
+        "semantic_clusters": f"""
+            WITH RECURSIVE pairs AS ({_NEARDUP_PAIRS_SQL}),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM edges
+            ), reach AS (
+              SELECT node, node AS r FROM nodes
+              UNION
+              SELECT reach.node, e.dst AS r
+              FROM reach JOIN edges e ON reach.r = e.src
+            ), comp AS (
+              SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+            ), sizes AS (
+              SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY comp
+            )
+            SELECT CAST(c.node AS BIGINT) AS vec_id,
+                   CAST(c.comp AS BIGINT) AS cluster_id,
+                   s.cluster_size
+            FROM comp c JOIN sizes s ON c.comp = s.comp
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value

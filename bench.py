@@ -187,6 +187,7 @@ OP_QUERIES = [
     "bitext_mine",
     "bitext_mine_lsh",
     "embedding_neardup",
+    "semantic_clusters",
     "embedding_outliers",
     "mmr_rerank",
     "training_pairs",

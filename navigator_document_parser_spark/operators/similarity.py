@@ -805,6 +805,57 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_clusters(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    dim: int | None = None,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Semantic duplicate CLUSTERS, not just pairs: the transitive
+    closure of embedding_neardup_pairs — the unit a curation pipeline
+    actually acts on (keep one representative per cluster, or
+    down-weight the whole cluster a la SemDeDup at cluster granularity).
+
+    Pure composition of two oracle-checked primitives: the pair
+    definition is embedding_neardup_pairs VERBATIM (same blocking, same
+    4dp gate — the positive-pair semantics cannot drift), and the
+    closure is dedup.connected_components (hash-min + pointer jumping,
+    O(log diameter) batched rounds). Vectors in no pair are singletons
+    by definition and are deliberately NOT emitted — at corpus scale
+    the non-duplicate mass is the overwhelming majority and a cluster
+    table that repeats it row-for-row is pointless shuffle; callers
+    left-anti join to find untouched vectors.
+
+    Returns (vec_id, cluster_id, cluster_size): cluster_id = smallest
+    member id, cluster_size >= 2.
+    """
+    from navigator_document_parser_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = embedding_neardup_pairs(
+        embeddings,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col=block_col,
+        dim=dim,
+        n_planes=n_planes,
+    )
+    comps = connected_components(pairs)  # (node, comp)
+    sizes = comps.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return comps.join(sizes, on="comp").select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def knn_graph(
     embeddings: DataFrame,
     dim: int,

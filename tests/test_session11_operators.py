@@ -215,3 +215,33 @@ def test_read_feeds_from_files(spark, tmp_path):
     assert out.count() == 4
     fmts = {r.format for r in out.select("format").distinct().collect()}
     assert fmts == {"rss", "atom"}
+
+
+# ---------------------------------------------------------------------------
+# semantic_clusters — transitive closure of embedding near-dup pairs
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.similarity import (  # noqa: E402
+    semantic_clusters,
+)
+
+
+def test_semantic_clusters_chain_closure_and_singleton_drop(spark):
+    """v0~v1 and v1~v2 are pairs but v0~v2 is below threshold: the
+    CLUSTER must still union all three (transitive closure, the whole
+    point vs the raw pair table); the orthogonal v3 is a singleton and
+    must not be emitted."""
+    import math
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    rows = [(0, at(0), "x"), (1, at(20), "x"), (2, at(40), "x"),
+            (3, [0.0, 0.0, 1.0, 0.0], "x"), (4, at(5), "y")]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = semantic_clusters(emb, threshold=0.9).collect()
+    got = {(r.vec_id, r.cluster_id, r.cluster_size) for r in out}
+    # v4 is within 0.9 of v0/v1 by angle but in ANOTHER label block ->
+    # blocked out (pair semantics are embedding_neardup verbatim)
+    assert got == {(0, 0, 3), (1, 0, 3), (2, 0, 3)}
