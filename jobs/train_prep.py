@@ -1,0 +1,135 @@
+"""spark-submit entrypoint: curated corpus -> training-ready packs.
+
+The last mile between curation and the training loader. Composes the
+oracle-checked operators end-to-end:
+
+    curate (exact dedup -> Gopher gate -> optional decontamination,
+            jobs/curate.py)
+      -> optional temperature-scaled language mixing (mT5/XLM-R rule,
+         selection.temperature_mix)
+      -> optional per-language token-budget selection
+         (selection.budget_select)
+      -> sequence packing into fixed-token-budget packs across
+         deterministic shards (text.pack_sequences)
+      -> parquet partitioned by shard — (shard, pack_id) is the file
+         key the training loader streams in order.
+
+Cluster usage:
+
+    zip -r ndps.zip navigator_document_parser_spark
+    spark-submit --py-files ndps.zip jobs/train_prep.py \
+        --input  s3a://bucket/warehouse/documents \
+        --output s3a://bucket/warehouse/train_packs \
+        --holdout s3a://bucket/warehouse/benchmark_docs \
+        --alpha 0.3 --budget-frac 0.5 \
+        --token-budget 1000000 --max-tokens 2048 --n-shards 64
+
+Scale shape: curation is hash-aggregates + broadcast joins (see
+jobs/curate.py); both selection stages are one group-count aggregate
+plus a broadcast rate/budget table over a shuffle-free projection;
+packing windows are per-shard (never a global running sum). Every keep
+decision is a deterministic function of ids — re-running the job on
+the same input reproduces the same packs bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def prep(spark, docs, holdout=None, alpha=None, budget_frac: float = 0.5,
+         token_budget=None, max_tokens: int = 2048, n_shards: int = 16,
+         with_counts: bool = True):
+    """documents(doc_id, text, lang, ...) -> (packed docs, stage counts).
+
+    Returns a DataFrame with the surviving documents' columns plus
+    (n_tokens, shard, pack_id). Caller owns unpersist of the returned
+    frame when with_counts=True (the curate() ownership contract).
+    """
+    from pyspark.sql import functions as F
+
+    from jobs.curate import curate
+    from navigator_document_parser_spark.operators.selection import (
+        budget_select,
+        temperature_mix,
+    )
+    from navigator_document_parser_spark.operators.text import (
+        pack_sequences,
+    )
+
+    curated, counts = curate(spark, docs, holdout=holdout,
+                             with_counts=with_counts)
+
+    selected = curated
+    if alpha is not None:
+        keep_ids = (
+            temperature_mix(selected, alpha=alpha,
+                            budget_frac=budget_frac)
+            .filter("keep")
+            .select(F.col("id").alias("doc_id"))
+        )
+        selected = selected.join(keep_ids, "doc_id")
+        if with_counts:
+            counts["after_temperature_mix"] = selected.count()
+
+    if token_budget is not None:
+        kept = budget_select(selected, token_budget).select("doc_id")
+        selected = selected.join(kept, "doc_id")
+        if with_counts:
+            counts["after_budget_select"] = selected.count()
+
+    packs = pack_sequences(selected, max_tokens=max_tokens,
+                           n_shards=n_shards)
+    out = selected.join(packs, "doc_id")
+    if with_counts:
+        out = out.persist()
+        counts["packed_docs"] = out.count()
+        counts["n_packs"] = (
+            out.select("shard", "pack_id").distinct().count()
+        )
+        curated.unpersist()
+    return out, counts
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--holdout", default=None,
+                   help="optional benchmark/holdout docs parquet dir")
+    p.add_argument("--alpha", type=float, default=None,
+                   help="temperature-mix exponent (omit to skip mixing)")
+    p.add_argument("--budget-frac", type=float, default=0.5)
+    p.add_argument("--token-budget", type=int, default=None,
+                   help="per-language token budget (omit to keep all)")
+    p.add_argument("--max-tokens", type=int, default=2048)
+    p.add_argument("--n-shards", type=int, default=16)
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from navigator_document_parser_spark.config import build_spark
+
+    spark = build_spark("train-prep", master=args.master)
+    docs = spark.read.parquet(args.input)
+    holdout = spark.read.parquet(args.holdout) if args.holdout else None
+
+    out, counts = prep(
+        spark, docs, holdout=holdout, alpha=args.alpha,
+        budget_frac=args.budget_frac, token_budget=args.token_budget,
+        max_tokens=args.max_tokens, n_shards=args.n_shards,
+    )
+    (out.repartition("shard")
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(args.output))
+    out.unpersist()
+    for k, v in counts.items():
+        print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
