@@ -48,6 +48,7 @@ from navigator_document_parser_spark.operators.search import (
     oracle_boolean_search as _oracle_boolean_search,
     oracle_index_export as _oracle_index_export,
     oracle_index_lookup as _oracle_index_lookup,
+    oracle_prefix_suggest as _oracle_prefix_suggest,
     oracle_keyword_search as _oracle_keyword_search,
     oracle_phrase_search as _oracle_phrase_search,
 )
@@ -60,6 +61,7 @@ from navigator_document_parser_spark.operators.urls import (
 )
 from navigator_document_parser_spark.operators.selection import (
     oracle_budget_select as _oracle_budget_select,
+    oracle_curriculum_order as _oracle_curriculum_order,
     oracle_host_split as _oracle_host_split,
     oracle_importance_select as _oracle_importance_select,
     oracle_mix_rebalance as _oracle_mix_rebalance,
@@ -541,6 +543,17 @@ def _host_split(spark, sf):
     return host_split(_docs(spark, sf), val_frac=0.05, test_frac=0.05)
 
 
+def _curriculum_order(spark, sf):
+    """Curriculum phase assignment (operators/selection.py
+    curriculum_order): 4dp mean-word-length difficulty -> integer
+    quantile phases via a histogram cumsum, never a global sort."""
+    from navigator_document_parser_spark.operators.selection import (
+        curriculum_order,
+    )
+
+    return curriculum_order(_docs(spark, sf), n_phases=4)
+
+
 def _budget_select(spark, sf):
     """Per-language token-budget selection: fill ~1,500 BPE-ish tokens
     per language with the highest-quality documents first (the
@@ -860,6 +873,18 @@ def _oracle_index_export_str():
 
 
 _INDEX_LOOKUP_TERMS = ["hash", "join", "table"]
+
+
+def _prefix_suggest(spark, sf):
+    """Query-autocomplete index: top-k terms by document frequency per
+    1..4-char prefix (operators/search.py prefix_suggest) — integer
+    DF ranks, deterministic ties, hapax tail pruned pre-explode."""
+    from navigator_document_parser_spark.operators.search import (
+        prefix_suggest,
+    )
+
+    return prefix_suggest(_docs(spark, sf), k=3, max_prefix=4,
+                          min_count=2)
 
 
 def _index_lookup(spark, sf):
@@ -3781,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_export": _index_export,              # posting-block export
         "index_merge": _index_merge,                # incremental update
         "index_lookup": _index_lookup,              # serve from the index
+        "prefix_suggest": _prefix_suggest,          # autocomplete index
         "fetch_schedule": _fetch_schedule,          # politeness crawl slots
         "text_normalize": _text_normalize,          # unicode/ws cleanup
         "zorder_layout": _zorder_layout,            # Morton-curve layout
@@ -3802,6 +3828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": _bpe_tokenize,              # BPE subword stats
         "chunk_windows": _chunk_windows,            # RAG overlap chunking
         "host_split": _host_split,                  # leakage-safe split
+        "curriculum_order": _curriculum_order,    # difficulty quantiles
         "budget_select": _budget_select,            # per-lang token budget
         "mix_rebalance": _mix_rebalance,            # uniform-lang data mix
         "temperature_mix": _temperature_mix,        # mT5-style lang mix
@@ -4155,6 +4182,9 @@ def oracle_sql() -> dict[str, str]:
         # full-corpus index — the oracle IS index_export's oracle
         "index_merge": _oracle_index_export_str(),
         "index_lookup": _oracle_index_lookup(_INDEX_LOOKUP_TERMS),
+        "prefix_suggest": _oracle_prefix_suggest(
+            k=3, max_prefix=4, min_count=2
+        ),
         "fetch_schedule": _oracle_fetch_schedule(_FETCH_PLAN_SQL, 8),
         "text_normalize": T.oracle_normalize_text(_MESSY_TEXT_SQL),
         "zorder_layout": _oracle_zorder_layout(
@@ -4219,6 +4249,7 @@ def oracle_sql() -> dict[str, str]:
                                         strata={'en': 0.5, 'zh': 0.05})}
         """,
         "host_split": _oracle_host_split(),
+        "curriculum_order": _oracle_curriculum_order(n_phases=4),
         "budget_select": _oracle_budget_select(1500),
         "mix_rebalance": _oracle_mix_rebalance(),
         "temperature_mix": _oracle_temperature_mix(

@@ -110,6 +110,7 @@ OP_QUERIES = [
     "index_export",
     "index_merge",
     "index_lookup",
+    "prefix_suggest",
     "url_filter",
     "robots_filter",
     "sitemap_parse",
@@ -134,6 +135,7 @@ OP_QUERIES = [
     "boilerplate_strip",
     "zorder_layout",
     "shard_layout",
+    "curriculum_order",
     "budget_select",
     "mix_rebalance",
     "temperature_mix",

@@ -1377,3 +1377,104 @@ def oracle_search_eval(hits_sql: str, rels_sql: str, k: int = 5) -> str:
                     THEN 1.0 / p.first_rel END AS mrr{kk}
         FROM per_q p LEFT JOIN ideal i ON i.query_id = p.query_id
     """
+
+
+# ---- prefix autocomplete (the search-suggest index) ------------------------
+
+def prefix_suggest(
+    docs: DataFrame,
+    k: int = 3,
+    max_prefix: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Query-autocomplete index: for every term prefix of length
+    1..max_prefix, the top-k corpus terms by document frequency — the
+    table a suggest-as-you-type service serves straight from memory
+    (prefix -> ranked completions), built offline next to index_export.
+
+    DF, not raw term count (one spammy page repeating a term must not
+    own a prefix); rank = (df desc, term asc) so ties are
+    deterministic; min_count prunes the hapax tail BEFORE the prefix
+    explode (at web scale the tail is most of the vocabulary and
+    contributes nothing a user should be offered).
+
+    100 TB shape: one (term, doc) dedup aggregate -> vocabulary-sized
+    table, <= max_prefix rows per term after the explode, one
+    per-prefix top-k window over groups already cut to the surviving
+    vocabulary. No full-corpus shuffle beyond the DF aggregate (which
+    has map-side combine).
+
+    Returns (prefix, rank, term, df).
+    """
+    if k <= 0 or max_prefix <= 0:
+        raise ValueError("k and max_prefix must be positive")
+    vocab = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"filter(split(lower({text_col}), '[^a-z0-9_]+'),"
+                    " x -> x <> '')"
+                )
+            ).alias("term"),
+        )
+        .dropDuplicates(["term", "doc_id"])
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .filter(F.col("df") >= int(min_count))
+    )
+    pre = vocab.select(
+        "term", "df",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, least({int(max_prefix)},"
+                f" length(term))), p -> substring(term, 1, p))"
+            )
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        pre.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "prefix", F.col("rank").cast("bigint").alias("rank"),
+            "term", "df",
+        )
+    )
+
+
+def oracle_prefix_suggest(
+    k: int = 3,
+    max_prefix: int = 4,
+    min_count: int = 2,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of prefix_suggest over ``table`` (doc_id, text)."""
+    return f"""
+        WITH vocab AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+            SELECT DISTINCT doc_id, unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9_]+'),
+              x -> x <> '')) AS term
+            FROM {table}
+          ) GROUP BY term
+          HAVING count(*) >= {int(min_count)}
+        ), pre AS (
+          SELECT term, df,
+                 unnest(list_transform(
+                   range(1, least({int(max_prefix)}, length(term)) + 1),
+                   p -> substr(term, 1, p))) AS prefix
+          FROM vocab
+        )
+        SELECT prefix, CAST(rank AS BIGINT) AS rank, term, df
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY prefix
+                   ORDER BY df DESC, term ASC) AS rank
+          FROM pre
+        )
+        WHERE rank <= {int(k)}
+    """

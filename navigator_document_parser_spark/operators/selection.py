@@ -710,3 +710,101 @@ def oracle_host_reputation(
                  AS reputable
         FROM a JOIN b ON a.host = b.host
     """
+
+
+def curriculum_order(
+    df: DataFrame,
+    n_phases: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum phase assignment: documents bucketed into
+    ``n_phases`` difficulty quantiles — phase 0 is the easiest quarter
+    of the corpus, trained first; later phases are appended as training
+    progresses (the classic length/complexity curriculum).
+
+    Difficulty = 4dp mean word length (ratio4 of non-whitespace chars
+    over words — integer half-up, engine-portable). Quantiles are
+    computed WITHOUT a global sort: one groupBy(difficulty) histogram
+    (the 4dp quantization bounds its cardinality), a running-count
+    window over that small table, then
+    phase = (docs_with_smaller_difficulty * n_phases) div N —
+    pure integer arithmetic, so ties share a phase deterministically
+    (a phase boundary never splits equal-difficulty documents; under
+    heavy ties phases are uneven by exactly the tie mass).
+
+    100 TB shape: one map-side-combine aggregate, one tiny-table
+    window, one broadcast join back onto a shuffle-free projection.
+    The corpus itself is never globally sorted or windowed.
+
+    Returns (doc_id, difficulty, phase), phase in [0, n_phases).
+    """
+    if n_phases <= 0:
+        raise ValueError("n_phases must be positive")
+    from navigator_document_parser_spark.operators import ratio4
+    from navigator_document_parser_spark.operators.text import token_count
+
+    c = F.col(text_col)
+    chars = F.length(F.regexp_replace(c, r"\s", ""))
+    words = token_count(c)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        ratio4(chars, F.greatest(words, F.lit(1))).alias("difficulty"),
+    )
+    hist = base.groupBy("difficulty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("difficulty").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = hist.select(
+        "difficulty",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0).cast("bigint")).alias(
+            "cum_before"
+        ),
+    )
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    phases = cum.crossJoin(F.broadcast(tot)).select(
+        "difficulty",
+        F.expr(f"(cum_before * {int(n_phases)}) div n")
+        .cast("bigint")
+        .alias("phase"),
+    )
+    return base.join(F.broadcast(phases), on="difficulty").select(
+        "doc_id", "difficulty", "phase"
+    )
+
+
+def oracle_curriculum_order(
+    n_phases: int = 4, table: str = "documents"
+) -> str:
+    """DuckDB replica of curriculum_order over ``table`` (doc_id, text)."""
+    from navigator_document_parser_spark.operators import ratio4_sql
+    from navigator_document_parser_spark.operators.text import (
+        oracle_token_count,
+    )
+
+    diff = ratio4_sql(
+        "length(regexp_replace(text, '\\s', '', 'g'))",
+        f"greatest({oracle_token_count('text')}, 1)",
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {diff} AS difficulty FROM {table}
+        ), hist AS (
+          SELECT difficulty, CAST(count(*) AS BIGINT) AS cnt
+          FROM base GROUP BY difficulty
+        ), cum AS (
+          SELECT difficulty,
+                 CAST(COALESCE(SUM(cnt) OVER (ORDER BY difficulty
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cum_before
+          FROM hist
+        ), tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist
+        )
+        SELECT b.doc_id, b.difficulty,
+               CAST((c.cum_before * {int(n_phases)}) // t.n AS BIGINT)
+                 AS phase
+        FROM base b JOIN cum c USING (difficulty) CROSS JOIN tot t
+    """

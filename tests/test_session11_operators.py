@@ -245,3 +245,78 @@ def test_semantic_clusters_chain_closure_and_singleton_drop(spark):
     # v4 is within 0.9 of v0/v1 by angle but in ANOTHER label block ->
     # blocked out (pair semantics are embedding_neardup verbatim)
     assert got == {(0, 0, 3), (1, 0, 3), (2, 0, 3)}
+
+
+# ---------------------------------------------------------------------------
+# prefix_suggest — autocomplete index (operators/search.py)
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.search import (  # noqa: E402
+    prefix_suggest,
+)
+
+
+def test_prefix_suggest_ranks_by_df_not_raw_count(spark):
+    # 'spam' appears 9x in ONE doc; 'spark' appears once in each of 3
+    # docs -> df(spark)=3 beats df(spam)=1 on every shared prefix
+    rows = [(0, "spam " * 9), (1, "spark a"), (2, "spark b"),
+            (3, "spark c"), (4, "spat a"), (5, "spat b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.prefix, r.rank): (r.term, r.df)
+           for r in prefix_suggest(df, k=2, max_prefix=3,
+                                   min_count=1).collect()}
+    assert out[("s", 1)] == ("spark", 3)
+    assert out[("s", 2)] == ("spat", 2)
+    assert out[("spa", 1)] == ("spark", 3)
+    assert out[("spa", 2)] == ("spat", 2)
+    # single-letter fillers: 'a' (docs 1, 4) and 'b' (docs 2, 5) both
+    # have df=2 and own their single-char prefixes
+    assert out[("a", 1)] == ("a", 2)
+    assert out[("b", 1)] == ("b", 2)
+
+
+def test_prefix_suggest_min_count_prunes_tail(spark):
+    rows = [(0, "unique word"), (1, "word again")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = prefix_suggest(df, k=3, max_prefix=2, min_count=2).collect()
+    terms = {r.term for r in out}
+    assert terms == {"word"}  # df=2 survives; hapaxes pruned
+    assert {r.prefix for r in out} == {"w", "wo"}
+
+
+def test_prefix_suggest_prefix_no_longer_than_term(spark):
+    df = spark.createDataFrame([(0, "ab ab cd cd")], ["doc_id", "text"])
+    out = prefix_suggest(df, k=5, max_prefix=4, min_count=1).collect()
+    assert {r.prefix for r in out} == {"a", "ab", "c", "cd"}
+
+
+# ---------------------------------------------------------------------------
+# curriculum_order — difficulty quantile phases (operators/selection.py)
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.selection import (  # noqa: E402
+    curriculum_order,
+)
+
+
+def test_curriculum_order_phases_follow_difficulty(spark):
+    # 8 docs, two of each mean word length 2, 4, 6, 8 -> 4 clean phases
+    rows = []
+    for i, wl in enumerate([2, 2, 4, 4, 6, 6, 8, 8]):
+        rows.append((i, " ".join(["x" * wl] * 10)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.difficulty, r.phase)
+           for r in curriculum_order(df, n_phases=4).collect()}
+    assert len(out) == 8
+    assert [out[i][1] for i in range(8)] == [0, 0, 1, 1, 2, 2, 3, 3]
+    assert out[0][0] == 2.0 and out[7][0] == 8.0
+
+
+def test_curriculum_order_ties_share_a_phase(spark):
+    # 10 identical docs + 2 harder: ties NEVER split across phases
+    rows = [(i, "aa bb cc") for i in range(10)]
+    rows += [(10, "looooooong wooooooords"), (11, "looooooong wooooooords")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.phase for r in curriculum_order(df, n_phases=3).collect()}
+    assert {out[i] for i in range(10)} == {0}
+    assert out[10] == out[11] == 2
