@@ -3289,6 +3289,43 @@ def _topic_classify(spark, sf):
     return topic_classify(_docs(spark, sf))
 
 
+# parallel-url synth: groups of 5 docs share a page id; even doc_ids
+# use the language-subdomain convention, odd the path-segment one —
+# pairs form within a (convention, page) group across different langs
+def _parallel_urls_sql(dialect: str) -> str:
+    st = "STRING" if dialect == "spark" else "VARCHAR"
+    g = f"CAST(CAST(floor(doc_id / 5) AS BIGINT) AS {st})"
+    host = (
+        f"concat('site', CAST(CAST(floor(doc_id / 5) AS BIGINT) % 25"
+        f" AS {st}), '.org')"
+    )
+    return f"""
+        SELECT doc_id AS id, lang,
+               CASE WHEN doc_id % 2 = 0
+                    THEN concat('https://', lang, '.', {host},
+                                '/page-', {g})
+                    ELSE concat('https://', {host}, '/', lang,
+                                '/page-', {g}) END AS url
+        FROM documents
+    """
+
+
+def _url_parallel_pairs(spark, sf):
+    """Parallel-document candidates mined from URL structure
+    (operators/urls.py url_parallel_pairs): language subdomain / path
+    segment normalized to one template key, cross-language pairs per
+    key — the ParaCrawl-style blocking stage ahead of bitext scoring."""
+    from navigator_document_parser_spark.operators.urls import (
+        url_parallel_pairs,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    return url_parallel_pairs(
+        spark.sql(_parallel_urls_sql("spark")), id_col="id"
+    )
+
+
 def _url_templates(spark, sf):
     """Dominant path-template mining per host over the same trap-shaped
     URL synth (operators/urls.py url_templates): numeric runs -> <n>,
@@ -3928,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _vocab_coverage,          # top-V OOV table
         "topic_classify": _topic_classify,          # lexicon domain router
         "url_templates": _url_templates,            # path-shape mining
+        "url_parallel_pairs": _url_parallel_pairs,  # bitext URL blocking
         "host_reputation": _host_reputation,        # SEO-farm profiling
         "training_pairs": _training_pairs,          # contrastive triplets
         "dedup_bbit": _dedup_bbit,                  # b-bit minhash estimate
@@ -4991,6 +5029,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["topic_classify"] = oracle_topic_classify()
     oracles["url_templates"] = _url_templates_oracle()
+    from navigator_document_parser_spark.operators.urls import (
+        oracle_url_parallel_pairs,
+    )
+
+    oracles["url_parallel_pairs"] = oracle_url_parallel_pairs(
+        _parallel_urls_sql("duckdb")
+    )
     oracles["host_reputation"] = _host_reputation_oracle()
     oracles["training_pairs"] = _training_pairs_oracle()
     oracles["dedup_bbit"] = _dedup_bbit_oracle()

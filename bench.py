@@ -125,6 +125,7 @@ OP_QUERIES = [
     "dust_rules",
     "trap_detect",
     "url_templates",
+    "url_parallel_pairs",
     "resolve_redirects",
     "chunk_windows",
     "split_sentences",

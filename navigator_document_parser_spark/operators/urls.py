@@ -829,3 +829,99 @@ def oracle_resolve_redirects(redirects_sql: str, max_hops: int = 4) -> str:
         """
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# parallel-document candidate mining by URL structure
+# ---------------------------------------------------------------------------
+
+# the language markers multilingual sites encode into urls; alternation
+# is shared Java-regex/RE2-safe (no backslash classes)
+_PARALLEL_LANGS = (
+    "en|de|es|fr|it|pt|ru|zh|ja|ar|nl|pl|tr|ko|sv|cs|da|fi|el|hu"
+)
+_SUBDOMAIN_LANG = f"^(https?://)({_PARALLEL_LANGS})\\."
+_PATH_LANG = f"/({_PARALLEL_LANGS})(/|$)"
+
+
+def url_template_key(url: Column | str) -> Column:
+    """The url with its language markers normalized away — two pages
+    are parallel-candidates iff their keys collide. Handles the two
+    dominant conventions: a language subdomain (fr.example.com) and a
+    language path segment (/fr/page); both replace with a fixed
+    placeholder so en.site.com/en/x and de.site.com/de/x collide."""
+    c = F.col(url) if isinstance(url, str) else url
+    c = F.regexp_replace(c, _SUBDOMAIN_LANG, "$1<l>.")
+    return F.regexp_replace(c, _PATH_LANG, "/<l>$2")
+
+
+def url_parallel_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Parallel-document candidate pairs mined from URL structure — the
+    classic first stage of bitext corpus construction (ParaCrawl /
+    WMT shared-task style): multilingual sites publish translations at
+    systematically related urls, so stripping the language marker and
+    grouping yields translation candidates WITHOUT touching content.
+    Downstream, bitext_margin_mine scores these candidates instead of
+    the whole corpus — url blocking first, embedding margin second.
+
+    A pair is emitted when two docs share a template key but declare
+    DIFFERENT languages; id_a < id_b dedups the direction. Same-lang
+    collisions (mirrors) are dust_rules/mirror_hosts territory, not
+    emitted here.
+
+    100 TB shape: one map-only key projection (fuses into codegen over
+    the scan), one equi-join on the key. Group sizes are bounded by a
+    site's language count (~dozens); a pathological key is quadratic in
+    ITS collision set only — the documented pair-enumeration caveat
+    shared with dedup_editdist.
+
+    Returns (tkey, id_a, lang_a, id_b, lang_b).
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        url_template_key(url_col).alias("tkey"),
+    ).localCheckpoint(eager=True)  # feeds both join sides (lesson 3/20)
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("lang").alias("lang_a"), "tkey"
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("lang").alias("lang_b"), "tkey"
+    )
+    return (
+        a.join(b, on="tkey")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("lang_a") != F.col("lang_b"))
+        )
+        .select("tkey", "id_a", "lang_a", "id_b", "lang_b")
+    )
+
+
+def oracle_url_parallel_pairs(docs_sql: str) -> str:
+    """DuckDB replica of url_parallel_pairs; ``docs_sql`` yields
+    (id, url, lang). DuckDB regexp_replace needs the 'g' flag to match
+    Spark's replace-all, and spells the group ref \\1 where Java uses
+    $1 (the dust_rules lesson) — here both patterns can only match once
+    ('^' anchor; the placeholder kills re-matches), but the 'g' flag is
+    kept for shape parity."""
+    key = (
+        "regexp_replace(regexp_replace(url, "
+        f"'{_SUBDOMAIN_LANG}', '\\1<l>.', 'g'), "
+        f"'{_PATH_LANG}', '/<l>\\2', 'g')"
+    )
+    return f"""
+        WITH d AS ({docs_sql}),
+        base AS (
+          SELECT id, lang, {key} AS tkey FROM d
+        )
+        SELECT a.tkey, a.id AS id_a, a.lang AS lang_a,
+               b.id AS id_b, b.lang AS lang_b
+        FROM base a JOIN base b
+          ON a.tkey = b.tkey AND a.id < b.id AND a.lang <> b.lang
+    """

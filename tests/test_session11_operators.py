@@ -320,3 +320,60 @@ def test_curriculum_order_ties_share_a_phase(spark):
     out = {r.doc_id: r.phase for r in curriculum_order(df, n_phases=3).collect()}
     assert {out[i] for i in range(10)} == {0}
     assert out[10] == out[11] == 2
+
+
+# ---------------------------------------------------------------------------
+# url_parallel_pairs — bitext candidate mining from URL structure
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.urls import (  # noqa: E402
+    url_parallel_pairs,
+    url_template_key,
+)
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_url_template_key_both_conventions(spark):
+    rows = [
+        ("https://en.example.com/about",),
+        ("https://fr.example.com/about",),
+        ("https://example.com/en/about",),
+        ("https://example.com/fr/about",),
+        ("https://example.com/fr",),          # marker at end of path
+        ("https://english.example.com/x",),   # 'english' is NOT a marker
+        ("https://example.com/entropy/x",),   # '/en' inside a word: no
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    keys = [r.k for r in df.select(
+        url_template_key("url").alias("k")).collect()]
+    assert keys[0] == keys[1] == "https://<l>.example.com/about"
+    assert keys[2] == keys[3] == "https://example.com/<l>/about"
+    assert keys[4] == "https://example.com/<l>"
+    assert keys[5] == "https://english.example.com/x"
+    assert keys[6] == "https://example.com/entropy/x"
+
+
+def test_url_parallel_pairs_cross_lang_only(spark):
+    rows = [
+        (0, "https://en.site.org/p1", "en"),
+        (1, "https://fr.site.org/p1", "fr"),
+        (2, "https://de.site.org/p1", "de"),
+        (3, "https://en.mirror.org/p1", "en"),   # different host: no pair
+        (4, "https://es.site.org/p2", "es"),     # different page: no pair
+        (5, "https://en.site.org/p3", "en"),     # same lang twice:
+        (6, "https://en.other.site.org/p3", "en"),  # (also diff host)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "lang"])
+    got = {(r.id_a, r.id_b) for r in url_parallel_pairs(df).collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_url_parallel_pairs_path_and_subdomain_do_not_cross(spark):
+    # the two conventions produce DIFFERENT template keys on purpose:
+    # /fr/ page structure is not evidence of parallelism with fr. hosts
+    rows = [
+        (0, "https://site.org/en/p", "en"),
+        (1, "https://fr.site.org/p", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "lang"])
+    assert url_parallel_pairs(df).count() == 0
