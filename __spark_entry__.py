@@ -3478,6 +3478,49 @@ _META_HTML_SRC_SQL = """
 """
 
 
+# link synth: every page gets a root-relative link; evens add a
+# directory-relative one, %3 a nofollow absolute, %4==1 a
+# protocol-relative, %5==2 the three droppable shapes
+_LINKS_HTML_SRC_SQL = """
+    SELECT doc_id,
+      'https://' || source || '/sec/page'
+        || CAST(doc_id AS STRING) || '.html' AS url,
+      '<html><body><a href="/root' || CAST(doc_id % 7 AS STRING)
+      || '">Root</a>'
+      || CASE WHEN doc_id % 2 = 0
+              THEN '<a href="rel' || CAST(doc_id % 5 AS STRING)
+                || '.html">relative</a>' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN '<a rel="nofollow" href="https://ads.example/c'
+                || CAST(doc_id AS STRING) || '">sponsored</a>'
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 1
+              THEN '<a href="//cdn.' || source || '/x">cdn</a>'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 2
+              THEN '<a href="mailto:x@y.z">mail</a>'
+                || '<a href="#top">top</a>'
+                || '<a href="javascript:void(0)">js</a>'
+              ELSE '' END
+      || '<p>' || text || '</p></body></html>' AS html
+    FROM documents
+"""
+
+
+def _extract_links(spark, sf):
+    """Outlink extraction + base-url resolution from raw markup
+    (operators/tables.py extract_links): absolute / protocol-relative /
+    root-relative / directory-relative all resolved; fragment,
+    javascript: and mailto: dropped; nofollow surfaced."""
+    from navigator_document_parser_spark.operators.tables import (
+        extract_links,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    return extract_links(spark.sql(_LINKS_HTML_SRC_SQL))
+
+
 def _meta_tags(spark, sf):
     """Page-metadata mining (title/OpenGraph/description/feed link)
     over head-tag-decorated synthetic pages (operators/tables.py
@@ -3970,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pairs": _training_pairs,          # contrastive triplets
         "dedup_bbit": _dedup_bbit,                  # b-bit minhash estimate
         "dedup_cluster_stats": _dedup_cluster_stats,  # cluster histogram
+        "extract_links": _extract_links,          # outlink resolution
         "meta_tags": _meta_tags,                    # og/title/feed mining
         "markup_stats": _markup_stats,              # markup-density profile
         "resolve_redirects": _resolve_redirects,    # canonical chains
@@ -5029,6 +5073,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["topic_classify"] = oracle_topic_classify()
     oracles["url_templates"] = _url_templates_oracle()
+    from navigator_document_parser_spark.operators.tables import (
+        oracle_extract_links,
+    )
+
+    oracles["extract_links"] = oracle_extract_links(
+        _LINKS_HTML_SRC_SQL
+    )
     from navigator_document_parser_spark.operators.urls import (
         oracle_url_parallel_pairs,
     )

@@ -116,6 +116,7 @@ OP_QUERIES = [
     "sitemap_parse",
     "feed_parse",
     "html_tables",
+    "extract_links",
     "meta_tags",
     "markup_stats",
     "jsonld_extract",

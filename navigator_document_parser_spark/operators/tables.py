@@ -419,3 +419,127 @@ def oracle_title_consistency(pages_sql: str) -> str:
                {r4} AS consistency4
         FROM sig
     """
+
+
+# ---------------------------------------------------------------------------
+# outlink extraction (raw HTML -> resolved link rows)
+# ---------------------------------------------------------------------------
+
+# one block per <a> that carries a double-quoted href; fields re-extracted
+# per block (regexp_extract_all returns a single group, so block-then-field
+# is the html_tables staging discipline). Attribute-order sensitive like
+# meta_tags: href before any trailing attributes is matched either way via
+# the second [^>]*, but href must be double-quoted.
+_A_BLOCK = '<a [^>]*href="[^"]*"[^>]*>[^<]*</a>'
+_A_HREF = 'href="([^"]*)"'
+_A_ANCHOR = '>([^<]*)</a>'
+
+
+def extract_links(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    base_col: str = "url",
+) -> DataFrame:
+    """Outlink extraction from raw markup: every <a href> resolved
+    against the page url — the edge list that host_link_graph gets from
+    WAT files, produced here straight from the input table's html
+    column (BASELINE.json input_hint), so pagerank / anchor_text /
+    crawl frontiers run without a separate WAT ingest.
+
+    Resolution covers the four shapes that matter at crawl scale:
+    absolute (kept as-is), protocol-relative (inherits the base
+    scheme), root-relative (base origin + path), and directory-relative
+    (resolved against the base path's directory). No '../' folding —
+    dot-segment normalization is url_filter/dust_rules territory.
+    javascript:/mailto:/fragment-only hrefs are dropped. nofollow is
+    surfaced per link (the SEO edge-weight signal).
+
+    100 TB shape: one regexp_extract_all + explode, then map-only
+    field/resolution projections fused into codegen — no shuffle at
+    all; the output feeds the usual groupBy(host) edge aggregates.
+
+    Returns (doc_id, url, anchor, nofollow).
+    """
+    blocks = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(base_col).alias("base"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all({html_col}, '{_A_BLOCK}', 0)"
+            )
+        ).alias("b"),
+    )
+    href = F.regexp_extract("b", _A_HREF, 1)
+    origin = F.regexp_extract("base", "^(https?://[^/?#]*)", 1)
+    scheme = F.regexp_extract("base", "^(https?):", 1)
+    basedir = F.regexp_extract("base", "^(https?://[^?#]*/)", 1)
+    directory = F.when(basedir != "", basedir).otherwise(
+        F.concat(origin, F.lit("/"))
+    )
+    fields = blocks.select(
+        "doc_id",
+        href.alias("href"),
+        F.when(
+            (href.substr(1, 7) == "http://")
+            | (href.substr(1, 8) == "https://"),
+            href,
+        )
+        .when(href.substr(1, 2) == "//",
+              F.concat(scheme, F.lit(":"), href))
+        .when(href.substr(1, 1) == "/", F.concat(origin, href))
+        .otherwise(F.concat(directory, href))
+        .alias("url"),
+        F.regexp_extract("b", _A_ANCHOR, 1).alias("anchor"),
+        F.col("b").contains('rel="nofollow"').alias("nofollow"),
+    )
+    drop = (
+        (F.col("href") == "")
+        | F.col("href").startswith("#")
+        | F.col("href").startswith("javascript:")
+        | F.col("href").startswith("mailto:")
+    )
+    return fields.filter(~drop).select("doc_id", "url", "anchor", "nofollow")
+
+
+def oracle_extract_links(pages_sql: str) -> str:
+    """DuckDB replica of extract_links; ``pages_sql`` yields
+    (doc_id, url, html) with url as the base."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    return f"""
+        WITH p AS ({pages_sql}),
+        blocks AS (
+          SELECT doc_id, url AS base,
+                 unnest(regexp_extract_all(html,
+                        {sql_quote(_A_BLOCK)}, 0)) AS b
+          FROM p
+        ), fields AS (
+          SELECT doc_id,
+                 regexp_extract(b, {sql_quote(_A_HREF)}, 1) AS href,
+                 regexp_extract(base, '^(https?://[^/?#]*)', 1)
+                   AS origin,
+                 regexp_extract(base, '^(https?):', 1) AS scheme,
+                 regexp_extract(base, '^(https?://[^?#]*/)', 1)
+                   AS basedir,
+                 regexp_extract(b, {sql_quote(_A_ANCHOR)}, 1) AS anchor,
+                 contains(b, 'rel="nofollow"') AS nofollow
+          FROM blocks
+        )
+        SELECT doc_id,
+               CASE WHEN substring(href, 1, 7) = 'http://'
+                      OR substring(href, 1, 8) = 'https://' THEN href
+                    WHEN substring(href, 1, 2) = '//'
+                      THEN scheme || ':' || href
+                    WHEN substring(href, 1, 1) = '/'
+                      THEN origin || href
+                    ELSE (CASE WHEN basedir <> '' THEN basedir
+                               ELSE origin || '/' END) || href
+               END AS url,
+               anchor, nofollow
+        FROM fields
+        WHERE href <> ''
+          AND substring(href, 1, 1) <> '#'
+          AND substring(href, 1, 11) <> 'javascript:'
+          AND substring(href, 1, 7) <> 'mailto:'
+    """

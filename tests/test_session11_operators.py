@@ -377,3 +377,62 @@ def test_url_parallel_pairs_path_and_subdomain_do_not_cross(spark):
     ]
     df = spark.createDataFrame(rows, ["doc_id", "url", "lang"])
     assert url_parallel_pairs(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# extract_links — outlink extraction + base-url resolution
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.tables import (  # noqa: E402
+    extract_links,
+)
+
+_PAGE = (
+    '<html><body>'
+    '<a href="https://abs.example/x">abs</a>'
+    '<a href="//cdn.example/y">proto</a>'
+    '<a href="/rooted">root</a>'
+    '<a href="sibling.html">rel</a>'
+    '<a rel="nofollow" href="/ad">ad</a>'
+    '<a href="#frag">frag</a>'
+    '<a href="mailto:a@b.c">mail</a>'
+    '<a href="javascript:void(0)">js</a>'
+    '<a name="anchor-without-href">no href</a>'
+    '</body></html>'
+)
+
+
+def test_extract_links_resolution_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "https://site.org/dir/page.html", _PAGE)],
+        ["doc_id", "url", "html"],
+    )
+    out = {r.url: (r.anchor, r.nofollow)
+           for r in extract_links(df).collect()}
+    assert out == {
+        "https://abs.example/x": ("abs", False),
+        "https://cdn.example/y": ("proto", False),
+        "https://site.org/rooted": ("root", False),
+        "https://site.org/dir/sibling.html": ("rel", False),
+        "https://site.org/ad": ("ad", True),
+    }
+
+
+def test_extract_links_relative_against_pathless_base(spark):
+    df = spark.createDataFrame(
+        [(1, "https://site.org", '<a href="a.html">a</a>')],
+        ["doc_id", "url", "html"],
+    )
+    out = [r.url for r in extract_links(df).collect()]
+    assert out == ["https://site.org/a.html"]
+
+
+def test_extract_links_garbage_html_never_raises(spark):
+    rows = [(1, "https://s.o/p", "<a href=unquoted>x</a> not html <a>"),
+            (2, "https://s.o/p", ""),
+            (3, "not-a-url", '<a href="/x">y</a>')]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "html"])
+    got = extract_links(df).collect()
+    # unquoted hrefs don't match the block (documented contract);
+    # a non-http base yields '' origin -> url '/x' survives as-is
+    assert [(r.doc_id, r.url) for r in got] == [(3, "/x")]
