@@ -436,3 +436,41 @@ def test_extract_links_garbage_html_never_raises(spark):
     # unquoted hrefs don't match the block (documented contract);
     # a non-http base yields '' origin -> url '/x' survives as-is
     assert [(r.doc_id, r.url) for r in got] == [(3, "/x")]
+
+
+# ---------------------------------------------------------------------------
+# plan-shape pins (the lesson-12 discipline: OR-joins/BNLJ regressions
+# must fail loudly, and map-only operators must stay shuffle-free)
+# ---------------------------------------------------------------------------
+
+
+def _physical(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_links_is_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [(1, "https://s.o/d/p.html", '<a href="/x">x</a>')],
+        ["doc_id", "url", "html"],
+    )
+    plan = _physical(extract_links(df))
+    assert "Exchange" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_parallel_pairs_is_equi_join(spark):
+    df = spark.createDataFrame(
+        [(0, "https://en.s.o/p", "en"), (1, "https://fr.s.o/p", "fr")],
+        ["doc_id", "url", "lang"],
+    )
+    plan = _physical(url_parallel_pairs(df))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_dedup_editdist_is_equi_join(spark):
+    df = spark.createDataFrame([(0, "ab"), (1, "ac")], ["doc_id", "title"])
+    plan = _physical(dedup_editdist(df, max_dist=1))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
