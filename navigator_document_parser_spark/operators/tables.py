@@ -461,13 +461,21 @@ def extract_links(
 
     Returns (doc_id, url, anchor, nofollow).
     """
+    # newline-flatten first (the sitemap/feed discipline): wild markup
+    # pretty-prints attributes across lines, and the '<a ' block anchor
+    # needs the separator to be a plain space
+    flat = F.regexp_replace(
+        F.col(html_col), r"\s*[\r\n]+\s*", " "
+    )
     blocks = pages.select(
         F.col(id_col).alias("doc_id"),
         F.col(base_col).alias("base"),
+        flat.alias("flat_html"),
+    ).select(
+        "doc_id",
+        "base",
         F.explode(
-            F.expr(
-                f"regexp_extract_all({html_col}, '{_A_BLOCK}', 0)"
-            )
+            F.expr(f"regexp_extract_all(flat_html, '{_A_BLOCK}', 0)")
         ).alias("b"),
     )
     href = F.regexp_extract("b", _A_HREF, 1)
@@ -511,8 +519,9 @@ def oracle_extract_links(pages_sql: str) -> str:
         WITH p AS ({pages_sql}),
         blocks AS (
           SELECT doc_id, url AS base,
-                 unnest(regexp_extract_all(html,
-                        {sql_quote(_A_BLOCK)}, 0)) AS b
+                 unnest(regexp_extract_all(
+                   regexp_replace(html, '\\s*[\\r\\n]+\\s*', ' ', 'g'),
+                   {sql_quote(_A_BLOCK)}, 0)) AS b
           FROM p
         ), fields AS (
           SELECT doc_id,

@@ -474,3 +474,12 @@ def test_dedup_editdist_is_equi_join(spark):
     plan = _physical(dedup_editdist(df, max_dist=1))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_extract_links_multiline_markup_flattened(spark):
+    html = '<a\n  href="/x"\n  rel="nofollow">x\nlink</a>'
+    df = spark.createDataFrame(
+        [(1, "https://s.o/p", html)], ["doc_id", "url", "html"])
+    got = extract_links(df).collect()
+    assert [(r.url, r.anchor, r.nofollow) for r in got] == [
+        ("https://s.o/x", "x link", True)]
