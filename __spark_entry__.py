@@ -384,6 +384,24 @@ def _fuzzy_dedup_corpus(spark, sf):
     )
 
 
+def _dedup_keep_best(spark, sf):
+    """Keep-best fuzzy dedup (operators/dedup.py dedup_keep_best): same
+    near-dup components as fuzzy_dedup_corpus, but the cluster keeper is
+    the LONGEST copy (n_chars, ties to min id) — the production rule:
+    near-dup groups hold a canonical page plus truncated copies."""
+    from navigator_document_parser_spark.operators.dedup import (
+        dedup_keep_best,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.1, length_band=64)
+    return dedup_keep_best(
+        docs.select("doc_id", "lang", "n_chars"), pairs,
+        quality_col="n_chars",
+    )
+
+
 def _dedup_simhash(spark, sf):
     return simhash(_docs(spark, sf))
 
@@ -3930,6 +3948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": _dedup_substring,
         "dedup_components": _dedup_components,
         "fuzzy_dedup_corpus": _fuzzy_dedup_corpus,
+        "dedup_keep_best": _dedup_keep_best,        # longest-copy keeper
         "knn_cosine": _knn_cosine,
         "knn_lsh": _knn_lsh,                # oracle: deterministic planes
         "knn_graph": _knn_graph,            # kNN graph (banded, oracle-exact)
@@ -4432,6 +4451,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.n_chars
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT node FROM losers)
+        """,
+        "dedup_keep_best": f"""
+            {_components_cte()}
+            , comp AS (
+              SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+            ), scored AS (
+              SELECT c.node, c.comp, d.n_chars
+              FROM comp c JOIN documents d ON c.node = d.doc_id
+            ), winners AS (
+              SELECT comp, node AS keeper FROM (
+                SELECT comp, node, row_number() OVER (PARTITION BY comp
+                  ORDER BY n_chars DESC, node ASC) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            ), losers AS (
+              SELECT node FROM comp JOIN winners USING (comp)
+              WHERE node <> keeper
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM losers l
+                              WHERE l.node = d.doc_id)
         """,
         "dedup_simhash": f"""
             WITH toks AS (

@@ -183,6 +183,7 @@ OP_QUERIES = [
     "dedup_cluster_stats",
     "mirror_hosts",
     "fuzzy_dedup_corpus",
+    "dedup_keep_best",
     "knn_cosine",
     "knn_lsh",
     "knn_graph",

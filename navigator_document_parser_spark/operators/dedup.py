@@ -2135,3 +2135,47 @@ def oracle_mirror_hosts(
         JOIN sizes sa ON sa.host = pairs.host_a
         JOIN sizes sb ON sb.host = pairs.host_b
     """
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep the HIGHEST-QUALITY member per duplicate cluster — the
+    production variant of dedup_corpus: near-dup groups usually hold a
+    canonical page plus truncated/ad-injected/paywalled copies, and
+    "first crawled" (min id) is the wrong copy to keep; "best copy"
+    (longest, highest quality score) is what curation pipelines
+    actually select (SlimPajama keeps lowest-loss, CCNet keeps head
+    bucket). Ties break to the smaller id, so the operator degrades to
+    dedup_corpus exactly when quality is constant.
+
+    One quality lookup join on the component members (a tiny table vs
+    the corpus), one max-struct aggregate per component — the min-struct
+    argmax discipline (never a window over the corpus) — then the same
+    broadcast loser anti-join as dedup_corpus.
+    """
+    comps = connected_components(pairs, id_a, id_b)
+    scored = comps.join(
+        docs.select(
+            F.col(id_col).cast("long").alias("node"),
+            F.col(quality_col).alias("_q"),
+        ),
+        on="node",
+    )
+    winners = scored.groupBy("comp").agg(
+        F.max(F.struct(F.col("_q"), (-F.col("node")).alias("_negid")))
+        .alias("w")
+    ).select(
+        "comp", (-F.col("w._negid")).cast("long").alias("keeper")
+    )
+    losers = (
+        comps.join(winners, on="comp")
+        .filter(F.col("node") != F.col("keeper"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

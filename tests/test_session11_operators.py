@@ -483,3 +483,38 @@ def test_extract_links_multiline_markup_flattened(spark):
     got = extract_links(df).collect()
     assert [(r.url, r.anchor, r.nofollow) for r in got] == [
         ("https://s.o/x", "x link", True)]
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best — quality-aware cluster keeper
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.dedup import (  # noqa: E402
+    dedup_keep_best,
+)
+
+
+def test_dedup_keep_best_prefers_quality_then_min_id(spark):
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 99), (2, 99), (3, 5), (9, 42)],
+        ["doc_id", "quality"],
+    )
+    # cluster {0,1,2} (chain), cluster {3}, untouched {9}
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
+    kept = sorted(r.doc_id for r in dedup_keep_best(
+        docs, pairs, quality_col="quality").collect())
+    # winner of {0,1,2}: quality 99 tie between 1 and 2 -> min id 1
+    assert kept == [1, 3, 9]
+
+
+def test_dedup_keep_best_constant_quality_equals_min_id(spark):
+    from navigator_document_parser_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, 7) for i in range(6)], ["doc_id", "quality"])
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"])
+    a = sorted(r.doc_id for r in dedup_keep_best(
+        docs, pairs, quality_col="quality").collect())
+    b = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
+    assert a == b == [0, 1, 4]
