@@ -1434,6 +1434,23 @@ def _embedding_neardup(spark, sf):
     return embedding_neardup_pairs(_emb(spark, sf), threshold=0.35)
 
 
+def _semantic_decontaminate(spark, sf):
+    """Embedding-level decontamination (operators/similarity.py
+    semantic_decontaminate): corpus vectors within 4dp cosine 0.9 of
+    ANY held-out benchmark vector (every 10th corpus vector) are
+    flagged — banded cross-table matmul, oracle ranks the full banded
+    candidate set."""
+    from navigator_document_parser_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _emb(spark, sf)
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    return semantic_decontaminate(
+        emb, bench, threshold=0.9, dim=64, n_planes=4, n_tables=4
+    )
+
+
 def _semantic_clusters(spark, sf):
     """Transitive closure of the embedding near-dup pairs into clusters
     (operators/similarity.py semantic_clusters): pair semantics are
@@ -3955,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_fullprobe": _knn_ivf_fullprobe,    # == brute force
         "embedding_neardup": _embedding_neardup,
         "semantic_clusters": _semantic_clusters,  # neardup closure
+        "semantic_decontaminate": _semantic_decontaminate,  # holdout flag
         "bitext_mine": _bitext_mine,                # margin-based alignment
         "bitext_mine_lsh": _bitext_mine_lsh,        # blocked mining (scale path)
         "semdedup": _semdedup,                      # semantic cluster dedup
@@ -4821,6 +4839,15 @@ def oracle_sql() -> dict[str, str]:
     oracles["knn_graph"] = _oracle_knn_graph(
         "SELECT vec_id, embedding FROM embeddings",
         dim=64, k=5, n_planes=4, n_tables=4,
+    )
+    from navigator_document_parser_spark.operators.similarity import (
+        oracle_semantic_decontaminate as _oracle_sem_decon,
+    )
+
+    oracles["semantic_decontaminate"] = _oracle_sem_decon(
+        "SELECT vec_id, embedding FROM embeddings",
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0",
+        threshold=0.9, dim=64, n_planes=4, n_tables=4,
     )
     oracles["pagerank_hosts"] = _pagerank_hosts_oracle_sql()
     oracles["hits_hosts"] = _hits_hosts_oracle_sql()

@@ -193,6 +193,7 @@ OP_QUERIES = [
     "bitext_mine_lsh",
     "embedding_neardup",
     "semantic_clusters",
+    "semantic_decontaminate",
     "embedding_outliers",
     "mmr_rerank",
     "training_pairs",

@@ -2229,3 +2229,148 @@ def oracle_contrastive_triplets(
         FROM p CROSS JOIN mm
         WHERE m >= 3
     """
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination: flag corpus vectors whose
+    cosine to ANY benchmark/holdout vector reaches ``threshold`` — the
+    semantic complement of the n-gram decontaminate (text.py), which
+    paraphrased or lightly-reworded benchmark leakage slips past.
+
+    Candidates come from the same deterministic multi-table hyperplane
+    banding as knn_lsh/knn_graph (corpus and benchmark rows sharing a
+    bucket in ANY table); each (tbl, bkt) block scores corpus-vs-
+    benchmark with ONE numpy cross-gram matmul and emits each corpus
+    row's best in-block sim. Global max per corpus id, then the exact
+    4dp gate — round is monotone, so round(max(raw)) == max(round(raw))
+    and the oracle can rank the full banded candidate set.
+
+    Benchmark suites are tiny next to the corpus: the benchmark side of
+    every block is broadcast-sized, and the corpus side streams through
+    one shuffle to the block key. Corpus vectors with no banded
+    candidate get max_sim NULL, contaminated false.
+
+    Returns (vec_id, max_sim, contaminated).
+    """
+    tbl_ids = F.array(*[F.lit(t) for t in range(n_tables)])
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            .withColumn("side", F.lit(side))
+            .withColumn("tbl", F.explode(tbl_ids))
+            .withColumn("bkt", _bucket_case("v", dim, n_planes, n_tables))
+        )
+
+    both = banded(corpus, "c").unionByName(banded(benchmark, "r"))
+
+    def block_max(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id": [], "sim_raw": []})
+        cm = pdf["side"] == "c"
+        rm = pdf["side"] == "r"
+        if not cm.any() or not rm.any():
+            return empty
+        cid = pdf.loc[cm, "id"].to_numpy()
+        cx = np.stack(pdf.loc[cm, "v"].to_numpy()).astype(np.float64)
+        rx = np.stack(pdf.loc[rm, "v"].to_numpy()).astype(np.float64)
+        cn = np.sqrt((cx * cx).sum(axis=1))
+        rn = np.sqrt((rx * rx).sum(axis=1))
+        denom = cn[:, None] * rn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom == 0.0, 0.0, (cx @ rx.T) / denom)
+        return pd.DataFrame({"id": cid, "sim_raw": sim.max(axis=1)})
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    best = (
+        both.groupBy("tbl", "bkt")
+        .applyInPandas(block_max, schema=f"id {id_type}, sim_raw double")
+        .groupBy("id")
+        .agg(F.max("sim_raw").alias("sim_raw"))
+        .select(
+            "id", F.round(F.col("sim_raw"), 4).alias("max_sim")
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(best, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "max_sim",
+            F.coalesce(
+                F.col("max_sim") >= threshold, F.lit(False)
+            ).alias("contaminated"),
+        )
+    )
+
+
+def oracle_semantic_decontaminate(
+    corpus_sql: str,
+    bench_sql: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB replica of semantic_decontaminate: the deterministic
+    md5-literal hyperplanes make banding pure SQL; max over the FULL
+    banded candidate set (round is monotone, so rounding the max equals
+    the Spark side's max-then-round)."""
+
+    def proj(t: int, p: int) -> str:
+        plane = _hyperplane(dim, p, seed=42 + t)
+        terms = " + ".join(f"v[{d + 1}]*({plane[d]!r})" for d in range(dim))
+        return f"(0.0 + {terms})"
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {proj(t, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    bcols = ", ".join(f"({bucket(t)}) AS b{t}" for t in range(n_tables))
+    branches = "\n          UNION\n".join(
+        f"          SELECT c.vec_id AS cid, c.embedding AS cv,\n"
+        f"                 r.vec_id AS rid, r.embedding AS rv\n"
+        f"          FROM cb c JOIN rb r ON c.b{t} = r.b{t}"
+        for t in range(n_tables)
+    )
+    return f"""
+        WITH craw AS (
+          SELECT vec_id, embedding,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM ({corpus_sql})
+        ), rraw AS (
+          SELECT vec_id, embedding,
+                 CAST(embedding AS DOUBLE[]) AS v
+          FROM ({bench_sql})
+        ), cb AS (SELECT vec_id, embedding, {bcols} FROM craw),
+        rb AS (SELECT vec_id, embedding, {bcols} FROM rraw),
+        cand AS (
+{branches}
+        ), best AS (
+          SELECT cid,
+                 round(MAX(list_cosine_similarity(
+                   CAST(cv AS DOUBLE[]), CAST(rv AS DOUBLE[]))), 4)
+                   AS max_sim
+          FROM cand GROUP BY cid
+        )
+        SELECT c.vec_id, b.max_sim,
+               COALESCE(b.max_sim >= {threshold!r}, FALSE)
+                 AS contaminated
+        FROM craw c LEFT JOIN best b ON c.vec_id = b.cid
+    """

@@ -518,3 +518,50 @@ def test_dedup_keep_best_constant_quality_equals_min_id(spark):
         docs, pairs, quality_col="quality").collect())
     b = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
     assert a == b == [0, 1, 4]
+
+
+# ---------------------------------------------------------------------------
+# semantic_decontaminate — embedding-level holdout flagging
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.similarity import (  # noqa: E402
+    semantic_decontaminate,
+)
+from tests.test_session10_operators import _det_unit, _perturb  # noqa: E402
+
+
+def test_semantic_decontaminate_flags_near_copies_only(spark):
+    dim = 16
+    bench_vec = _det_unit("bench:0", dim)
+    rows = [
+        (0, bench_vec),                                  # exact leak
+        (1, _perturb(bench_vec, "p", 0.01)),             # paraphrase-ish
+        (2, _det_unit("far:2", dim)),                    # unrelated
+        (3, _det_unit("far:3", dim)),
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bench = spark.createDataFrame([(100, bench_vec)],
+                                  ["vec_id", "embedding"])
+    out = {r.vec_id: (r.max_sim, r.contaminated)
+           for r in semantic_decontaminate(
+               corpus, bench, threshold=0.95, dim=dim,
+               n_planes=3, n_tables=4).collect()}
+    assert out[0] == (1.0, True)
+    assert out[1][1] is True and out[1][0] >= 0.95
+    for i in (2, 3):
+        sim, flag = out[i]
+        assert flag is False
+        assert sim is None or sim < 0.95
+    assert len(out) == 4  # every corpus row reported
+
+
+def test_semantic_decontaminate_empty_benchmark(spark):
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(0, _det_unit("a", dim))], ["vec_id", "embedding"])
+    bench = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>")
+    out = semantic_decontaminate(corpus, bench, threshold=0.9,
+                                 dim=dim).collect()
+    assert [(r.vec_id, r.max_sim, r.contaminated) for r in out] == [
+        (0, None, False)]
