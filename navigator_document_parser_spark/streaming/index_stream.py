@@ -5,62 +5,80 @@ wants the sharded posting-block index (operators/search.py
 index_export layout) to follow without full rebuilds. Each micro-batch
 folds the new documents into the committed index with index_merge —
 only posting blocks in the delta's doc ranges are decoded and rebuilt,
-so per-batch cost scales with the batch, not the index — and commits a
-new index GENERATION:
+so per-batch COMPUTE scales with the batch — and the writer is
+incremental at the FILE level too: posting blocks are grouped into
+contiguous doc-range buckets (pb = block_id div blocks_per_bucket), a
+generation rewrites only the buckets the delta touched, and a manifest
+inherits every other bucket's file from the previous generation:
 
     index_dir/
-      gen=0/   parquet (full index after batch 0)
-      gen=2/   parquet (full index after batch 2)
-      _CURRENT a one-line pointer file naming the live generation
+      gen=0/pb=0/ ... gen=0/pb=7/   parquet (first batch: all buckets)
+      gen=2/pb=3/                   parquet (batch 2 touched bucket 3)
+      manifest_0.json               {"0": "gen=0/pb=0", ...}
+      manifest_2.json               {..., "3": "gen=2/pb=3"}  (rest inherited)
+      _CURRENT                      one line naming the live generation
 
-Readers resolve _CURRENT once and read one immutable generation —
-never a directory being written. Generation id = the micro-batch id,
-so a batch REPLAY after a crash rewrites its own generation
-deterministically and re-points (idempotent by construction — the
-same exactly-once shape as plans/sink.py's lineage dirs). The pointer
-write is a tiny driver-side file write; on object stores swap it for
-a conditional-put manifest (the documented Iceberg-shaped seam, same
-as ParquetMergeSink.iceberg_merge_sql).
+Readers resolve _CURRENT -> manifest -> immutable bucket directories —
+never a directory being written. Inheritance is sound because
+index_merge passes blocks outside the delta's doc ranges through
+UNCHANGED (its pytest-pinned invariant), and a bucket is a union of
+whole blocks. Generation id = micro-batch id, so a batch replay after
+a crash rewrites its own buckets deterministically from the
+still-committed previous manifest and re-points — idempotent whether
+the crash hit before or after the pointer write (index_merge treats
+the re-crawl as authoritative, so re-merging an already-merged batch
+is a fixpoint). The pointer write is a POSIX-atomic rename; on object
+stores swap it for a conditional-put (the Iceberg-shaped seam, same as
+ParquetMergeSink.iceberg_merge_sql).
 
-Each generation currently REWRITES the full index table (untouched
-blocks pass through index_merge as data). At 100 TB the same loop
-writes only affected blocks plus a manifest of inherited files — the
-operator already splits untouched/affected, so the change is confined
-to the writer below.
-
-Stream==batch parity: after draining N batches the committed
-generation equals index_export over the union of all batches — pinned
-by pytest via index_merge's own invariant (merge == full rebuild, for
-overlapping deltas too).
+Stream==batch parity: after draining N batches the committed index
+equals index_export over the union of all batches — pinned by pytest,
+including overlapping re-crawls and the file-inheritance claim itself.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.search import index_export, index_merge
 
 _POINTER = "_CURRENT"
 
 
-def read_current_index(
-    spark: SparkSession, index_dir: str
-) -> DataFrame | None:
-    """The live index generation, or None before the first commit."""
+def _read_manifest(index_dir: str) -> dict[str, str] | None:
     ptr = os.path.join(index_dir, _POINTER)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as f:
         gen = f.read().strip()
-    return spark.read.parquet(os.path.join(index_dir, f"gen={gen}"))
+    with open(os.path.join(index_dir, f"manifest_{gen}.json")) as f:
+        return json.load(f)
 
 
-def _commit_generation(index_dir: str, gen: int) -> None:
-    """Point _CURRENT at ``gen`` via write-temp + atomic rename (POSIX
-    rename is atomic; readers see the old or the new pointer, never a
-    torn one)."""
+def read_current_index(
+    spark: SparkSession, index_dir: str
+) -> DataFrame | None:
+    """The live index generation (manifest-resolved union of immutable
+    bucket directories), or None before the first commit."""
+    manifest = _read_manifest(index_dir)
+    if not manifest:  # no commit yet, or every bucket purged
+        return None
+    paths = [os.path.join(index_dir, p) for p in manifest.values()]
+    return spark.read.parquet(*paths)
+
+
+def _commit_generation(
+    index_dir: str, gen: int, manifest: dict[str, str]
+) -> None:
+    """Write the generation manifest, then point _CURRENT at it via
+    write-temp + atomic rename (readers see the old or the new
+    generation, never a torn one)."""
+    with open(os.path.join(index_dir, f"manifest_{gen}.json"), "w") as f:
+        json.dump(manifest, f, sort_keys=True)
     ptr = os.path.join(index_dir, _POINTER)
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
@@ -78,6 +96,7 @@ def start_index_maintenance_stream(
     text_col: str = "text",
     n_shards: int = 8,
     block_size: int = 128,
+    blocks_per_bucket: int = 16,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
@@ -91,24 +110,63 @@ def start_index_maintenance_stream(
             "maxFilesPerTrigger", str(max_files_per_trigger)
         )
     stream = reader.parquet(input_dir)
+    pb_of_block = f"(block_id div {int(blocks_per_bucket)})"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        old = read_current_index(spark, index_dir)
+        prev = _read_manifest(index_dir)
+        old = (
+            None
+            if not prev
+            else spark.read.parquet(
+                *[os.path.join(index_dir, p) for p in prev.values()]
+            )
+        )
         if old is None:
-            new_index = index_export(
+            merged = index_export(
                 batch_df, id_col=id_col, text_col=text_col,
                 n_shards=n_shards, block_size=block_size,
             )
         else:
-            new_index = index_merge(
+            merged = index_merge(
                 old, batch_df, id_col=id_col, text_col=text_col,
                 n_shards=n_shards, block_size=block_size,
             )
-        gen_path = os.path.join(index_dir, f"gen={batch_id}")
-        new_index.write.mode("overwrite").parquet(gen_path)
-        _commit_generation(index_dir, batch_id)
+        # buckets the delta can have touched: its doc ids' block ranges
+        # (index_merge only changes blocks in these ranges — everything
+        # else is inherited by manifest, not rewritten)
+        touched = {
+            int(r.pb)
+            for r in batch_df.select(
+                F.expr(
+                    f"(({id_col} div {int(block_size)}) div"
+                    f" {int(blocks_per_bucket)})"
+                ).alias("pb")
+            )
+            .distinct()
+            .collect()
+        }
+        # bounded: |touched| <= distinct doc-ranges of ONE micro-batch.
+        # Materialize the merge ONCE — each touched bucket filters the
+        # checkpointed result instead of re-running the merge plan.
+        merged = merged.withColumn(
+            "pb", F.expr(pb_of_block)
+        ).localCheckpoint(eager=True)
+        manifest = dict(prev) if prev else {}
+        for pb in sorted(touched):
+            rel = f"gen={batch_id}/pb={pb}"
+            sub = merged.filter(F.col("pb") == pb).drop("pb")
+            if sub.isEmpty():
+                # a re-crawl purged the whole bucket: drop it from the
+                # manifest (an empty parquet dir is unreadable)
+                manifest.pop(str(pb), None)
+                continue
+            sub.write.mode("overwrite").parquet(
+                os.path.join(index_dir, rel)
+            )
+            manifest[str(pb)] = rel
+        _commit_generation(index_dir, batch_id, manifest)
 
     writer = (
         stream.writeStream.outputMode("append")

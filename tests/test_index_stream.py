@@ -106,3 +106,74 @@ def test_index_stream_empty_input_never_commits(spark, dirs):
     )
     q.awaitTermination(60)
     assert read_current_index(spark, index_dir) is None
+
+
+def test_index_stream_inherits_untouched_buckets(spark, dirs):
+    """A generation must REWRITE only the buckets its delta touched and
+    inherit everything else by manifest — the file-level incrementality
+    claim itself."""
+    from navigator_document_parser_spark.streaming.index_stream import (
+        _read_manifest,
+    )
+
+    in_dir, index_dir, ckpt = dirs
+    _write_docs(spark, in_dir, [(i, f"aa bb doc{i}") for i in range(8)])
+    _write_docs(spark, in_dir, [(i, f"cc doc{i}") for i in range(8, 12)])
+    q = start_index_maintenance_stream(
+        spark, in_dir, index_dir, ckpt,
+        n_shards=2, block_size=4, blocks_per_bucket=1,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    manifest = _read_manifest(index_dir)
+    # batch 0 wrote buckets 0 (docs 0-3) and 1 (docs 4-7); batch 1
+    # touched only bucket 2 (docs 8-11) -> 0 and 1 are INHERITED
+    assert manifest["0"] == "gen=0/pb=0"
+    assert manifest["1"] == "gen=0/pb=1"
+    assert manifest["2"].startswith("gen=") and manifest["2"].endswith("pb=2")
+    assert not manifest["2"].startswith("gen=0")
+
+    committed = read_current_index(spark, index_dir)
+    want = index_export(
+        spark.createDataFrame(
+            [(i, f"aa bb doc{i}") for i in range(8)]
+            + [(i, f"cc doc{i}") for i in range(8, 12)],
+            "doc_id long, text string",
+        ),
+        n_shards=2, block_size=4,
+    )
+    assert _canon(committed) == _canon(want)
+
+
+def test_index_stream_purged_bucket_leaves_manifest(spark, dirs):
+    """Re-crawling every doc of a bucket with empty text must purge the
+    bucket from the manifest (not leave an unreadable empty dir)."""
+    from navigator_document_parser_spark.streaming.index_stream import (
+        _read_manifest,
+    )
+
+    in_dir, index_dir, ckpt = dirs
+    _write_docs(spark, in_dir, [(i, f"xx doc{i}") for i in range(8)])
+    _drain_k = lambda: start_index_maintenance_stream(  # noqa: E731
+        spark, in_dir, index_dir, ckpt,
+        n_shards=2, block_size=4, blocks_per_bucket=1,
+        max_files_per_trigger=1,
+    ).awaitTermination(120)
+    _drain_k()
+    assert set(_read_manifest(index_dir)) == {"0", "1"}
+
+    _write_docs(spark, in_dir, [(i, "") for i in range(4)])  # empty re-crawl
+    _drain_k()
+    manifest = _read_manifest(index_dir)
+    assert set(manifest) == {"1"}  # bucket 0 fully purged
+    committed = read_current_index(spark, index_dir)
+    want = index_export(
+        spark.createDataFrame(
+            [(i, "") for i in range(4)]
+            + [(i, f"xx doc{i}") for i in range(4, 8)],
+            "doc_id long, text string",
+        ),
+        n_shards=2, block_size=4,
+    )
+    assert _canon(committed) == _canon(want)
