@@ -90,3 +90,15 @@ def test_feed_frontier_within_batch_duplicate_is_deterministic(spark, dirs):
     rows = spark.read.parquet(out_dir).collect()
     assert [(r.url, r.feed, r.title) for r in rows] == [
         ("https://x/a", "afeed", "at")]
+
+
+def test_feed_ingest_cli_end_to_end(spark, dirs):
+    import jobs.feed_ingest as J
+
+    in_dir, out_dir, ckpt = dirs
+    _land(spark, in_dir, [("f1", _rss("f1", [1, 2, 3]))])
+    J.main(["--input", in_dir, "--output", out_dir,
+            "--checkpoint", ckpt, "--timeout", "120"])
+    out = spark.read.parquet(out_dir)
+    assert sorted(r.url for r in out.collect()) == [
+        "https://f1/a1", "https://f1/a2", "https://f1/a3"]
