@@ -64,6 +64,18 @@ def prep(spark, docs, holdout=None, alpha=None, budget_frac: float = 0.5,
     curated, counts = curate(spark, docs, holdout=holdout,
                              with_counts=with_counts)
 
+    # the curate() counting discipline: every counted intermediate is
+    # persisted for the build so later stages read it instead of
+    # re-executing the selection chain once per downstream count
+    pinned = []
+
+    def stage(df, name):
+        if with_counts:
+            df = df.persist()
+            pinned.append(df)
+            counts[name] = df.count()
+        return df
+
     selected = curated
     if alpha is not None:
         keep_ids = (
@@ -72,15 +84,13 @@ def prep(spark, docs, holdout=None, alpha=None, budget_frac: float = 0.5,
             .filter("keep")
             .select(F.col("id").alias("doc_id"))
         )
-        selected = selected.join(keep_ids, "doc_id")
-        if with_counts:
-            counts["after_temperature_mix"] = selected.count()
+        selected = stage(selected.join(keep_ids, "doc_id"),
+                         "after_temperature_mix")
 
     if token_budget is not None:
         kept = budget_select(selected, token_budget).select("doc_id")
-        selected = selected.join(kept, "doc_id")
-        if with_counts:
-            counts["after_budget_select"] = selected.count()
+        selected = stage(selected.join(kept, "doc_id"),
+                         "after_budget_select")
 
     packs = pack_sequences(selected, max_tokens=max_tokens,
                            n_shards=n_shards)
@@ -91,6 +101,8 @@ def prep(spark, docs, holdout=None, alpha=None, budget_frac: float = 0.5,
         counts["n_packs"] = (
             out.select("shard", "pack_id").distinct().count()
         )
+        for df in pinned:
+            df.unpersist()
         curated.unpersist()
     return out, counts
 

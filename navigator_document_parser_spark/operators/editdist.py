@@ -79,7 +79,11 @@ def _delete_neighborhood(
         F.explode(F.expr(_variants1_sql(str_col))).alias("v"),
     )
     if max_dist == 1:
-        return lvl1.dropDuplicates(["id", "v"])
+        # already (id, v)-distinct: _variants1_sql wraps the per-row
+        # array in array_distinct and each id contributes one row — a
+        # dropDuplicates here would shuffle the operator's largest
+        # intermediate for nothing (review finding)
+        return lvl1
     # variants1(v) contains v itself, so lvl2 is a superset of lvl1
     lvl2 = lvl1.select(
         "id", "s", F.explode(F.expr(_variants1_sql("v"))).alias("v")

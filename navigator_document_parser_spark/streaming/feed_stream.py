@@ -22,8 +22,7 @@ documented seam, same as snapshot_stream.
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,12 +80,14 @@ def start_feed_frontier_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        committed = None
-        if os.path.isdir(out_dir) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(out_dir) for f in fs
-        ):
+        # Spark-native existence probe: works on s3a/hdfs/file alike
+        # (a driver-side os.path probe is local-FS-only and would
+        # silently disable the anti-join on object stores — review
+        # finding), and costs a listing, not a tree walk.
+        try:
             committed = spark.read.parquet(out_dir)
+        except AnalysisException:
+            committed = None
         out = _new_entries(batch_df, committed, batch_id)
         out.write.mode("append").parquet(out_dir)
 

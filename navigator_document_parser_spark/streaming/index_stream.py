@@ -27,9 +27,17 @@ a crash rewrites its own buckets deterministically from the
 still-committed previous manifest and re-points — idempotent whether
 the crash hit before or after the pointer write (index_merge treats
 the re-crawl as authoritative, so re-merging an already-merged batch
-is a fixpoint). The pointer write is a POSIX-atomic rename; on object
-stores swap it for a conditional-put (the Iceberg-shaped seam, same as
-ParquetMergeSink.iceberg_merge_sql).
+is a fixpoint). The pointer write is a POSIX-atomic rename; the
+module therefore REQUIRES a local/POSIX ``index_dir`` and rejects URI
+paths loudly — on object stores the manifest/pointer pair must become
+a conditional-put (the Iceberg-shaped seam, same as
+ParquetMergeSink.iceberg_merge_sql); a silent local/remote split-brain
+is worse than a crash. Superseded gen=*/pb=* directories and old
+manifests are immutable history: vacuum_generations() deletes
+everything the live manifest no longer references (the Iceberg
+expire-snapshots analogue) — call it on whatever retention cadence the
+deployment wants; a --tail stream that never vacuums grows storage
+linearly in rewritten-bucket count.
 
 Stream==batch parity: after draining N batches the committed index
 equals index_export over the union of all batches — pinned by pytest,
@@ -86,6 +94,39 @@ def _commit_generation(
     os.replace(tmp, ptr)
 
 
+def vacuum_generations(index_dir: str) -> list[str]:
+    """Delete every gen=*/pb=* directory and manifest_*.json the LIVE
+    manifest no longer references (expire-snapshots). Readers of the
+    current generation are unaffected (its files are all referenced);
+    readers pinned to an OLDER manifest lose it — the caller owns the
+    retention window, exactly like Iceberg snapshot expiry. Returns
+    the deleted relative paths."""
+    import shutil
+
+    ptr = os.path.join(index_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return []
+    with open(ptr) as f:
+        live_gen = f.read().strip()
+    manifest = _read_manifest(index_dir) or {}
+    keep_dirs = set(manifest.values())
+    deleted: list[str] = []
+    for name in sorted(os.listdir(index_dir)):
+        if name.startswith("manifest_") and name.endswith(".json"):
+            if name != f"manifest_{live_gen}.json":
+                os.remove(os.path.join(index_dir, name))
+                deleted.append(name)
+        elif name.startswith("gen="):
+            for pb in sorted(os.listdir(os.path.join(index_dir, name))):
+                rel = f"{name}/{pb}"
+                if rel not in keep_dirs:
+                    shutil.rmtree(os.path.join(index_dir, rel))
+                    deleted.append(rel)
+            if not os.listdir(os.path.join(index_dir, name)):
+                os.rmdir(os.path.join(index_dir, name))
+    return deleted
+
+
 def start_index_maintenance_stream(
     spark: SparkSession,
     input_dir: str,
@@ -103,6 +144,13 @@ def start_index_maintenance_stream(
     """Tail ``input_dir`` for document parquet files and keep the
     committed index under ``index_dir`` current. Returns the started
     StreamingQuery; availableNow=True drains the backlog and stops."""
+    if "://" in index_dir:
+        raise ValueError(
+            "index_dir must be a local/POSIX path: the manifest and "
+            "_CURRENT pointer use atomic rename, which object-store "
+            "URIs cannot honor — wire a conditional-put manifest "
+            "before pointing this at s3a/hdfs (module docstring)"
+        )
     os.makedirs(index_dir, exist_ok=True)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -129,9 +177,14 @@ def start_index_maintenance_stream(
                 n_shards=n_shards, block_size=block_size,
             )
         else:
+            # old is a fresh immutable parquet read — re-checkpointing
+            # the WHOLE committed index every batch would make batch
+            # cost scale with index size (review finding; index_merge
+            # documents this exact escape hatch)
             merged = index_merge(
                 old, batch_df, id_col=id_col, text_col=text_col,
                 n_shards=n_shards, block_size=block_size,
+                materialize_old=False,
             )
         # buckets the delta can have touched: its doc ids' block ranges
         # (index_merge only changes blocks in these ranges — everything

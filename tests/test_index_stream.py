@@ -177,3 +177,33 @@ def test_index_stream_purged_bucket_leaves_manifest(spark, dirs):
         n_shards=2, block_size=4,
     )
     assert _canon(committed) == _canon(want)
+
+
+def test_index_stream_vacuum_and_uri_guard(spark, dirs):
+    from navigator_document_parser_spark.streaming.index_stream import (
+        _read_manifest,
+        vacuum_generations,
+    )
+
+    in_dir, index_dir, ckpt = dirs
+    _write_docs(spark, in_dir, [(i, f"vv doc{i}") for i in range(4)])
+    _write_docs(spark, in_dir, [(i, f"ww doc{i}") for i in range(4)])
+    q = start_index_maintenance_stream(
+        spark, in_dir, index_dir, ckpt,
+        n_shards=2, block_size=4, blocks_per_bucket=1,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    before = read_current_index(spark, index_dir)
+    want = _canon(before)
+
+    deleted = vacuum_generations(index_dir)
+    # batch 1 rewrote bucket 0 -> gen=0's copy and manifest_0 expire
+    assert any(d.startswith("gen=0") for d in deleted)
+    assert "manifest_0.json" in deleted
+    assert _canon(read_current_index(spark, index_dir)) == want
+    assert vacuum_generations(index_dir) == []  # idempotent
+
+    with pytest.raises(ValueError):
+        start_index_maintenance_stream(
+            spark, in_dir, "s3a://bucket/index", ckpt)
