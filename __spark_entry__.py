@@ -3556,6 +3556,43 @@ def _extract_links(spark, sf):
     return extract_links(spark.sql(_LINKS_HTML_SRC_SQL))
 
 
+# rel-link synth: every 2nd page declares a canonical (often another
+# page — a dup-farm shape), every 3rd paginates next/prev, every 5th
+# declares an AMP mirror; the rest have no rel links at all
+_RELS_HTML_SRC_SQL = """
+    SELECT doc_id,
+      'https://' || source || '/p/' || CAST(doc_id AS STRING) AS url,
+      '<html><head>'
+      || CASE WHEN doc_id % 2 = 0
+              THEN '<link rel="canonical" href="/p/'
+                || CAST(doc_id - (doc_id % 4) AS STRING) || '">'
+              ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN '<link rel="next" href="p-next-'
+                || CAST(doc_id + 1 AS STRING) || '.html">'
+                || '<link rel="prev" href="//' || source
+                || '/p/' || CAST(doc_id - 1 AS STRING) || '">'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN '<link rel="amphtml" href="https://amp.'
+                || source || '/p/' || CAST(doc_id AS STRING) || '">'
+              ELSE '' END
+      || '</head><body><p>' || text || '</p></body></html>' AS html
+    FROM documents
+"""
+
+
+def _link_rels(spark, sf):
+    """rel-link extraction (operators/tables.py link_rels): canonical /
+    next / prev / amphtml resolved against the page url; absent rels
+    NULL — the dedup-by-declaration and pagination signals."""
+    from navigator_document_parser_spark.operators.tables import link_rels
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    return link_rels(spark.sql(_RELS_HTML_SRC_SQL))
+
+
 def _meta_tags(spark, sf):
     """Page-metadata mining (title/OpenGraph/description/feed link)
     over head-tag-decorated synthetic pages (operators/tables.py
@@ -4051,6 +4088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bbit": _dedup_bbit,                  # b-bit minhash estimate
         "dedup_cluster_stats": _dedup_cluster_stats,  # cluster histogram
         "extract_links": _extract_links,          # outlink resolution
+        "link_rels": _link_rels,                  # canonical/next/prev/amp
         "meta_tags": _meta_tags,                    # og/title/feed mining
         "markup_stats": _markup_stats,              # markup-density profile
         "resolve_redirects": _resolve_redirects,    # canonical chains
@@ -5148,6 +5186,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["extract_links"] = oracle_extract_links(
         _LINKS_HTML_SRC_SQL
     )
+    from navigator_document_parser_spark.operators.tables import (
+        oracle_link_rels,
+    )
+
+    oracles["link_rels"] = oracle_link_rels(_RELS_HTML_SRC_SQL)
     from navigator_document_parser_spark.operators.urls import (
         oracle_url_parallel_pairs,
     )

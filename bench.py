@@ -117,6 +117,7 @@ OP_QUERIES = [
     "feed_parse",
     "html_tables",
     "extract_links",
+    "link_rels",
     "meta_tags",
     "markup_stats",
     "jsonld_extract",

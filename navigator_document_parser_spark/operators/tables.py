@@ -435,6 +435,49 @@ _A_HREF = 'href="([^"]*)"'
 _A_ANCHOR = '>([^<]*)</a>'
 
 
+def _resolve_href(href: Column, base: Column) -> Column:
+    """Resolve ``href`` against the page ``base`` url: absolute kept,
+    protocol-relative inherits the scheme, root-relative joins the
+    origin, anything else joins the base path's directory. Shared by
+    extract_links and link_rels; _resolve_href_sql is its DuckDB twin."""
+    origin = F.regexp_extract(base, "^(https?://[^/?#]*)", 1)
+    scheme = F.regexp_extract(base, "^(https?):", 1)
+    basedir = F.regexp_extract(base, "^(https?://[^?#]*/)", 1)
+    directory = F.when(basedir != "", basedir).otherwise(
+        F.concat(origin, F.lit("/"))
+    )
+    return (
+        F.when(
+            (href.substr(1, 7) == "http://")
+            | (href.substr(1, 8) == "https://"),
+            href,
+        )
+        .when(href.substr(1, 2) == "//",
+              F.concat(scheme, F.lit(":"), href))
+        .when(href.substr(1, 1) == "/", F.concat(origin, href))
+        .otherwise(F.concat(directory, href))
+    )
+
+
+def _resolve_href_sql(href: str, base: str) -> str:
+    """DuckDB rendering of _resolve_href (href/base are SQL exprs)."""
+    origin = f"regexp_extract({base}, '^(https?://[^/?#]*)', 1)"
+    scheme = f"regexp_extract({base}, '^(https?):', 1)"
+    basedir = f"regexp_extract({base}, '^(https?://[^?#]*/)', 1)"
+    directory = (
+        f"(CASE WHEN {basedir} <> '' THEN {basedir}"
+        f" ELSE {origin} || '/' END)"
+    )
+    return f"""CASE
+        WHEN substring({href}, 1, 7) = 'http://'
+          OR substring({href}, 1, 8) = 'https://' THEN {href}
+        WHEN substring({href}, 1, 2) = '//'
+          THEN {scheme} || ':' || {href}
+        WHEN substring({href}, 1, 1) = '/' THEN {origin} || {href}
+        ELSE {directory} || {href} END"""
+
+
+
 def extract_links(
     pages: DataFrame,
     id_col: str = "doc_id",
@@ -479,25 +522,10 @@ def extract_links(
         ).alias("b"),
     )
     href = F.regexp_extract("b", _A_HREF, 1)
-    origin = F.regexp_extract("base", "^(https?://[^/?#]*)", 1)
-    scheme = F.regexp_extract("base", "^(https?):", 1)
-    basedir = F.regexp_extract("base", "^(https?://[^?#]*/)", 1)
-    directory = F.when(basedir != "", basedir).otherwise(
-        F.concat(origin, F.lit("/"))
-    )
     fields = blocks.select(
         "doc_id",
         href.alias("href"),
-        F.when(
-            (href.substr(1, 7) == "http://")
-            | (href.substr(1, 8) == "https://"),
-            href,
-        )
-        .when(href.substr(1, 2) == "//",
-              F.concat(scheme, F.lit(":"), href))
-        .when(href.substr(1, 1) == "/", F.concat(origin, href))
-        .otherwise(F.concat(directory, href))
-        .alias("url"),
+        _resolve_href(href, F.col("base")).alias("url"),
         F.regexp_extract("b", _A_ANCHOR, 1).alias("anchor"),
         F.col("b").contains('rel="nofollow"').alias("nofollow"),
     )
@@ -524,31 +552,81 @@ def oracle_extract_links(pages_sql: str) -> str:
                    {sql_quote(_A_BLOCK)}, 0)) AS b
           FROM p
         ), fields AS (
-          SELECT doc_id,
+          SELECT doc_id, base,
                  regexp_extract(b, {sql_quote(_A_HREF)}, 1) AS href,
-                 regexp_extract(base, '^(https?://[^/?#]*)', 1)
-                   AS origin,
-                 regexp_extract(base, '^(https?):', 1) AS scheme,
-                 regexp_extract(base, '^(https?://[^?#]*/)', 1)
-                   AS basedir,
                  regexp_extract(b, {sql_quote(_A_ANCHOR)}, 1) AS anchor,
                  contains(b, 'rel="nofollow"') AS nofollow
           FROM blocks
         )
         SELECT doc_id,
-               CASE WHEN substring(href, 1, 7) = 'http://'
-                      OR substring(href, 1, 8) = 'https://' THEN href
-                    WHEN substring(href, 1, 2) = '//'
-                      THEN scheme || ':' || href
-                    WHEN substring(href, 1, 1) = '/'
-                      THEN origin || href
-                    ELSE (CASE WHEN basedir <> '' THEN basedir
-                               ELSE origin || '/' END) || href
-               END AS url,
+               {_resolve_href_sql('href', 'base')} AS url,
                anchor, nofollow
         FROM fields
         WHERE href <> ''
           AND substring(href, 1, 1) <> '#'
           AND substring(href, 1, 11) <> 'javascript:'
           AND substring(href, 1, 7) <> 'mailto:'
+    """
+
+
+# rel-link extraction: the crawl-hygiene quartet. Attribute-order
+# sensitive like meta_tags (rel before href — the dominant emitted
+# order); resolution shares _resolve_href with extract_links.
+_REL_PATTERNS = (
+    ("canonical", '<link rel="canonical" href="([^"]*)"'),
+    ("next_url", '<link rel="next" href="([^"]*)"'),
+    ("prev_url", '<link rel="prev" href="([^"]*)"'),
+    ("amp_url", '<link rel="amphtml" href="([^"]*)"'),
+)
+
+
+def link_rels(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    base_col: str = "url",
+) -> DataFrame:
+    """rel-link extraction: canonical / next / prev / amphtml, each
+    resolved against the page url — the crawl-hygiene signals that feed
+    straight into existing operators: canonical into resolve_redirects'
+    map (the #1 dedup-by-declaration channel), next/prev into
+    trap_detect's pagination reasoning, amphtml into mirror_hosts
+    (an AMP page is a declared near-mirror). Absent rels are NULL.
+
+    100 TB shape: newline-flatten + one regexp_extract per rel,
+    map-only codegen above the scan, zero shuffle.
+
+    Returns (doc_id, canonical, next_url, prev_url, amp_url).
+    """
+    flat = F.regexp_replace(F.col(html_col), r"\s*[\r\n]+\s*", " ")
+    base = F.col(base_col)
+    cols = [F.col(id_col).alias("doc_id")]
+    for name, pat in _REL_PATTERNS:
+        href = F.regexp_extract(flat, pat, 1)
+        cols.append(
+            F.when(href != "", _resolve_href(href, base)).alias(name)
+        )
+    return pages.select(*cols)
+
+
+def oracle_link_rels(pages_sql: str) -> str:
+    """DuckDB replica of link_rels; ``pages_sql`` yields
+    (doc_id, url, html) with url as the base."""
+    from navigator_document_parser_spark.operators import sql_quote
+
+    sel = ", ".join(
+        f"CASE WHEN regexp_extract(flat, {sql_quote(pat)}, 1) <> '' "
+        f"THEN {_resolve_href_sql(f'regexp_extract(flat, {sql_quote(pat)}, 1)', 'url')} "
+        f"END AS {name}"
+        for name, pat in _REL_PATTERNS
+    )
+    return f"""
+        WITH p AS ({pages_sql}),
+        f AS (
+          SELECT doc_id, url,
+                 regexp_replace(html, '\\s*[\\r\\n]+\\s*', ' ', 'g')
+                   AS flat
+          FROM p
+        )
+        SELECT doc_id, {sel} FROM f
     """

@@ -565,3 +565,36 @@ def test_semantic_decontaminate_empty_benchmark(spark):
                                  dim=dim).collect()
     assert [(r.vec_id, r.max_sim, r.contaminated) for r in out] == [
         (0, None, False)]
+
+
+# ---------------------------------------------------------------------------
+# link_rels — canonical / next / prev / amphtml extraction
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.tables import (  # noqa: E402
+    link_rels,
+)
+
+
+def test_link_rels_resolution_and_nulls(spark):
+    html = (
+        '<html><head>\n'
+        '<link rel="canonical" href="/art/1">\n'
+        '<link rel="next" href="page-2.html">\n'
+        '<link rel="amphtml" href="https://amp.s.o/art/1">\n'
+        '</head></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, "https://s.o/art/1?page=1", html),
+         (2, "https://s.o/x", "<html>no rel links</html>")],
+        ["doc_id", "url", "html"],
+    )
+    out = {r.doc_id: (r.canonical, r.next_url, r.prev_url, r.amp_url)
+           for r in link_rels(df).collect()}
+    assert out[1] == (
+        "https://s.o/art/1",
+        "https://s.o/art/page-2.html",  # relative vs the base DIRECTORY
+        None,
+        "https://amp.s.o/art/1",
+    )
+    assert out[2] == (None, None, None, None)
