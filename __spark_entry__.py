@@ -691,6 +691,37 @@ _ROBOTS_URLS_SQL = (
 )
 
 
+# robots synth for sitemap discovery: one robots.txt per source with
+# a canonical Sitemap line, a lowercase variant w/ trailing comment on
+# ~half the hosts, and an EMPTY Sitemap: line (must be dropped)
+_ROBOTS_SITEMAP_SRC_SQL = """
+    SELECT source AS host,
+      '# robots for ' || source || chr(10)
+      || 'User-agent: *' || chr(10)
+      || 'Disallow: /tmp' || chr(10)
+      || 'Sitemap: https://' || source || '/sitemap.xml' || chr(10)
+      || CASE WHEN substring(md5(source), 1, 1) < '8'
+              THEN 'sitemap: https://' || source
+                || '/news.xml   # discovered' || chr(10)
+              ELSE '' END
+      || 'Sitemap:' AS robots_txt
+    FROM (SELECT DISTINCT source FROM documents)
+"""
+
+
+def _robots_sitemaps(spark, sf):
+    """Sitemap discovery from robots.txt Sitemap: directives
+    (operators/robots.py robots_sitemaps): case-insensitive field,
+    comment tail stripped, empty values dropped — pure built-ins."""
+    from navigator_document_parser_spark.operators.robots import (
+        robots_sitemaps,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    return robots_sitemaps(spark.sql(_ROBOTS_SITEMAP_SRC_SQL))
+
+
 def _robots_filter(spark, sf):
     """Robots-Exclusion-Protocol filtering: longest-prefix rule wins,
     allow beats disallow on ties, ruleless hosts are allowed
@@ -3965,6 +3996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _bpe_train,                    # learn BPE merges
         "url_filter": _url_filter,                  # canonicalize + blocklist
         "robots_filter": _robots_filter,            # REP longest-match rules
+        "robots_sitemaps": _robots_sitemaps,        # Sitemap: discovery
         "ml_quality_score": _ml_quality_score,      # hashed linear filter
         "lm_rarity": _lm_rarity,                    # bigram-LM rarity gate
         "ccnet_buckets": _ccnet_buckets,            # head/middle/tail terciles
@@ -5179,6 +5211,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["topic_classify"] = oracle_topic_classify()
     oracles["url_templates"] = _url_templates_oracle()
+    from navigator_document_parser_spark.operators.robots import (
+        oracle_robots_sitemaps,
+    )
+
+    oracles["robots_sitemaps"] = oracle_robots_sitemaps(
+        _ROBOTS_SITEMAP_SRC_SQL
+    )
     from navigator_document_parser_spark.operators.tables import (
         oracle_extract_links,
     )

@@ -113,6 +113,7 @@ OP_QUERIES = [
     "prefix_suggest",
     "url_filter",
     "robots_filter",
+    "robots_sitemaps",
     "sitemap_parse",
     "feed_parse",
     "html_tables",

@@ -217,3 +217,58 @@ def oracle_robots_filter(
                CAST(coalesce(plen, 0) AS BIGINT) AS match_len
         FROM ranked WHERE rn = 1
     """
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    host_col: str = "host",
+    content_col: str = "robots_txt",
+) -> DataFrame:
+    """Sitemap discovery from robots.txt — the ``Sitemap:`` directive
+    (RFC 9309 §2.3: location-independent, outside user-agent groups,
+    repeatable) is how crawlers find a host's sitemaps without
+    guessing; the output feeds sources/sitemap.parse_sitemap and the
+    crawl_plan funnel.
+
+    Pure built-ins over exploded lines (no pandas stage — unlike the
+    rule grammar, this directive has no group state): strip the
+    comment tail, split on the FIRST colon, case-insensitive field
+    match, non-empty value. Map-only, zero shuffle.
+
+    Returns (host, sitemap_url).
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(content_col), "\n")).alias("raw"),
+    )
+    l = F.trim(F.expr("split_part(raw, '#', 1)"))
+    field = F.lower(F.trim(F.regexp_extract(l, "^([^:]*):", 1)))
+    value = F.trim(F.regexp_extract(l, "^[^:]*:(.*)$", 1))
+    return (
+        lines.select("host", field.alias("f"), value.alias("sitemap_url"))
+        .filter((F.col("f") == "sitemap") & (F.col("sitemap_url") != ""))
+        .drop("f")
+    )
+
+
+def oracle_robots_sitemaps(robots_sql: str) -> str:
+    """DuckDB replica of robots_sitemaps; ``robots_sql`` yields
+    (host, robots_txt)."""
+    return f"""
+        WITH r AS ({robots_sql}),
+        lines AS (
+          SELECT host,
+                 trim(split_part(unnest(string_split(robots_txt,
+                      chr(10))), '#', 1)) AS l
+          FROM r
+        ), fields AS (
+          SELECT host,
+                 lower(trim(regexp_extract(l, '^([^:]*):', 1))) AS f,
+                 trim(regexp_extract(l, '^[^:]*:(.*)$', 1))
+                   AS sitemap_url
+          FROM lines
+        )
+        SELECT host, sitemap_url
+        FROM fields
+        WHERE f = 'sitemap' AND sitemap_url <> ''
+    """

@@ -598,3 +598,30 @@ def test_link_rels_resolution_and_nulls(spark):
         "https://amp.s.o/art/1",
     )
     assert out[2] == (None, None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# robots_sitemaps — Sitemap: directive discovery (RFC 9309 §2.3)
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.robots import (  # noqa: E402
+    robots_sitemaps,
+)
+
+
+def test_robots_sitemaps_discovery(spark):
+    txt = (
+        "# header comment\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Sitemap: https://h.o/a.xml\n"
+        "SITEMAP: https://h.o/b.xml  # case-insensitive + comment\n"
+        "sitemap:https://h.o/c.xml\n"
+        "Sitemap:\n"                     # empty value: dropped
+        "Sitemaps: https://h.o/typo.xml\n"  # wrong field name: dropped
+        "no colon line\n"
+    )
+    df = spark.createDataFrame([("h.o", txt)], ["host", "robots_txt"])
+    got = sorted(r.sitemap_url for r in robots_sitemaps(df).collect())
+    assert got == ["https://h.o/a.xml", "https://h.o/b.xml",
+                   "https://h.o/c.xml"]
