@@ -625,3 +625,45 @@ def test_robots_sitemaps_discovery(spark):
     got = sorted(r.sitemap_url for r in robots_sitemaps(df).collect())
     assert got == ["https://h.o/a.xml", "https://h.o/b.xml",
                    "https://h.o/c.xml"]
+
+
+# ---------------------------------------------------------------------------
+# editdist fuzz: a deterministic adversarial corpus (clustered around
+# shared stems so near-miss pairs are dense) vs brute force
+# ---------------------------------------------------------------------------
+
+
+def _fuzz_strings(n=80):
+    import hashlib
+
+    alphabet = "abcdx"
+    out = []
+    for i in range(n):
+        h = hashlib.md5(f"ed:{i}".encode()).hexdigest()
+        # short strings over a tiny alphabet around 8 stems: maximal
+        # pair density, every deletion/substitution shape exercised
+        stem = int(h[:2], 16) % 8
+        length = int(h[2:4], 16) % 7  # 0..6
+        s = "".join(
+            alphabet[(int(h[4 + j], 16) + stem) % len(alphabet)]
+            for j in range(length)
+        )
+        out.append(s)
+    return out
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_dedup_editdist_fuzz_exact(spark, d):
+    strings = _fuzz_strings()
+    df = spark.createDataFrame(
+        list(enumerate(strings)), ["doc_id", "title"])
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in dedup_editdist(df, max_dist=d).collect()}
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(
+            enumerate(strings), 2):
+        dist = _lev(a, b)
+        if dist <= d:
+            want.add((i, j, dist))
+    assert got == want
+    assert len(want) > 100  # the corpus really is pair-dense
