@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def prep(spark, docs, holdout=None, alpha=None, budget_frac: float = 0.5,
          token_budget=None, max_tokens: int = 2048, n_shards: int = 16,
-         with_counts: bool = True):
+         curriculum_phases=None, with_counts: bool = True):
     """documents(doc_id, text, lang, ...) -> (packed docs, stage counts).
 
     Returns a DataFrame with the surviving documents' columns plus
@@ -95,6 +95,17 @@ def prep(spark, docs, holdout=None, alpha=None, budget_frac: float = 0.5,
     packs = pack_sequences(selected, max_tokens=max_tokens,
                            n_shards=n_shards)
     out = selected.join(packs, "doc_id")
+    if curriculum_phases is not None:
+        # curriculum training: stamp each doc's difficulty-quantile
+        # phase so the loader can stream phase 0 first (easy -> hard)
+        from navigator_document_parser_spark.operators.selection import (
+            curriculum_order,
+        )
+
+        phases = curriculum_order(
+            selected, n_phases=curriculum_phases
+        ).select("doc_id", "phase")
+        out = out.join(phases, "doc_id")
     if with_counts:
         out = out.persist()
         counts["packed_docs"] = out.count()
@@ -120,6 +131,8 @@ def main(argv=None):
                    help="per-language token budget (omit to keep all)")
     p.add_argument("--max-tokens", type=int, default=2048)
     p.add_argument("--n-shards", type=int, default=16)
+    p.add_argument("--curriculum", type=int, default=None,
+                   help="stamp difficulty-quantile phases (easy->hard)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -133,6 +146,7 @@ def main(argv=None):
         spark, docs, holdout=holdout, alpha=args.alpha,
         budget_frac=args.budget_frac, token_budget=args.token_budget,
         max_tokens=args.max_tokens, n_shards=args.n_shards,
+        curriculum_phases=args.curriculum,
     )
     (out.repartition("shard")
         .write.mode("overwrite").partitionBy("shard")

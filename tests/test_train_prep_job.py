@@ -82,3 +82,12 @@ def test_train_prep_cli_end_to_end(spark):
         assert shards <= {0, 1}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_prep_curriculum_phase_stamp(spark):
+    docs = _docs(spark, n=16)
+    out, _ = T.prep(spark, docs, curriculum_phases=3, max_tokens=128,
+                    n_shards=2)
+    rows = out.collect()
+    out.unpersist()
+    assert rows and all(0 <= r.phase < 3 for r in rows)
