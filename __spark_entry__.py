@@ -804,6 +804,17 @@ _MESSY_TEXT_SQL = (
 )
 
 
+def _unigram_tokenize(spark, sf):
+    """Unigram-LM Viterbi segmentation diagnostics (operators/
+    unigram.py): integer piece scores -> exact DP; max score, tie ->
+    fewest pieces; oracle unrolls the DP one CTE level per position."""
+    from navigator_document_parser_spark.operators.unigram import (
+        unigram_tokenize_stats,
+    )
+
+    return unigram_tokenize_stats(_docs(spark, sf))
+
+
 def _bpe_train(spark, sf):
     """Distributed BPE vocabulary training: 8 merge rules learned from
     word-frequency-weighted pair counts; vocabulary-sized state, one
@@ -3994,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _text_normalize,          # unicode/ws cleanup
         "zorder_layout": _zorder_layout,            # Morton-curve layout
         "bpe_train": _bpe_train,                    # learn BPE merges
+        "unigram_tokenize": _unigram_tokenize,     # Viterbi subwords
         "url_filter": _url_filter,                  # canonicalize + blocklist
         "robots_filter": _robots_filter,            # REP longest-match rules
         "robots_sitemaps": _robots_sitemaps,        # Sitemap: discovery
@@ -5211,6 +5223,11 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["topic_classify"] = oracle_topic_classify()
     oracles["url_templates"] = _url_templates_oracle()
+    from navigator_document_parser_spark.operators.unigram import (
+        oracle_unigram_tokenize_stats,
+    )
+
+    oracles["unigram_tokenize"] = oracle_unigram_tokenize_stats()
     from navigator_document_parser_spark.operators.robots import (
         oracle_robots_sitemaps,
     )

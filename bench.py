@@ -134,6 +134,7 @@ OP_QUERIES = [
     "split_sentences",
     "bpe_tokenize",
     "bpe_train",
+    "unigram_tokenize",
     "text_normalize",
     "fix_encoding",
     "boilerplate_strip",

@@ -667,3 +667,80 @@ def test_dedup_editdist_fuzz_exact(spark, d):
             want.add((i, j, dist))
     assert got == want
     assert len(want) > 100  # the corpus really is pair-dense
+
+
+# ---------------------------------------------------------------------------
+# unigram_tokenize_stats — Viterbi segmentation (operators/unigram.py)
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.unigram import (  # noqa: E402
+    DEFAULT_UNIGRAM_VOCAB,
+    _viterbi,
+    _vocab_dict,
+    unigram_tokenize_stats,
+)
+
+
+def _brute(word, v, max_piece=4):
+    """Exhaustive enumeration of every segmentation."""
+    best = None
+    def rec(i, score, np_):
+        nonlocal best
+        if i == len(word):
+            c = (score, -np_)
+            if best is None or c > best:
+                best = c
+            return
+        for j in range(1, min(max_piece, len(word) - i) + 1):
+            p = word[i:i + j]
+            if p in v:
+                rec(i + j, score + v[p], np_ + 1)
+    rec(0, 0, 0)
+    return best[0], -best[1]
+
+
+def test_viterbi_matches_bruteforce():
+    import hashlib
+    v = _vocab_dict(DEFAULT_UNIGRAM_VOCAB)
+    words = ["the", "theme", "nation", "information", "a", "ing",
+             "mentation", "zzzz", "42nd", "able", "tionatio"]
+    for i in range(60):
+        h = hashlib.md5(f"uw:{i}".encode()).hexdigest()
+        words.append("".join(
+            "etaoinshrd"[int(c, 16) % 10] for c in h[:1 + i % 10]))
+    for w in words:
+        assert _viterbi(w, v) == _brute(w, v), w
+
+
+def test_viterbi_prefers_score_then_fewest_pieces():
+    v = _vocab_dict(DEFAULT_UNIGRAM_VOCAB)
+    # 'the' is one score-6 piece (beats t+h+e=3 and th+e=4)
+    assert _viterbi("the", v) == (6, 1)
+    # 'tionatio' = tion(10) + atio(10)
+    assert _viterbi("tionatio", v) == (20, 2)
+    # 'zz' has no multi piece: two singles
+    assert _viterbi("zz", v) == (2, 2)
+
+
+def test_unigram_tokenize_stats_sums(spark):
+    df = spark.createDataFrame(
+        [(0, "the the zz"), (1, ""), (2, "Tion,atio!")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.n_words, r.uni_score, r.n_pieces,
+                      r.pieces_per_word4)
+           for r in unigram_tokenize_stats(df).collect()}
+    assert out[0] == (3, 14, 4, 1.3333)  # 6+6+2, 1+1+2 pieces
+    assert 1 not in out                   # wordless doc: no row
+    # punctuation splits words: 'tion' + 'atio' (two words)
+    assert out[2] == (2, 20, 2, 1.0)
+
+
+def test_unigram_vocab_validation():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _vocab_dict((("th", 3),))  # singles missing
+    with _pytest.raises(ValueError):
+        _vocab_dict(tuple([(c, 1) for c in
+                           "abcdefghijklmnopqrstuvwxyz0123456789"]
+                          + [("toolong", 9)]))
