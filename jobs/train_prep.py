@@ -92,20 +92,37 @@ def prep(spark, docs, holdout=None, alpha=None, budget_frac: float = 0.5,
         selected = stage(selected.join(kept, "doc_id"),
                          "after_budget_select")
 
-    packs = pack_sequences(selected, max_tokens=max_tokens,
-                           n_shards=n_shards)
-    out = selected.join(packs, "doc_id")
     if curriculum_phases is not None:
-        # curriculum training: stamp each doc's difficulty-quantile
-        # phase so the loader can stream phase 0 first (easy -> hard)
+        # curriculum training: packs must be PHASE-HOMOGENEOUS or the
+        # loader cannot stream phase 0 first without splitting packs
+        # (review finding) — compute phases first, then pack each
+        # phase independently; (phase, shard, pack_id) is the pack key
         from navigator_document_parser_spark.operators.selection import (
             curriculum_order,
         )
 
+        if not with_counts:
+            # lazy mode persists nothing, and this frame feeds the
+            # curriculum histogram + join AND every per-phase packing
+            # branch — one eager barrier instead of ~4 re-executions
+            selected = selected.localCheckpoint(eager=True)
         phases = curriculum_order(
             selected, n_phases=curriculum_phases
         ).select("doc_id", "phase")
-        out = out.join(phases, "doc_id")
+        staged = selected.join(phases, "doc_id")
+        parts = []
+        for ph in range(curriculum_phases):
+            sub = staged.filter(F.col("phase") == ph)
+            packs_p = pack_sequences(sub, max_tokens=max_tokens,
+                                     n_shards=n_shards, salt=f"pack{ph}")
+            parts.append(sub.join(packs_p, "doc_id"))
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part)
+    else:
+        packs = pack_sequences(selected, max_tokens=max_tokens,
+                               n_shards=n_shards)
+        out = selected.join(packs, "doc_id")
     if with_counts:
         out = out.persist()
         counts["packed_docs"] = out.count()

@@ -237,9 +237,13 @@ def robots_sitemaps(
 
     Returns (host, sitemap_url).
     """
+    # split on \r?\n: CRLF robots.txt is the common real-world case
+    # and trim() strips spaces only, so a surviving \r would corrupt
+    # every discovered url (review finding; parse_robots_txt's
+    # splitlines() already handles this on the rules side)
     lines = df.select(
         F.col(host_col).alias("host"),
-        F.explode(F.split(F.col(content_col), "\n")).alias("raw"),
+        F.explode(F.split(F.col(content_col), r"\r?\n")).alias("raw"),
     )
     l = F.trim(F.expr("split_part(raw, '#', 1)"))
     field = F.lower(F.trim(F.regexp_extract(l, "^([^:]*):", 1)))
@@ -258,8 +262,8 @@ def oracle_robots_sitemaps(robots_sql: str) -> str:
         WITH r AS ({robots_sql}),
         lines AS (
           SELECT host,
-                 trim(split_part(unnest(string_split(robots_txt,
-                      chr(10))), '#', 1)) AS l
+                 trim(split_part(unnest(string_split_regex(
+                      robots_txt, '\r?\n')), '#', 1)) AS l
           FROM r
         ), fields AS (
           SELECT host,

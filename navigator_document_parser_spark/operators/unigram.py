@@ -58,6 +58,11 @@ _MAX_PIECE = 4
 
 def _vocab_dict(vocab: tuple) -> dict:
     v = dict(vocab)
+    if len(v) != len(vocab):
+        # duplicates would resolve differently per engine (dict keeps
+        # the LAST score, the oracle's VALUES + score-DESC rank keeps
+        # the MAX) — reject instead of diverging (review finding)
+        raise ValueError("vocab contains duplicate pieces")
     missing = [c for c in _CHARS if c not in v]
     if missing:
         raise ValueError(

@@ -609,6 +609,13 @@ from navigator_document_parser_spark.operators.robots import (  # noqa: E402
 )
 
 
+def test_robots_sitemaps_crlf(spark):
+    txt = "Sitemap: https://h.o/a.xml\r\nSitemap:\r\nDisallow: /x\r\n"
+    df = spark.createDataFrame([("h.o", txt)], ["host", "robots_txt"])
+    got = [r.sitemap_url for r in robots_sitemaps(df).collect()]
+    assert got == ["https://h.o/a.xml"]  # no trailing \r, no '\r' row
+
+
 def test_robots_sitemaps_discovery(spark):
     txt = (
         "# header comment\n"
@@ -744,3 +751,5 @@ def test_unigram_vocab_validation():
         _vocab_dict(tuple([(c, 1) for c in
                            "abcdefghijklmnopqrstuvwxyz0123456789"]
                           + [("toolong", 9)]))
+    with _pytest.raises(ValueError):  # duplicates diverge per engine
+        _vocab_dict(DEFAULT_UNIGRAM_VOCAB + (("th", 9),))

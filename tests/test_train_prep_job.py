@@ -84,10 +84,24 @@ def test_train_prep_cli_end_to_end(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
-def test_prep_curriculum_phase_stamp(spark):
+def test_prep_curriculum_packs_are_phase_homogeneous(spark):
     docs = _docs(spark, n=16)
     out, _ = T.prep(spark, docs, curriculum_phases=3, max_tokens=128,
                     n_shards=2)
     rows = out.collect()
     out.unpersist()
     assert rows and all(0 <= r.phase < 3 for r in rows)
+    packs = {}
+    for r in rows:
+        packs.setdefault((r.phase, r.shard, r.pack_id), set()).add(r.phase)
+    # a pack never mixes phases: the loader streams phase 0 first
+    # without splitting any pack
+    assert all(len(ph) == 1 for ph in packs.values())
+
+
+def test_prep_curriculum_lazy_mode(spark):
+    docs = _docs(spark, n=12)
+    out, counts = T.prep(spark, docs, curriculum_phases=2,
+                         max_tokens=64, n_shards=2, with_counts=False)
+    assert counts == {}
+    assert out.count() > 0
