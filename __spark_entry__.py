@@ -3084,6 +3084,22 @@ def _html_tables(spark, sf):
     return extract_html_tables(pages)
 
 
+def _table_linearize(spark, sf):
+    """Table-to-text linearization (operators/tables.py
+    table_linearize): extract_html_tables cells -> ' | '-joined rows,
+    newline-joined tables — the WikiTables/TaPas pretraining shape."""
+    from navigator_document_parser_spark.operators.tables import (
+        extract_html_tables,
+        table_linearize,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    return table_linearize(
+        extract_html_tables(spark.sql(_HTML_TABLES_SRC_SQL))
+    )
+
+
 def _search_eval(spark, sf):
     """Retrieval quality measurement: nDCG@5 + MRR@5 of the BM25
     top-10 against md5-derived graded relevance judgments — the
@@ -4090,6 +4106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_audit": _lsh_audit,                    # LSH precision/recall
         "dedup_snm": _dedup_snm,                    # sorted-neighborhood
         "html_tables": _html_tables,                # table cell mining
+        "table_linearize": _table_linearize,      # tables -> text
         "search_eval": _search_eval,                # nDCG/MRR measurement
         "token_entropy": _token_entropy,            # distribution entropy
         "trustrank_hosts": _trustrank_hosts,        # seed-biased rank
@@ -5223,6 +5240,14 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["topic_classify"] = oracle_topic_classify()
     oracles["url_templates"] = _url_templates_oracle()
+    from navigator_document_parser_spark.operators.tables import (
+        oracle_extract_html_tables as _o_tables,
+        oracle_table_linearize as _o_tlin,
+    )
+
+    oracles["table_linearize"] = _o_tlin(_o_tables(
+        _HTML_TABLES_SRC_SQL.replace("AS STRING", "AS VARCHAR")
+    ))
     from navigator_document_parser_spark.operators.unigram import (
         oracle_unigram_tokenize_stats,
     )

@@ -117,6 +117,7 @@ OP_QUERIES = [
     "sitemap_parse",
     "feed_parse",
     "html_tables",
+    "table_linearize",
     "extract_links",
     "link_rels",
     "meta_tags",

@@ -630,3 +630,79 @@ def oracle_link_rels(pages_sql: str) -> str:
         )
         SELECT doc_id, {sel} FROM f
     """
+
+
+def table_linearize(
+    cells: DataFrame,
+) -> DataFrame:
+    """Linearize extracted table cells into training-ready text — the
+    step between extract_html_tables and a pretraining corpus
+    (WikiTables/TaPas-style: cells joined ' | ' within a row, rows
+    joined by newline). Takes extract_html_tables' output schema
+    (doc_id, table_idx, row_idx, col_idx, is_header, cell_text).
+
+    Ordering is total by construction — (col_idx) is unique within a
+    row and (row_idx) within a table, so the array_sort-of-struct /
+    string_agg ORDER BY renderings are bit-identical across engines.
+
+    100 TB shape: two hash aggregates keyed (doc, table, row) then
+    (doc, table); per-group state is one table's text — bounded by the
+    block patterns' single-page scope, never corpus-sized.
+
+    Returns (doc_id, table_idx, n_rows, n_cols, table_text).
+    """
+    rows = (
+        cells.groupBy("doc_id", "table_idx", "row_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("col_idx", "cell_text")
+                        )
+                    ),
+                    lambda x: x["cell_text"],
+                ),
+                " | ",
+            ).alias("row_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+    )
+    return (
+        rows.groupBy("doc_id", "table_idx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("n_cells").alias("n_cols"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("row_idx", "row_text"))
+                    ),
+                    lambda x: x["row_text"],
+                ),
+                "\n",
+            ).alias("table_text"),
+        )
+        .select("doc_id", "table_idx", "n_rows", "n_cols", "table_text")
+    )
+
+
+def oracle_table_linearize(cells_sql: str) -> str:
+    """DuckDB replica of table_linearize over ``cells_sql`` (the
+    oracle_extract_html_tables output shape)."""
+    return f"""
+        WITH c AS ({cells_sql}),
+        r AS (
+          SELECT doc_id, table_idx, row_idx,
+                 string_agg(cell_text, ' | ' ORDER BY col_idx)
+                   AS row_text,
+                 CAST(count(*) AS BIGINT) AS n_cells
+          FROM c GROUP BY doc_id, table_idx, row_idx
+        )
+        SELECT doc_id, table_idx,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(max(n_cells) AS BIGINT) AS n_cols,
+               string_agg(row_text, chr(10) ORDER BY row_idx)
+                 AS table_text
+        FROM r GROUP BY doc_id, table_idx
+    """

@@ -753,3 +753,30 @@ def test_unigram_vocab_validation():
                           + [("toolong", 9)]))
     with _pytest.raises(ValueError):  # duplicates diverge per engine
         _vocab_dict(DEFAULT_UNIGRAM_VOCAB + (("th", 9),))
+
+
+# ---------------------------------------------------------------------------
+# table_linearize — tables -> training text
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.tables import (  # noqa: E402
+    table_linearize,
+)
+
+
+def test_table_linearize_order_and_counts(spark):
+    cells = spark.createDataFrame(
+        [  # deliberately shuffled input order
+            (1, 0, 1, 1, False, "b2"),
+            (1, 0, 0, 0, True, "h1"),
+            (1, 0, 1, 0, False, "b1"),
+            (1, 0, 0, 1, True, "h2"),
+            (1, 1, 0, 0, False, "solo"),
+        ],
+        "doc_id long, table_idx long, row_idx long, col_idx long,"
+        " is_header boolean, cell_text string",
+    )
+    out = {(r.doc_id, r.table_idx): (r.n_rows, r.n_cols, r.table_text)
+           for r in table_linearize(cells).collect()}
+    assert out[(1, 0)] == (2, 2, "h1 | h2\nb1 | b2")
+    assert out[(1, 1)] == (1, 1, "solo")
