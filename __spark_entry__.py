@@ -3950,6 +3950,20 @@ _SPELL_VOCAB_ORACLE = """
 """
 
 
+def _dedup_editdist2(spark, sf):
+    """The staged d=2 deletion neighborhood at contract level (the d=1
+    entry cannot exercise the second explode): all pairs within
+    Levenshtein distance 2 over the same title synth."""
+    from navigator_document_parser_spark.operators.editdist import (
+        dedup_editdist,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    titles = spark.sql(_editdist_titles_sql("spark"))
+    return dedup_editdist(titles, id_col="id", str_col="s", max_dist=2)
+
+
 def _spell_correct(spark, sf):
     """SymSpell spelling correction of query terms against the corpus
     vocabulary: deletes-join candidates, best = (dist asc, count desc,
@@ -4160,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_consistency": _title_consistency,    # clickbait signal
         "degree_stats": _degree_stats,              # degree histogram
         "dedup_editdist": _dedup_editdist,          # SymSpell pairs, exact
+        "dedup_editdist2": _dedup_editdist2,        # staged d=2 path
         "spell_correct": _spell_correct,            # deletes-join correction
         # --- rows-only by design (reasons documented per-entry) ------
         "extract_pipeline": _extract_pipeline,      # golden byte-identity
@@ -5329,6 +5344,9 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["dedup_editdist"] = oracle_dedup_editdist(
         _editdist_titles_sql("duckdb"), max_dist=1
+    )
+    oracles["dedup_editdist2"] = oracle_dedup_editdist(
+        _editdist_titles_sql("duckdb"), max_dist=2
     )
     oracles["spell_correct"] = oracle_spell_correct(
         _SPELL_QUERIES_SQL, _SPELL_VOCAB_ORACLE, max_dist=1

@@ -162,6 +162,7 @@ OP_QUERIES = [
     "domain_quality",
     "degree_stats",
     "dedup_editdist",
+    "dedup_editdist2",
     "spell_correct",
     "corpus_report",
     "hll_distinct",
