@@ -207,3 +207,19 @@ def test_index_stream_vacuum_and_uri_guard(spark, dirs):
     with pytest.raises(ValueError):
         start_index_maintenance_stream(
             spark, in_dir, "s3a://bucket/index", ckpt)
+
+
+def test_index_maintain_cli_end_to_end(spark, dirs):
+    import jobs.index_maintain as J
+
+    in_dir, index_dir, ckpt = dirs
+    _write_docs(spark, in_dir, [(i, f"cli doc{i}") for i in range(8)])
+    J.main(["--input", in_dir, "--index", index_dir,
+            "--checkpoint", ckpt, "--n-shards", "2",
+            "--block-size", "4", "--timeout", "120", "--vacuum"])
+    committed = read_current_index(spark, index_dir)
+    want = index_export(
+        spark.createDataFrame([(i, f"cli doc{i}") for i in range(8)],
+                              "doc_id long, text string"),
+        n_shards=2, block_size=4)
+    assert _canon(committed) == _canon(want)
