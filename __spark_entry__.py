@@ -327,6 +327,19 @@ def _quality_by_lang(spark, sf):
     )
 
 
+def _winnow_pairs(spark, sf):
+    """MOSS-style plagiarism pairs over winnowing fingerprints
+    (operators/text.py winnow_pairs): shared selected fingerprints
+    >= 40 (selective on this corpus: the tiny synthetic vocabulary
+    makes low thresholds near-all-pairs), containment vs the
+    smaller set (ratio4)."""
+    from navigator_document_parser_spark.operators.text import (
+        winnow_pairs,
+    )
+
+    return winnow_pairs(_docs(spark, sf), min_shared=40)
+
+
 def _fingerprint_winnow(spark, sf):
     from navigator_document_parser_spark.operators.text import (
         winnow_fingerprints,
@@ -4017,6 +4030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_blocks": _line_blocks,                # M3/M5
         "text_metrics": _text_metrics,              # M9-adjacent + quality
         "fingerprint_winnow": _fingerprint_winnow,  # rolling-hash winnowing
+        "winnow_pairs": _winnow_pairs,              # MOSS shared-fp pairs
         "corpus_curation": _corpus_curation,        # composed curation
         "token_stats": _token_stats,                # ws + BPE-ish counting
         "quality_filters": _quality_filters,        # Gopher-rule bands
@@ -4381,6 +4395,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint_winnow": T.oracle_winnow(),
+        "winnow_pairs": T.oracle_winnow_pairs(min_shared=40),
         "corpus_curation": f"""
             WITH keepers AS (
               SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)

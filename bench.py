@@ -81,6 +81,7 @@ OP_QUERIES = [
     "text_metrics",
     "token_stats",
     "fingerprint_winnow",
+    "winnow_pairs",
     "corpus_curation",
     "quality_by_lang",
     "decontaminate",

@@ -182,6 +182,82 @@ def oracle_winnow(k: int = 8, w: int = 4) -> str:
     """
 
 
+def winnow_pairs(
+    df: DataFrame,
+    min_shared: int = 3,
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style plagiarism pairs over winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken §4): documents sharing >= ``min_shared``
+    selected fingerprints, scored by containment against the SMALLER
+    fingerprint set — position-sampled robustness the n-gram Jaccard
+    path doesn't have (winnowing guarantees a shared fingerprint for
+    any shared run of length >= w+k-1, whatever its position).
+
+    One fingerprint scan (eagerly checkpointed — it feeds both join
+    sides and the per-doc sizes, lessons 3/20), one fp equi-join, one
+    pair aggregate. A corpus-hot fingerprint (boilerplate 8-gram that
+    survives window-min selection) makes its bucket quadratic — the
+    documented pair-enumeration caveat; winnowing's min-sampling keeps
+    such buckets far rarer than raw shingle joins.
+
+    Returns (id_a, id_b, n_shared, containment4).
+    """
+    fps = winnow_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, w=w
+    ).localCheckpoint(eager=True)
+    sizes = fps.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp")
+    )
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a", "id_b", "n_shared",
+            ratio4(
+                F.col("n_shared"), F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment4"),
+        )
+    )
+
+
+def oracle_winnow_pairs(min_shared: int = 3, k: int = 8, w: int = 4) -> str:
+    """DuckDB replica of winnow_pairs over `documents` (reuses the
+    oracle_winnow fingerprint derivation verbatim)."""
+    r4 = ratio4_sql("n_shared", "least(n_a, n_b)")
+    return f"""
+        WITH fps AS ({oracle_winnow(k=k, w=w)}),
+        sizes AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_fp
+          FROM fps GROUP BY id
+        ), shared AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+          GROUP BY 1, 2
+          HAVING count(*) >= {int(min_shared)}
+        )
+        SELECT s.id_a, s.id_b, s.n_shared, {r4} AS containment4
+        FROM shared s
+        JOIN (SELECT id, n_fp AS n_a FROM sizes) x ON s.id_a = x.id
+        JOIN (SELECT id, n_fp AS n_b FROM sizes) y ON s.id_b = y.id
+    """
+
+
 # GPT-2-style pre-tokenizer, engine-portable: explicit Latin ranges
 # instead of \p{L} (Java and RE2 ship different Unicode table versions;
 # explicit classes are identical everywhere). Groups: common English

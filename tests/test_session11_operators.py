@@ -780,3 +780,36 @@ def test_table_linearize_order_and_counts(spark):
            for r in table_linearize(cells).collect()}
     assert out[(1, 0)] == (2, 2, "h1 | h2\nb1 | b2")
     assert out[(1, 1)] == (1, 1, "solo")
+
+
+# ---------------------------------------------------------------------------
+# winnow_pairs — MOSS-style shared-fingerprint pairs
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.text import (  # noqa: E402
+    winnow_pairs,
+)
+
+
+def test_winnow_pairs_detects_shared_runs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base + " with a different tail appended here"),  # contains 0
+        (2, "completely unrelated content xyzzy plugh qwertyuiop"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.id_a, r.id_b): (r.n_shared, r.containment4)
+           for r in winnow_pairs(df, min_shared=3).collect()}
+    assert (0, 1) in out
+    n_shared, cont = out[(0, 1)]
+    # doc 0's fingerprints are (nearly) all inside doc 1: winnowing
+    # guarantees shared selections for shared runs >= w+k-1 chars
+    assert cont >= 0.9
+    assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_winnow_pairs_short_texts_yield_nothing(spark):
+    df = spark.createDataFrame(
+        [(0, "tiny"), (1, "tiny")], ["doc_id", "text"])
+    assert winnow_pairs(df, min_shared=1).count() == 0
