@@ -51,6 +51,11 @@ def main(argv=None):
         vacuum_generations,
     )
 
+    if args.vacuum and args.tail:
+        p.error("--vacuum requires drain mode (omit --tail): expiring "
+                "while batches are in flight deletes not-yet-committed "
+                "generation buckets")
+
     spark = build_spark("index-maintain", master=args.master)
     q = start_index_maintenance_stream(
         spark, args.input, args.index, args.checkpoint,
@@ -58,10 +63,19 @@ def main(argv=None):
         blocks_per_bucket=args.blocks_per_bucket,
         available_now=not args.tail,
     )
-    q.awaitTermination(args.timeout or None)
-    if args.vacuum and not args.tail:
-        deleted = vacuum_generations(args.index)
-        print(f"vacuumed: {len(deleted)} paths")
+    if args.timeout:
+        drained = q.awaitTermination(args.timeout)
+    else:
+        q.awaitTermination()
+        drained = True
+    if args.vacuum:
+        if not drained:
+            # a live batch may have written buckets its manifest has
+            # not committed yet — vacuuming now would delete them
+            print("vacuum skipped: stream still running at --timeout")
+        else:
+            deleted = vacuum_generations(args.index)
+            print(f"vacuumed: {len(deleted)} paths")
     return 0
 
 

@@ -237,11 +237,13 @@ def winnow_pairs(
 
 def oracle_winnow_pairs(min_shared: int = 3, k: int = 8, w: int = 4) -> str:
     """DuckDB replica of winnow_pairs over `documents` (reuses the
-    oracle_winnow fingerprint derivation verbatim)."""
+    oracle_winnow fingerprint derivation verbatim). fps/sizes are
+    MATERIALIZED: DuckDB inlines plain CTEs and the winnow derivation
+    has 4 reference paths (lesson 21)."""
     r4 = ratio4_sql("n_shared", "least(n_a, n_b)")
     return f"""
-        WITH fps AS ({oracle_winnow(k=k, w=w)}),
-        sizes AS (
+        WITH fps AS MATERIALIZED ({oracle_winnow(k=k, w=w)}),
+        sizes AS MATERIALIZED (
           SELECT id, CAST(count(*) AS BIGINT) AS n_fp
           FROM fps GROUP BY id
         ), shared AS (
