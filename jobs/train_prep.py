@@ -126,9 +126,15 @@ def prep(spark, docs, holdout=None, alpha=None, budget_frac: float = 0.5,
     if with_counts:
         out = out.persist()
         counts["packed_docs"] = out.count()
-        counts["n_packs"] = (
-            out.select("shard", "pack_id").distinct().count()
+        # with --curriculum the pack key is (phase, shard, pack_id):
+        # pack_sequences runs once per phase with its own salt, so
+        # pack_id collides across phases (r6 ADVICE)
+        pack_key = (
+            ["phase", "shard", "pack_id"]
+            if curriculum_phases is not None
+            else ["shard", "pack_id"]
         )
+        counts["n_packs"] = out.select(*pack_key).distinct().count()
         for df in pinned:
             df.unpersist()
         curated.unpersist()

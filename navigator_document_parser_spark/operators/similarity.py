@@ -894,6 +894,10 @@ def knn_graph(
 
     Returns (src_id, nbr_id, sim, rank), rank in [1, k].
     """
+    if int(k) <= 0:
+        raise ValueError("k must be positive")
+    if int(n_planes) <= 0 or int(n_tables) <= 0:
+        raise ValueError("n_planes and n_tables must be positive")
     id_type = embeddings.schema[id_col].dataType.simpleString()
     tbl_ids = F.array(*[F.lit(t) for t in range(n_tables)])
     base = (
@@ -1564,6 +1568,7 @@ def bitext_margin_mine_lsh(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_rows: int = 2048,
 ) -> DataFrame:
     """LSH-blocked margin mining — the scale path for
     ``bitext_margin_mine`` (which is the exact O(|src| x |tgt|)
@@ -1574,13 +1579,26 @@ def bitext_margin_mine_lsh(
     (literal, so InferFiltersFromGenerate costs nothing — lesson 3) and
     derive a random-hyperplane bucket per table with a single-parse
     CASE (each exploded row pays exactly its own table's n_planes
-    folds, the knn_lsh shape). Candidates are ONE shuffled equi-join on
-    (tbl, bkt) — deliberately NOT broadcast: at mining scale
+    folds, the knn_lsh shape). Candidates come from ONE cogrouped
+    shuffle on (tbl, bkt) — deliberately NOT broadcast: at mining scale
     (10^8 x 10^8 sentence embeddings) both sides are large, and the
-    (tbl, bkt) shuffle is the whole point. A pair colliding in m tables
-    appears m times with an identical 4dp sim; dedup + top-2 rank share
-    ONE exchange on src_id (lag-based dedup uses the same partitioning
-    as the rank window), and the final groupBy(src_id) reuses it again.
+    (tbl, bkt) shuffle is the whole point.
+
+    Within each (tbl, bkt) block the pair scoring is ONE Arrow cogroup
+    with a chunked numpy cross matmul (lesson 11 / BENCH finding 14 —
+    the previous interpreted cosine() HOF paid ~dim lambda evals per
+    candidate pair and its throughput was JVM-state-sensitive; this is
+    the exact embedding_neardup_pairs / knn_graph treatment). The block
+    emits, per source row, every candidate whose RAW sim is >= (2nd
+    best raw in block) - 2e-4: a dropped candidate has rounded sim
+    strictly below two emitted rivals' rounded sims (|round(x) - x| <=
+    5e-5 each), so the pruned union provably contains the global 4dp
+    top-2 — the in-block cut is a row-count optimization, never a
+    semantics change. Multi-table collisions collapse via
+    groupBy(src_id, tgt_id) max on the raw sim (duplicate computations
+    agree after the Spark-side round); the exact ``round(sim, 4)``
+    happens Spark-side, so oracle_bitext_margin_mine_lsh (which scores
+    the full UNION of per-table branch joins) is unchanged.
 
     Semantics: the CCMatrix/LASER top-2 margin criterion applied WITHIN
     the candidate block — a source whose true runner-up lands outside
@@ -1591,37 +1609,92 @@ def bitext_margin_mine_lsh(
     oracle-exact: oracle_bitext_margin_mine_lsh replicates the banding
     bit-for-bit in DuckDB.
 
+    Per-task memory is O(block_size x dim) for the cogrouped block
+    (ids + both vector stacks) plus the chunk_rows x block_size GRAM
+    chunk — size n_planes so buckets stay bounded, exactly the
+    embedding_neardup_pairs discipline.
+
     Returns (src_id, tgt_id, sim, margin) for accepted pairs.
     """
     tbl_ids = F.array(*[F.lit(t) for t in range(n_tables)])
+    s_id_type = src.schema[id_col].dataType.simpleString()
+    t_id_type = tgt.schema[id_col].dataType.simpleString()
     s_idx = (
         src.select(
-            F.col(id_col).alias("src_id"), F.col(vec_col).alias("qvec")
+            F.col(id_col).alias("src_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
         )
         .withColumn("tbl", F.explode(tbl_ids))
         .withColumn("bkt", _bucket_case("qvec", dim, n_planes, n_tables))
     )
     t_idx = (
         tgt.select(
-            F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("tvec")
+            F.col(id_col).alias("tgt_id"),
+            F.col(vec_col).cast("array<double>").alias("tvec"),
         )
         .withColumn("tbl", F.explode(tbl_ids))
         .withColumn("bkt", _bucket_case("tvec", dim, n_planes, n_tables))
     )
-    cand = s_idx.join(t_idx, ["tbl", "bkt"]).select(
-        "src_id",
-        "tgt_id",
-        cosine(F.col("tvec"), F.col("qvec")).alias("sim"),
+    chunk = int(chunk_rows)
+
+    def block_margin(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"src_id": [], "tgt_id": [], "sim_raw": []})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        sids = left["src_id"].to_numpy()
+        tids = right["tgt_id"].to_numpy()
+        x = np.stack(left["qvec"].to_numpy()).astype(np.float64)
+        y = np.stack(right["tvec"].to_numpy()).astype(np.float64)
+        xn = np.sqrt((x * x).sum(axis=1))
+        yn = np.sqrt((y * y).sum(axis=1))
+        m = len(tids)
+        frames = []
+        for s in range(0, len(sids), chunk):
+            e = min(s + chunk, len(sids))
+            denom = xn[s:e, None] * yn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom == 0.0, 0.0, (x[s:e] @ y.T) / denom)
+            if m > 2:
+                second = np.partition(sim, m - 2, axis=1)[:, m - 2]
+                mask = sim >= (second - 2e-4)[:, None]
+                ra, rb = np.nonzero(mask)
+            else:
+                ra, rb = np.nonzero(np.ones_like(sim, dtype=bool))
+            if len(ra):
+                frames.append(pd.DataFrame({
+                    "src_id": sids[s + ra],
+                    "tgt_id": tids[rb],
+                    "sim_raw": sim[ra, rb],
+                }))
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    cand = (
+        s_idx.groupBy("tbl", "bkt")
+        .cogroup(t_idx.groupBy("tbl", "bkt"))
+        .applyInPandas(
+            block_margin,
+            schema=(
+                f"src_id {s_id_type}, tgt_id {t_id_type}, sim_raw double"
+            ),
+        )
     )
-    # multi-table collisions carry identical sims: dedup via lag in the
-    # same src_id exchange the rank window needs (no extra shuffle)
-    w_d = Window.partitionBy("src_id").orderBy(F.col("tgt_id").asc())
+    # multi-table collisions: the same (src, tgt) dot computed in every
+    # shared block — collapse on max raw (knn_graph discipline; the
+    # duplicates agree after the 4dp round below)
+    merged = cand.groupBy("src_id", "tgt_id").agg(
+        F.max("sim_raw").alias("sim_raw")
+    )
+    sim4 = F.round(F.col("sim_raw"), 4)
     w = Window.partitionBy("src_id").orderBy(
-        F.col("sim").desc(), F.col("tgt_id").asc()
+        sim4.desc(), F.col("tgt_id").asc()
     )
     top2 = (
-        cand.withColumn("_dup", F.col("tgt_id") == F.lag("tgt_id").over(w_d))
-        .filter(~F.coalesce(F.col("_dup"), F.lit(False)))
+        merged.withColumn("sim", sim4)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 2)
     )

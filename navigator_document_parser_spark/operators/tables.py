@@ -495,7 +495,11 @@ def extract_links(
     scheme), root-relative (base origin + path), and directory-relative
     (resolved against the base path's directory). No '../' folding —
     dot-segment normalization is url_filter/dust_rules territory.
-    javascript:/mailto:/fragment-only hrefs are dropped. nofollow is
+    Fragment-only hrefs and every non-fetchable scheme (javascript:,
+    mailto:, tel:, data:, ftp:, ... — anything matching
+    '^[A-Za-z][A-Za-z0-9+.-]*:' that is not http/https) are dropped,
+    so scheme'd non-web hrefs never leak into the directory-relative
+    branch as malformed frontier urls (r6 ADVICE). nofollow is
     surfaced per link (the SEO edge-weight signal).
 
     100 TB shape: one regexp_extract_all + explode, then map-only
@@ -529,11 +533,13 @@ def extract_links(
         F.regexp_extract("b", _A_ANCHOR, 1).alias("anchor"),
         F.col("b").contains('rel="nofollow"').alias("nofollow"),
     )
+    scheme = F.lower(
+        F.regexp_extract("href", r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    )
     drop = (
         (F.col("href") == "")
         | F.col("href").startswith("#")
-        | F.col("href").startswith("javascript:")
-        | F.col("href").startswith("mailto:")
+        | ((scheme != "") & ~scheme.isin("http", "https"))
     )
     return fields.filter(~drop).select("doc_id", "url", "anchor", "nofollow")
 
@@ -564,8 +570,9 @@ def oracle_extract_links(pages_sql: str) -> str:
         FROM fields
         WHERE href <> ''
           AND substring(href, 1, 1) <> '#'
-          AND substring(href, 1, 11) <> 'javascript:'
-          AND substring(href, 1, 7) <> 'mailto:'
+          AND lower(regexp_extract(href,
+                '^([A-Za-z][A-Za-z0-9+.-]*):', 1))
+              IN ('', 'http', 'https')
     """
 
 

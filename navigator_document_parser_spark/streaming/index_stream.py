@@ -22,12 +22,14 @@ Readers resolve _CURRENT -> manifest -> immutable bucket directories —
 never a directory being written. Inheritance is sound because
 index_merge passes blocks outside the delta's doc ranges through
 UNCHANGED (its pytest-pinned invariant), and a bucket is a union of
-whole blocks. Generation id = micro-batch id, so a batch replay after
-a crash rewrites its own buckets deterministically from the
-still-committed previous manifest and re-points — idempotent whether
-the crash hit before or after the pointer write (index_merge treats
-the re-crawl as authoritative, so re-merging an already-merged batch
-is a fixpoint). The pointer write is a POSIX-atomic rename; the
+whole blocks. Generation id = micro-batch id. Crash replay never
+touches an existing directory: if _CURRENT already names the batch
+the generation committed fully and the replay is a no-op (index_merge
+is a fixpoint, so skipping is sound); otherwise the replay writes to
+a fresh ``gen=<id>r<attempt>`` suffix and re-points, so directories a
+reader (or the live manifest) may reference are immutable even across
+crashes mid-write (r6 ADVICE). The pointer write is a POSIX-atomic
+rename; the
 module therefore REQUIRES a local/POSIX ``index_dir`` and rejects URI
 paths loudly — on object stores the manifest/pointer pair must become
 a conditional-put (the Iceberg-shaped seam, same as
@@ -161,6 +163,16 @@ def start_index_maintenance_stream(
     pb_of_block = f"(block_id div {int(blocks_per_bucket)})"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ptr = os.path.join(index_dir, _POINTER)
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                if f.read().strip() == str(batch_id):
+                    # crash landed between _commit_generation and the
+                    # streaming checkpoint commit: the generation is
+                    # already live — rewriting its directories would
+                    # tear them under readers (r6 ADVICE). Replay is a
+                    # no-op (the commit is the fixpoint).
+                    return
         if batch_df.isEmpty():
             return
         prev = _read_manifest(index_dir)
@@ -206,9 +218,18 @@ def start_index_maintenance_stream(
         merged = merged.withColumn(
             "pb", F.expr(pb_of_block)
         ).localCheckpoint(eager=True)
+        # replay hygiene: never reuse a generation directory that
+        # already exists on disk (a previous attempt may have written
+        # partial buckets, and a reader may hold any existing dir) —
+        # fresh suffix per attempt, commit re-points atomically
+        gen_name = f"gen={batch_id}"
+        attempt = 0
+        while os.path.exists(os.path.join(index_dir, gen_name)):
+            attempt += 1
+            gen_name = f"gen={batch_id}r{attempt}"
         manifest = dict(prev) if prev else {}
         for pb in sorted(touched):
-            rel = f"gen={batch_id}/pb={pb}"
+            rel = f"{gen_name}/pb={pb}"
             sub = merged.filter(F.col("pb") == pb).drop("pb")
             if sub.isEmpty():
                 # a re-crawl purged the whole bucket: drop it from the
