@@ -4013,14 +4013,50 @@ def _boilerplate_strip_oracle() -> str:
     )
 
 
+# Round-6 window rotation (VERDICT r5 next-round #2): the driver's
+# CORRECTNESS artifact records only the FIRST 50 queries() entries, and
+# rounds 1-5 cumulatively hash-checked 82 distinct queries — these 50
+# are all oracle-checked entries that have NEVER had a driver-grade
+# check (every one is hash-green in the committed CONTRACT_r05
+# replicas; the driver run promotes them to the hard signal). The r5
+# window (and the r1-r4 ones) remain covered by tools/check_contract.py
+# replicas committed per round. Disjoint from CORRECTNESS_r01..r05 by
+# construction — pinned in tests/test_contract_window.py.
+_R6_FRONT = [
+    "dedup_bloom", "dedup_cdc", "snapshot_diff", "dedup_keep_best",
+    "knn_graph", "knn_ivf_fullprobe", "semantic_clusters",
+    "semantic_decontaminate", "bitext_mine", "bitext_mine_lsh",
+    "semdedup", "pq_encode", "knn_pq", "hll_distinct", "kmv_distinct",
+    "cms_counts", "dedup_containment", "quantile_sketch", "crawl_depth",
+    "embed_hash", "k_core_hosts", "shard_layout", "triangle_hosts",
+    "recrawl_schedule", "dust_rules", "related_hosts", "lsh_audit",
+    "dedup_snm", "trustrank_hosts", "trap_detect", "corpus_similarity",
+    "embedding_outliers", "mmr_rerank", "url_parallel_pairs",
+    "host_reputation", "training_pairs", "dedup_bbit",
+    "dedup_cluster_stats", "extract_links", "link_rels", "mirror_hosts",
+    "degree_stats", "dedup_editdist", "dedup_editdist2",
+    "spell_correct", "search_eval", "token_entropy", "code_detect",
+    "vocab_coverage", "resolve_redirects",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDER MATTERS: the driver's CORRECTNESS artifact records only the
-    first 50 entries, so oracle-checked queries come first (all 50
-    recorded slots get rows+schema+hash verdicts). Positions 51+ hold
-    (a) the plain-SQL relational block — each still oracle-checked and
-    re-runnable via `python tools/check_one.py <name>` — and (b) the 3
-    rows-only-by-design queries (approximate or golden-pinned), whose
+    first 50 entries. Round 6 rotates the window (_R6_FRONT above):
+    the first 50 are oracle-checked queries the driver has never
+    hash-checked in rounds 1-5; everything previously driver-checked
+    moves behind them (still oracle-checked and re-runnable via
+    `python tools/check_one.py <name>`, with full-contract replicas
+    committed per round). The 3 rows-only-by-design queries
+    (approximate or golden-pinned) stay pinned last; their
     verification story lives in BENCH/BASELINE.md (VERDICT r3 #2)."""
+    reg = _registry()
+    front = {k: reg[k] for k in _R6_FRONT}
+    rest = {k: v for k, v in reg.items() if k not in front}
+    return front | rest
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- oracle-checked (rows+schema+hash vs DuckDB) -------------
         # extraction dataflow analogs (SURVEY §2.2/2.5)

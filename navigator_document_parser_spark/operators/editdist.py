@@ -66,7 +66,14 @@ def _duck_variants1(col: str) -> str:
 def _delete_neighborhood(
     df: DataFrame, id_col: str, str_col: str, max_dist: int
 ) -> DataFrame:
-    """(id, s, v) rows: every <=max_dist-deletion variant v of s.
+    """(id, v) rows: every <=max_dist-deletion variant v of s.
+
+    NARROW on purpose (VERDICT r5 #6): the variant rows feed the
+    operator's only big shuffle, and carrying the source string s
+    alongside each variant scales shuffle bytes as ~L^2 per string at
+    d=1 (L^3 at d=2). Verify strings are fetched back BY ID after the
+    candidate set is formed — candidates are bounded by true
+    near-duplicate block sizes, the variant explode is not.
 
     d=2 is a STAGED second explode over the d=1 rows (never a nested
     HOF over a computed array — lesson 9), deduped per (id, v).
@@ -75,7 +82,6 @@ def _delete_neighborhood(
         raise ValueError("max_dist must be 1 or 2")
     lvl1 = df.select(
         F.col(id_col).alias("id"),
-        F.col(str_col).alias("s"),
         F.explode(F.expr(_variants1_sql(str_col))).alias("v"),
     )
     if max_dist == 1:
@@ -86,7 +92,7 @@ def _delete_neighborhood(
         return lvl1
     # variants1(v) contains v itself, so lvl2 is a superset of lvl1
     lvl2 = lvl1.select(
-        "id", "s", F.explode(F.expr(_variants1_sql("v"))).alias("v")
+        "id", F.explode(F.expr(_variants1_sql("v"))).alias("v")
     )
     return lvl2.dropDuplicates(["id", "v"])
 
@@ -103,22 +109,26 @@ def dedup_editdist(
 
     Returns (id_a, id_b, dist) with id_a < id_b, dist in [0, max_dist].
     """
+    base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
     vs = _delete_neighborhood(df, id_col, str_col, max_dist)
     # feeds both sides of the self-join: materialize once (lessons 3/20)
     vs = vs.localCheckpoint(eager=True)
-    a = vs.select(
-        F.col("id").alias("id_a"), F.col("s").alias("s_a"), "v"
-    )
-    b = vs.select(
-        F.col("id").alias("id_b"), F.col("s").alias("s_b"), "v"
-    )
-    pairs = (
+    a = vs.select(F.col("id").alias("id_a"), "v")
+    b = vs.select(F.col("id").alias("id_b"), "v")
+    # candidate pairs are NARROW (ids only) through the variant join;
+    # strings join back by id for the bounded verify set (VERDICT r5 #6)
+    cand = (
         a.join(b, on="v")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "dist", F.levenshtein("s_a", "s_b").cast("bigint")
-        )
+    )
+    pairs = (
+        cand.join(base.select(F.col("id").alias("id_a"),
+                              F.col("s").alias("s_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"),
+                          F.col("s").alias("s_b")), "id_b")
+        .withColumn("dist", F.levenshtein("s_a", "s_b").cast("bigint"))
         .filter(F.col("dist") <= max_dist)
     )
     return pairs.select("id_a", "id_b", "dist")
@@ -184,6 +194,9 @@ def spell_correct(
 
     Returns (qid, q, suggestion, dist, cnt).
     """
+    qbase = queries.select(
+        F.col(qid_col).alias("id"), F.col(q_col).alias("s")
+    )
     qv = _delete_neighborhood(queries, qid_col, q_col, max_dist)
     vbase = vocab.select(
         F.col(term_col).alias("term"),
@@ -192,10 +205,14 @@ def spell_correct(
     vn = _delete_neighborhood(vbase, "term", "term", max_dist).select(
         F.col("id").alias("term"), "v"
     )
+    # the variant join is ids-only on both sides; the query string and
+    # the vocab count join back on the bounded candidate set
     cand = (
         qv.join(vn, on="v")
+        .select("id", "term")
         .dropDuplicates(["id", "term"])
         .join(vbase, on="term")
+        .join(qbase, on="id")
         .withColumn("dist", F.levenshtein("s", "term").cast("bigint"))
         .filter(F.col("dist") <= max_dist)
     )

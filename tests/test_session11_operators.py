@@ -476,6 +476,31 @@ def test_dedup_editdist_is_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_dedup_editdist_variant_shuffle_is_narrow(spark):
+    """VERDICT r5 #6: no string column rides the variant explode/join —
+    the checkpointed variant table both join sides shuffle is exactly
+    (id, v); strings join back by id on the bounded candidate set."""
+    import re
+
+    from navigator_document_parser_spark.operators.editdist import (
+        _delete_neighborhood,
+    )
+
+    df = spark.createDataFrame([(0, "ab"), (1, "ac")], ["doc_id", "title"])
+    for d in (1, 2):
+        assert _delete_neighborhood(df, "doc_id", "title", d).columns == [
+            "id", "v",
+        ]
+    plan = _physical(dedup_editdist(df, max_dist=2))
+    # the checkpointed variant table is the only scan carrying v —
+    # pin that every such scan is exactly (id, v), never a string col
+    scans = re.findall(r"Scan ExistingRDD[^\n]*", plan)
+    vscans = [s for s in scans if re.search(r"\bv#\d+", s)]
+    assert vscans, plan
+    for s in vscans:
+        assert re.search(r"\[id#\d+L?,\s*v#\d+\]$", s.strip()), s
+
+
 def test_extract_links_multiline_markup_flattened(spark):
     html = '<a\n  href="/x"\n  rel="nofollow">x\nlink</a>'
     df = spark.createDataFrame(
