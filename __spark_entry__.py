@@ -4013,6 +4013,64 @@ def _boilerplate_strip_oracle() -> str:
     )
 
 
+def _phash_images_sql(dialect: str) -> str:
+    """Deterministic synthetic 9x8 grayscale grids with PLANTED
+    near-duplicates: docs form groups of 4 (g = doc_id div 4); member
+    m = 0 is the group's base image (pixel j = first md5 byte of
+    'px:g:j'), members 1-3 flip ONE group+member-dependent pixel by
+    +128 mod 256, so base-member pairs sit <= 2 dHash bits apart and
+    member-member pairs <= 4 (caught iff <= max_dist) — all integer,
+    bit-identical across engines. The perturbed-pixel index derives
+    from the GROUP id and member id, never a per-doc column (the
+    url_parallel_pairs synth checklist item)."""
+    g = "CAST(doc_id div 4 AS STRING)" if dialect == "spark" else \
+        "CAST(doc_id // 4 AS VARCHAR)"
+    gi = "(doc_id div 4)" if dialect == "spark" else "(doc_id // 4)"
+    if dialect == "spark":
+        px = (
+            "CAST(conv(substring(md5(concat('px:', " + g + ", ':', "
+            "CAST(j AS STRING))), 1, 2), 16, 10) AS INT)"
+        )
+        return f"""
+          SELECT doc_id AS media_id,
+                 transform(sequence(1, 72), j ->
+                   CASE WHEN CAST(doc_id % 4 AS INT) > 0
+                             AND j = 1 + CAST(({gi} * 7
+                                 + (doc_id % 4) * 13) % 72 AS INT)
+                        THEN CAST(({px} + 128) % 256 AS INT)
+                        ELSE {px} END) AS pixels
+          FROM documents
+        """
+    px = (
+        "CAST('0x' || substring(md5('px:' || " + g + " || ':' || "
+        "CAST(j AS VARCHAR)), 1, 2) AS BIGINT)"
+    )
+    return f"""
+      SELECT doc_id AS media_id,
+             list_transform(range(1, 73), j ->
+               CASE WHEN (doc_id % 4) > 0
+                         AND j = 1 + (({gi} * 7
+                             + (doc_id % 4) * 13) % 72)
+                    THEN ({px} + 128) % 256
+                    ELSE {px} END) AS pixels
+      FROM documents
+    """
+
+
+def _dedup_phash(spark, sf):
+    """Perceptual image dedup: 64-bit dHash over the synthetic pixel
+    grids, 4x16-bit pigeonhole bands folded into ONE equi-join key,
+    exact bit_count verify — integer end to end (VERDICT r5 #4;
+    operators/dedup.py dedup_phash)."""
+    from navigator_document_parser_spark.operators.dedup import dedup_phash
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    imgs = spark.sql(_phash_images_sql("spark"))
+    return dedup_phash(imgs, id_col="media_id", pixels_col="pixels",
+                       max_dist=3)
+
+
 # Round-6 window rotation (VERDICT r5 next-round #2): the driver's
 # CORRECTNESS artifact records only the FIRST 50 queries() entries, and
 # rounds 1-5 cumulatively hash-checked 82 distinct queries — these 50
@@ -4223,6 +4281,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _mirror_hosts,              # cross-host mirrors
         "title_consistency": _title_consistency,    # clickbait signal
         "degree_stats": _degree_stats,              # degree histogram
+        "dedup_phash": _dedup_phash,                # dHash image pairs
         "dedup_editdist": _dedup_editdist,          # SymSpell pairs, exact
         "dedup_editdist2": _dedup_editdist2,        # staged d=2 path
         "spell_correct": _spell_correct,            # deletes-join correction
@@ -5388,6 +5447,13 @@ def oracle_sql() -> dict[str, str]:
         _TITLE_SYNTH_SQL
     )
     oracles["degree_stats"] = _DEGREE_STATS_ORACLE
+    from navigator_document_parser_spark.operators.dedup import (
+        oracle_dedup_phash,
+    )
+
+    oracles["dedup_phash"] = oracle_dedup_phash(
+        _phash_images_sql("duckdb"), max_dist=3
+    )
     from navigator_document_parser_spark.operators.editdist import (
         oracle_dedup_editdist,
         oracle_spell_correct,

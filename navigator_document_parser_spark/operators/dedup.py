@@ -2179,3 +2179,182 @@ def dedup_keep_best(
         .select(F.col("node").alias(id_col))
     )
     return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# perceptual image dedup (dHash + pigeonhole banding)
+# --------------------------------------------------------------------------
+
+def _dhash_band_terms(band: int, width: int, height: int, elem) -> str:
+    """The 16-bit integer for dHash band ``band`` (0..3) as one SQL sum.
+
+    Bit b (LSB-first within the band, global bit = band*16 + k) is set
+    iff pixel(y, x+1) > pixel(y, x) with b = y*(width-1) + x — the
+    classic difference hash over a width x height grayscale grid
+    ((width-1)*height == 64 total bits). ``elem(i)`` renders a 1-based
+    access to the pixel list, so Spark (element_at) and DuckDB ([i])
+    share the exact index math; rendered as ONE literal-heavy SQL
+    string per band (lesson 13 — never node-by-node Column folds).
+    """
+    terms = []
+    for k in range(16):
+        b = band * 16 + k
+        y, x = divmod(b, width - 1)
+        i = y * width + x  # 0-based left pixel of the comparison
+        terms.append(
+            f"(CASE WHEN {elem(i + 2)} > {elem(i + 1)} "
+            f"THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def dedup_phash(
+    images: DataFrame,
+    id_col: str = "media_id",
+    pixels_col: str = "pixels",
+    width: int = 9,
+    height: int = 8,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash (dHash) Hamming
+    distance — EXACT recall within ``max_dist``, the pixel-level dedup
+    modality the text family (simhash/minhash) and the embedding family
+    (neardup/semdedup) don't cover (VERDICT r5 next-round #4).
+
+    Input is the decoded grayscale grid (``pixels``: array<int>,
+    width x height, row-major) — the real-codec decode/resize that
+    produces it is the documented multimodal stub boundary
+    (operators/multimodal.py resize_images); everything from pixels down
+    is deterministic integer math, so the whole operator is
+    oracle-exact in DuckDB.
+
+    Shape (the simhash_near_pairs pigeonhole, modernized per lesson 12):
+    the 64-bit dHash lives as FOUR 16-bit band ints (never one signed
+    64-bit value — no sign-bit gymnastics); a pair within Hamming
+    distance <= 3 must agree exactly on >= 1 of the 4 bands, so
+    candidates come from ONE equi-join on the folded key
+    band_idx * 2^16 + band_value (a literal band-id explode on both
+    sides — one shuffle, no OR-join BNLJ, no union of branches).
+    Verification is bit_count over per-band XORs — integers end to end.
+
+    The (id, pixels) projection is eagerly checkpointed first: the 128
+    element_at reads per row would otherwise re-inline a COMPUTED
+    pixels expression per access (lessons 3/20 — the lsh_audit
+    discipline).
+
+    100 TB shape: one narrow materialization (id + 72 small ints), one
+    map-only band projection, one (band-key) shuffle whose per-key
+    groups are true-collision sized, one pair-dedup aggregate. No
+    all-pairs path.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_dist.
+    """
+    if (width - 1) * height != 64:
+        raise ValueError(
+            "dHash grid must yield 64 bits: (width-1)*height == 64"
+        )
+    if not 0 <= int(max_dist) <= 3:
+        raise ValueError(
+            "max_dist must be in [0, 3]: 4 bands of 16 bits pigeonhole "
+            "exactly up to Hamming distance 3"
+        )
+    base = images.select(
+        F.col(id_col).alias("id"),
+        F.col(pixels_col).cast("array<int>").alias("p"),
+    ).localCheckpoint(eager=True)
+
+    def elem(i: int) -> str:
+        return f"element_at(p, {i})"
+
+    bands = base.select(
+        "id",
+        *[
+            F.expr(_dhash_band_terms(t, width, height, elem))
+            .cast("int").alias(f"b{t}")
+            for t in range(4)
+        ],
+    )
+    bkey = F.expr(
+        "CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 "
+        "ELSE b3 END + bi * 65536"
+    )
+    keyed = bands.withColumn(
+        "bi", F.explode(F.array(*[F.lit(t) for t in range(4)]))
+    ).select("id", "b0", "b1", "b2", "b3", bkey.alias("bk"))
+    a = keyed.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"b{t}").alias(f"b{t}_a") for t in range(4)],
+        "bk",
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"b{t}").alias(f"b{t}_b") for t in range(4)],
+        "bk",
+    )
+    ham = sum(
+        (
+            F.bit_count(
+                F.col(f"b{t}_a").bitwiseXOR(F.col(f"b{t}_b"))
+            )
+            for t in range(4)
+        ),
+        start=F.lit(0),
+    )
+    return (
+        a.join(b, on="bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", ham.cast("bigint").alias("hamming")
+        )
+        .filter(F.col("hamming") <= int(max_dist))
+    )
+
+
+def oracle_dedup_phash(
+    images_sql: str,
+    width: int = 9,
+    height: int = 8,
+    max_dist: int = 3,
+) -> str:
+    """DuckDB replica of dedup_phash; ``images_sql`` yields
+    (media_id, pixels LIST). Bands share _dhash_band_terms' exact index
+    math (1-based list access); candidates come from a UNION over the
+    per-band branch joins (set semantics dedup multi-band collisions —
+    duplicate rows carry identical band columns, the bitext-oracle
+    pattern); both CTEs are MATERIALIZED (lesson 21)."""
+
+    def elem(i: int) -> str:
+        return f"p[{i}]"
+
+    bcols = ", ".join(
+        f"({_dhash_band_terms(t, width, height, elem)}) AS b{t}"
+        for t in range(4)
+    )
+    branches = "\n          UNION\n".join(
+        f"          SELECT a.id AS id_a, b.id AS id_b,\n"
+        f"                 a.b0 AS b0a, a.b1 AS b1a, a.b2 AS b2a,"
+        f" a.b3 AS b3a,\n"
+        f"                 b.b0 AS b0b, b.b1 AS b1b, b.b2 AS b2b,"
+        f" b.b3 AS b3b\n"
+        f"          FROM bands a JOIN bands b\n"
+        f"            ON a.b{t} = b.b{t} AND a.id < b.id"
+        for t in range(4)
+    )
+    return f"""
+        WITH imgs AS MATERIALIZED (
+          SELECT media_id AS id, pixels AS p FROM ({images_sql})
+        ), bands AS MATERIALIZED (
+          SELECT id, {bcols} FROM imgs
+        ), cand AS (
+{branches}
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(b0a, b0b)) + bit_count(xor(b1a, b1b))
+                  + bit_count(xor(b2a, b2b)) + bit_count(xor(b3a, b3b))
+                 AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(b0a, b0b)) + bit_count(xor(b1a, b1b))
+            + bit_count(xor(b2a, b2b)) + bit_count(xor(b3a, b3b))
+            <= {int(max_dist)}
+    """
