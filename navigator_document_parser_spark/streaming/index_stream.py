@@ -129,6 +129,100 @@ def vacuum_generations(index_dir: str) -> list[str]:
     return deleted
 
 
+def write_index_batch(
+    spark: SparkSession,
+    index_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    block_size: int = 128,
+    blocks_per_bucket: int = 16,
+) -> None:
+    """Fold one micro-batch into the committed index (module-level so
+    the crash-replay paths are unit-testable; the stream's foreachBatch
+    is a thin wrapper)."""
+    ptr = os.path.join(index_dir, _POINTER)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            if f.read().strip() == str(batch_id):
+                # crash landed between _commit_generation and the
+                # streaming checkpoint commit: the generation is
+                # already live — rewriting its directories would
+                # tear them under readers (r6 ADVICE). Replay is a
+                # no-op (the commit is the fixpoint).
+                return
+    if batch_df.isEmpty():
+        return
+    prev = _read_manifest(index_dir)
+    old = (
+        None
+        if not prev
+        else spark.read.parquet(
+            *[os.path.join(index_dir, p) for p in prev.values()]
+        )
+    )
+    if old is None:
+        merged = index_export(
+            batch_df, id_col=id_col, text_col=text_col,
+            n_shards=n_shards, block_size=block_size,
+        )
+    else:
+        # old is a fresh immutable parquet read — re-checkpointing
+        # the WHOLE committed index every batch would make batch
+        # cost scale with index size (review finding; index_merge
+        # documents this exact escape hatch)
+        merged = index_merge(
+            old, batch_df, id_col=id_col, text_col=text_col,
+            n_shards=n_shards, block_size=block_size,
+            materialize_old=False,
+        )
+    # buckets the delta can have touched: its doc ids' block ranges
+    # (index_merge only changes blocks in these ranges — everything
+    # else is inherited by manifest, not rewritten)
+    touched = {
+        int(r.pb)
+        for r in batch_df.select(
+            F.expr(
+                f"(({id_col} div {int(block_size)}) div"
+                f" {int(blocks_per_bucket)})"
+            ).alias("pb")
+        )
+        .distinct()
+        .collect()
+    }
+    # bounded: |touched| <= distinct doc-ranges of ONE micro-batch.
+    # Materialize the merge ONCE — each touched bucket filters the
+    # checkpointed result instead of re-running the merge plan.
+    merged = merged.withColumn(
+        "pb", F.expr(f"(block_id div {int(blocks_per_bucket)})")
+    ).localCheckpoint(eager=True)
+    # replay hygiene: never reuse a generation directory that
+    # already exists on disk (a previous attempt may have written
+    # partial buckets, and a reader may hold any existing dir) —
+    # fresh suffix per attempt, commit re-points atomically
+    gen_name = f"gen={batch_id}"
+    attempt = 0
+    while os.path.exists(os.path.join(index_dir, gen_name)):
+        attempt += 1
+        gen_name = f"gen={batch_id}r{attempt}"
+    manifest = dict(prev) if prev else {}
+    for pb in sorted(touched):
+        rel = f"{gen_name}/pb={pb}"
+        sub = merged.filter(F.col("pb") == pb).drop("pb")
+        if sub.isEmpty():
+            # a re-crawl purged the whole bucket: drop it from the
+            # manifest (an empty parquet dir is unreadable)
+            manifest.pop(str(pb), None)
+            continue
+        sub.write.mode("overwrite").parquet(
+            os.path.join(index_dir, rel)
+        )
+        manifest[str(pb)] = rel
+    _commit_generation(index_dir, batch_id, manifest)
+
+
 def start_index_maintenance_stream(
     spark: SparkSession,
     input_dir: str,
@@ -160,87 +254,13 @@ def start_index_maintenance_stream(
             "maxFilesPerTrigger", str(max_files_per_trigger)
         )
     stream = reader.parquet(input_dir)
-    pb_of_block = f"(block_id div {int(blocks_per_bucket)})"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ptr = os.path.join(index_dir, _POINTER)
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                if f.read().strip() == str(batch_id):
-                    # crash landed between _commit_generation and the
-                    # streaming checkpoint commit: the generation is
-                    # already live — rewriting its directories would
-                    # tear them under readers (r6 ADVICE). Replay is a
-                    # no-op (the commit is the fixpoint).
-                    return
-        if batch_df.isEmpty():
-            return
-        prev = _read_manifest(index_dir)
-        old = (
-            None
-            if not prev
-            else spark.read.parquet(
-                *[os.path.join(index_dir, p) for p in prev.values()]
-            )
+        write_index_batch(
+            spark, index_dir, batch_df, batch_id,
+            id_col=id_col, text_col=text_col, n_shards=n_shards,
+            block_size=block_size, blocks_per_bucket=blocks_per_bucket,
         )
-        if old is None:
-            merged = index_export(
-                batch_df, id_col=id_col, text_col=text_col,
-                n_shards=n_shards, block_size=block_size,
-            )
-        else:
-            # old is a fresh immutable parquet read — re-checkpointing
-            # the WHOLE committed index every batch would make batch
-            # cost scale with index size (review finding; index_merge
-            # documents this exact escape hatch)
-            merged = index_merge(
-                old, batch_df, id_col=id_col, text_col=text_col,
-                n_shards=n_shards, block_size=block_size,
-                materialize_old=False,
-            )
-        # buckets the delta can have touched: its doc ids' block ranges
-        # (index_merge only changes blocks in these ranges — everything
-        # else is inherited by manifest, not rewritten)
-        touched = {
-            int(r.pb)
-            for r in batch_df.select(
-                F.expr(
-                    f"(({id_col} div {int(block_size)}) div"
-                    f" {int(blocks_per_bucket)})"
-                ).alias("pb")
-            )
-            .distinct()
-            .collect()
-        }
-        # bounded: |touched| <= distinct doc-ranges of ONE micro-batch.
-        # Materialize the merge ONCE — each touched bucket filters the
-        # checkpointed result instead of re-running the merge plan.
-        merged = merged.withColumn(
-            "pb", F.expr(pb_of_block)
-        ).localCheckpoint(eager=True)
-        # replay hygiene: never reuse a generation directory that
-        # already exists on disk (a previous attempt may have written
-        # partial buckets, and a reader may hold any existing dir) —
-        # fresh suffix per attempt, commit re-points atomically
-        gen_name = f"gen={batch_id}"
-        attempt = 0
-        while os.path.exists(os.path.join(index_dir, gen_name)):
-            attempt += 1
-            gen_name = f"gen={batch_id}r{attempt}"
-        manifest = dict(prev) if prev else {}
-        for pb in sorted(touched):
-            rel = f"{gen_name}/pb={pb}"
-            sub = merged.filter(F.col("pb") == pb).drop("pb")
-            if sub.isEmpty():
-                # a re-crawl purged the whole bucket: drop it from the
-                # manifest (an empty parquet dir is unreadable)
-                manifest.pop(str(pb), None)
-                continue
-            sub.write.mode("overwrite").parquet(
-                os.path.join(index_dir, rel)
-            )
-            manifest[str(pb)] = rel
-        _commit_generation(index_dir, batch_id, manifest)
 
     writer = (
         stream.writeStream.outputMode("append")

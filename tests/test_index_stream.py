@@ -223,3 +223,88 @@ def test_index_maintain_cli_end_to_end(spark, dirs):
                               "doc_id long, text string"),
         n_shards=2, block_size=4)
     assert _canon(committed) == _canon(want)
+
+
+# ---------------------------------------------------------------------------
+# crash-replay hygiene (r6 ADVICE): replays never touch live directories
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.streaming.index_stream import (  # noqa: E402
+    write_index_batch,
+)
+
+
+def test_replay_of_committed_batch_is_a_noop(spark, dirs):
+    """Crash AFTER _commit_generation but BEFORE the streaming
+    checkpoint commit: _CURRENT already names the batch — the replay
+    must not rewrite (tear) the live directories."""
+    _, index_dir, _ = dirs
+    os.makedirs(index_dir, exist_ok=True)
+    docs = spark.createDataFrame(
+        [(i, f"alpha doc{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    write_index_batch(spark, index_dir, docs, batch_id=0,
+                      n_shards=4, block_size=8)
+    before = _canon(read_current_index(spark, index_dir))
+    mtimes = {
+        p: os.path.getmtime(os.path.join(index_dir, p))
+        for p in os.listdir(index_dir)
+    }
+    # replay the SAME batch id (what foreachBatch does after that crash)
+    write_index_batch(spark, index_dir, docs, batch_id=0,
+                      n_shards=4, block_size=8)
+    after = _canon(read_current_index(spark, index_dir))
+    assert after == before
+    assert {
+        p: os.path.getmtime(os.path.join(index_dir, p))
+        for p in os.listdir(index_dir)
+    } == mtimes  # nothing rewritten, nothing new
+
+
+def test_replay_after_partial_write_uses_fresh_suffix(spark, dirs):
+    """Crash MID-WRITE (gen dir exists, pointer not yet moved): the
+    replay must write to gen=<id>r1 and commit, leaving the partial
+    gen=<id> directory untouched on disk (vacuum's job later)."""
+    _, index_dir, _ = dirs
+    os.makedirs(index_dir, exist_ok=True)
+    base = spark.createDataFrame(
+        [(i, f"alpha doc{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    write_index_batch(spark, index_dir, base, batch_id=0,
+                      n_shards=4, block_size=8)
+    # simulate batch 1 crashing mid-write: a partial bucket exists but
+    # _CURRENT still points at generation 0
+    partial = os.path.join(index_dir, "gen=1", "pb=0")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-garbage.tmp"), "w") as f:
+        f.write("torn")
+    delta = spark.createDataFrame(
+        [(i, f"beta doc{i}") for i in range(10, 20)],
+        "doc_id long, text string",
+    )
+    write_index_batch(spark, index_dir, delta, batch_id=1,
+                      n_shards=4, block_size=8)
+    with open(os.path.join(index_dir, "_CURRENT")) as f:
+        assert f.read().strip() == "1"
+    import json as _json
+    with open(os.path.join(index_dir, "manifest_1.json")) as f:
+        manifest = _json.load(f)
+    # the committed generation lives under the fresh r1 suffix...
+    assert any(v.startswith("gen=1r1/") for v in manifest.values())
+    assert not any(v == "gen=1/pb=0" for v in manifest.values())
+    # ...and the torn partial is still on disk, untouched
+    assert os.path.exists(os.path.join(partial, "part-garbage.tmp"))
+    # the committed index is readable and contains both batches
+    got = read_current_index(spark, index_dir)
+    expect = index_export(base.unionByName(delta),
+                          n_shards=4, block_size=8)
+    assert _canon(got) == _canon(expect)
+    # vacuum removes the torn directory once nothing references it
+    from navigator_document_parser_spark.streaming.index_stream import (
+        vacuum_generations,
+    )
+    deleted = vacuum_generations(index_dir)
+    assert "gen=1/pb=0" in deleted
+    assert _canon(read_current_index(spark, index_dir)) == _canon(expect)
