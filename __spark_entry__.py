@@ -4057,6 +4057,66 @@ def _phash_images_sql(dialect: str) -> str:
     """
 
 
+def _video_frames_sql(dialect: str) -> str:
+    """Deterministic sampled-frame grids: every doc is a 'video' with
+    4 frames; groups of 4 docs share base frames (g = doc_id div 4),
+    members 1-3 perturb ONE (group, member, frame)-dependent pixel per
+    frame, so member videos match the base on all 4 frames at <= 2
+    dHash bits each — the video_neardup planted signal, engine-exact."""
+    if dialect == "spark":
+        g = "CAST(doc_id div 4 AS STRING)"
+        gi = "(doc_id div 4)"
+        px = (
+            "CAST(conv(substring(md5(concat('vf:', " + g + ", ':', "
+            "CAST(fi AS STRING), ':', CAST(j AS STRING))), 1, 2), "
+            "16, 10) AS INT)"
+        )
+        return f"""
+          SELECT doc_id AS media_id, f.fi AS frame_idx,
+                 transform(sequence(1, 72), j ->
+                   CASE WHEN CAST(doc_id % 4 AS INT) > 0
+                             AND j = 1 + CAST(({gi} * 7
+                                 + (doc_id % 4) * 13 + fi * 5)
+                                 % 72 AS INT)
+                        THEN CAST(({px} + 128) % 256 AS INT)
+                        ELSE {px} END) AS pixels
+          FROM documents LATERAL VIEW explode(sequence(0, 3)) f AS fi
+        """
+    g = "CAST(doc_id // 4 AS VARCHAR)"
+    gi = "(doc_id // 4)"
+    px = (
+        "CAST('0x' || substring(md5('vf:' || " + g + " || ':' || "
+        "CAST(fi AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 2) "
+        "AS BIGINT)"
+    )
+    return f"""
+      SELECT doc_id AS media_id, f.fi AS frame_idx,
+             list_transform(range(1, 73), j ->
+               CASE WHEN (doc_id % 4) > 0
+                         AND j = 1 + (({gi} * 7
+                             + (doc_id % 4) * 13 + fi * 5) % 72)
+                    THEN ({px} + 128) % 256
+                    ELSE {px} END) AS pixels
+      FROM documents, (SELECT unnest(range(0, 4)) AS fi) f
+    """
+
+
+def _video_neardup(spark, sf):
+    """Video near-dup pairs: per-frame dHash pigeonhole matching rolled
+    up to (vid_a, vid_b, n_matched >= 2) — the multimodal dedup family's
+    video face (operators/dedup.py video_neardup)."""
+    from navigator_document_parser_spark.operators.dedup import (
+        video_neardup,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    frames = spark.sql(_video_frames_sql("spark"))
+    return video_neardup(frames, vid_col="media_id",
+                         frame_col="frame_idx", pixels_col="pixels",
+                         max_dist=3, min_frames=2)
+
+
 def _dedup_phash(spark, sf):
     """Perceptual image dedup: 64-bit dHash over the synthetic pixel
     grids, 4x16-bit pigeonhole bands folded into ONE equi-join key,
@@ -4282,6 +4342,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_consistency": _title_consistency,    # clickbait signal
         "degree_stats": _degree_stats,              # degree histogram
         "dedup_phash": _dedup_phash,                # dHash image pairs
+        "video_neardup": _video_neardup,            # frame-hash video pairs
         "dedup_editdist": _dedup_editdist,          # SymSpell pairs, exact
         "dedup_editdist2": _dedup_editdist2,        # staged d=2 path
         "spell_correct": _spell_correct,            # deletes-join correction
@@ -5449,10 +5510,14 @@ def oracle_sql() -> dict[str, str]:
     oracles["degree_stats"] = _DEGREE_STATS_ORACLE
     from navigator_document_parser_spark.operators.dedup import (
         oracle_dedup_phash,
+        oracle_video_neardup,
     )
 
     oracles["dedup_phash"] = oracle_dedup_phash(
         _phash_images_sql("duckdb"), max_dist=3
+    )
+    oracles["video_neardup"] = oracle_video_neardup(
+        _video_frames_sql("duckdb"), max_dist=3, min_frames=2
     )
     from navigator_document_parser_spark.operators.editdist import (
         oracle_dedup_editdist,

@@ -227,6 +227,7 @@ OP_QUERIES = [
     # every later batch boundary and makes round-over-round per-query
     # comparisons read as drift (the r5 sketch-family false alarm).
     "dedup_phash",
+    "video_neardup",
 ]
 
 

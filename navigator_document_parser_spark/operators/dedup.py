@@ -2358,3 +2358,152 @@ def oracle_dedup_phash(
             + bit_count(xor(b2a, b2b)) + bit_count(xor(b3a, b3b))
             <= {int(max_dist)}
     """
+
+
+def video_neardup(
+    frames: DataFrame,
+    vid_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    pixels_col: str = "pixels",
+    width: int = 9,
+    height: int = 8,
+    max_dist: int = 3,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs from sampled-frame perceptual hashes —
+    the video face of dedup_phash: re-encoded/mirrored copies survive
+    codec changes but their sampled frames stay perceptually identical,
+    so two videos are flagged when >= ``min_frames`` of the first
+    video's frames each have a dHash within ``max_dist`` bits of SOME
+    frame of the second.
+
+    Input is the sampled-frame grid table (video id, frame idx, decoded
+    grayscale pixels) — sample_video_frames' output once the codec stub
+    boundary is swapped for a real demuxer; from pixels down everything
+    is the dedup_phash integer machinery (shared _dhash_band_terms), so
+    the operator is oracle-exact.
+
+    Shape: one narrow checkpoint (vid, fi, 72 small ints), one map-only
+    band projection, ONE folded-band-key equi-join (lesson 12), a
+    frame-pair dedup aggregate, one (vid_a, vid_b) count-distinct
+    rollup. Cross-video pairs only (vid_a < vid_b) — a video never
+    matches itself however similar its own frames are.
+
+    Returns (vid_a, vid_b, n_matched), n_matched >= min_frames.
+    """
+    if (width - 1) * height != 64:
+        raise ValueError(
+            "dHash grid must yield 64 bits: (width-1)*height == 64"
+        )
+    if not 0 <= int(max_dist) <= 3:
+        raise ValueError(
+            "max_dist must be in [0, 3]: 4 bands of 16 bits pigeonhole "
+            "exactly up to Hamming distance 3"
+        )
+    if int(min_frames) <= 0:
+        raise ValueError("min_frames must be positive")
+    base = frames.select(
+        F.col(vid_col).alias("vid"),
+        F.col(frame_col).alias("fi"),
+        F.col(pixels_col).cast("array<int>").alias("p"),
+    ).localCheckpoint(eager=True)
+
+    def elem(i: int) -> str:
+        return f"element_at(p, {i})"
+
+    bands = base.select(
+        "vid", "fi",
+        *[
+            F.expr(_dhash_band_terms(t, width, height, elem))
+            .cast("int").alias(f"b{t}")
+            for t in range(4)
+        ],
+    )
+    bkey = F.expr(
+        "CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 "
+        "ELSE b3 END + bi * 65536"
+    )
+    keyed = bands.withColumn(
+        "bi", F.explode(F.array(*[F.lit(t) for t in range(4)]))
+    ).select("vid", "fi", "b0", "b1", "b2", "b3", bkey.alias("bk"))
+    a = keyed.select(
+        F.col("vid").alias("vid_a"), F.col("fi").alias("fi_a"),
+        *[F.col(f"b{t}").alias(f"b{t}_a") for t in range(4)], "bk",
+    )
+    b = keyed.select(
+        F.col("vid").alias("vid_b"), F.col("fi").alias("fi_b"),
+        *[F.col(f"b{t}").alias(f"b{t}_b") for t in range(4)], "bk",
+    )
+    ham = sum(
+        (
+            F.bit_count(
+                F.col(f"b{t}_a").bitwiseXOR(F.col(f"b{t}_b"))
+            )
+            for t in range(4)
+        ),
+        start=F.lit(0),
+    )
+    matched = (
+        a.join(b, on="bk")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .dropDuplicates(["vid_a", "fi_a", "vid_b", "fi_b"])
+        .filter(ham <= int(max_dist))
+    )
+    return (
+        matched.groupBy("vid_a", "vid_b")
+        .agg(F.countDistinct("fi_a").cast("bigint").alias("n_matched"))
+        .filter(F.col("n_matched") >= int(min_frames))
+    )
+
+
+def oracle_video_neardup(
+    frames_sql: str,
+    width: int = 9,
+    height: int = 8,
+    max_dist: int = 3,
+    min_frames: int = 2,
+) -> str:
+    """DuckDB replica of video_neardup; ``frames_sql`` yields
+    (media_id, frame_idx, pixels LIST). Same band math, UNION-branch
+    candidates, distinct frame-pair verify, count-distinct rollup."""
+
+    def elem(i: int) -> str:
+        return f"p[{i}]"
+
+    bcols = ", ".join(
+        f"({_dhash_band_terms(t, width, height, elem)}) AS b{t}"
+        for t in range(4)
+    )
+    branches = "\n          UNION\n".join(
+        f"          SELECT a.vid AS vid_a, a.fi AS fi_a,\n"
+        f"                 b.vid AS vid_b, b.fi AS fi_b,\n"
+        f"                 a.b0 AS b0a, a.b1 AS b1a, a.b2 AS b2a,"
+        f" a.b3 AS b3a,\n"
+        f"                 b.b0 AS b0b, b.b1 AS b1b, b.b2 AS b2b,"
+        f" b.b3 AS b3b\n"
+        f"          FROM bands a JOIN bands b\n"
+        f"            ON a.b{t} = b.b{t} AND a.vid < b.vid"
+        for t in range(4)
+    )
+    ham = (
+        "bit_count(xor(b0a, b0b)) + bit_count(xor(b1a, b1b)) + "
+        "bit_count(xor(b2a, b2b)) + bit_count(xor(b3a, b3b))"
+    )
+    return f"""
+        WITH fr AS MATERIALIZED (
+          SELECT media_id AS vid, frame_idx AS fi, pixels AS p
+          FROM ({frames_sql})
+        ), bands AS MATERIALIZED (
+          SELECT vid, fi, {bcols} FROM fr
+        ), cand AS (
+{branches}
+        ), matched AS (
+          SELECT vid_a, fi_a, vid_b, fi_b FROM cand
+          WHERE {ham} <= {int(max_dist)}
+        )
+        SELECT vid_a, vid_b,
+               CAST(count(DISTINCT fi_a) AS BIGINT) AS n_matched
+        FROM matched
+        GROUP BY vid_a, vid_b
+        HAVING count(DISTINCT fi_a) >= {int(min_frames)}
+    """

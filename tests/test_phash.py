@@ -106,3 +106,93 @@ def test_phash_single_join_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Union") == 0
+
+
+# ---------------------------------------------------------------------------
+# video_neardup — frame-hash rollup to video pairs
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.dedup import video_neardup
+
+
+def _frames(vid, seeds, perturb=None):
+    """Rows (vid, fi, pixels) for one video; perturb = {fi: pixel_idx}."""
+    rows = []
+    for fi, seed in enumerate(seeds):
+        px = _grid(seed)
+        if perturb and fi in perturb:
+            j = perturb[fi]
+            px[j] = (px[j] + 128) % 256
+        rows.append((vid, fi, px))
+    return rows
+
+
+def test_video_neardup_planted_copy_found(spark):
+    base_seeds = [f"v:base:{fi}" for fi in range(4)]
+    rows = (
+        _frames(0, base_seeds)
+        # re-encode: every frame off by one pixel -> matches all 4
+        + _frames(1, base_seeds, perturb={0: 3, 1: 9, 2: 40, 3: 65})
+        # unrelated video
+        + _frames(2, [f"v:other:{fi}" for fi in range(4)])
+        # partial overlap: shares only frame 0 with base -> below min 2
+        + _frames(3, [base_seeds[0], "v:x:1", "v:x:2", "v:x:3"])
+    )
+    df = spark.createDataFrame(rows, ["media_id", "frame_idx", "pixels"])
+    got = {(r.vid_a, r.vid_b): r.n_matched
+           for r in video_neardup(df, max_dist=3, min_frames=2).collect()}
+    assert got == {(0, 1): 4}
+    # with min_frames=1 the partial-overlap video appears too
+    got1 = {(r.vid_a, r.vid_b): r.n_matched
+            for r in video_neardup(df, max_dist=3, min_frames=1).collect()}
+    assert got1[(0, 3)] == 1 and got1[(1, 3)] == 1 and got1[(0, 1)] == 4
+    assert (0, 2) not in got1 and (1, 2) not in got1
+
+
+def test_video_neardup_vs_bruteforce(spark):
+    """12 videos in 3 groups of 4 (contract synth shape) — rollup must
+    equal the all-pairs frame brute force."""
+    rows, vids = [], {}
+    for g in range(3):
+        seeds = [f"g{g}:f{fi}" for fi in range(4)]
+        for m in range(4):
+            vid = g * 4 + m
+            pert = ({fi: (g * 7 + m * 13 + fi * 5) % 72 for fi in range(4)}
+                    if m else None)
+            vrows = _frames(vid, seeds, perturb=pert)
+            vids[vid] = [r[2] for r in vrows]
+            rows.extend(vrows)
+    expect = {}
+    for a in vids:
+        for b in vids:
+            if a >= b:
+                continue
+            n = sum(
+                1 for fa in vids[a]
+                if any(_hamming(fa, fb) <= 3 for fb in vids[b])
+            )
+            if n >= 2:
+                expect[(a, b)] = n
+    df = spark.createDataFrame(rows, ["media_id", "frame_idx", "pixels"])
+    got = {(r.vid_a, r.vid_b): r.n_matched
+           for r in video_neardup(df, max_dist=3, min_frames=2).collect()}
+    assert got == expect
+    assert expect  # the synth must actually plant video pairs
+
+
+def test_video_neardup_never_self_matches(spark):
+    """A video whose own frames are identical must not pair with
+    itself."""
+    px = _grid("self")
+    rows = [(7, fi, px) for fi in range(4)]
+    df = spark.createDataFrame(rows, ["media_id", "frame_idx", "pixels"])
+    assert video_neardup(df, min_frames=1).count() == 0
+
+
+def test_video_neardup_validates_params(spark):
+    df = spark.createDataFrame([(0, 0, list(range(72)))],
+                               ["media_id", "frame_idx", "pixels"])
+    with pytest.raises(ValueError):
+        video_neardup(df, max_dist=4)
+    with pytest.raises(ValueError):
+        video_neardup(df, min_frames=0)
