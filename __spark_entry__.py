@@ -4101,6 +4101,33 @@ def _video_frames_sql(dialect: str) -> str:
     """
 
 
+# file-listing synth for compact_plan: sizes 1000..9999 bytes (some at
+# or over the 8192 target stay un-compacted), 8 table partitions, paths
+# lexicographic — ONE string serves both engines (|| and STRING casts
+# parse identically).
+_COMPACT_FILES_SQL = """
+    SELECT CAST(doc_id % 8 AS BIGINT) AS part,
+           'part=' || CAST(doc_id % 8 AS STRING) || '/f'
+             || CAST(doc_id AS STRING) || '.parquet' AS path,
+           CAST(1000 + (doc_id * 997) % 9000 AS BIGINT) AS bytes
+    FROM documents
+"""
+
+
+def _compact_plan(spark, sf):
+    """Small-file compaction planning (Iceberg rewrite_data_files /
+    Delta OPTIMIZE analog): next-fit rewrite groups per table
+    partition, integer offsets — operators/layout.py compact_plan."""
+    from navigator_document_parser_spark.operators.layout import (
+        compact_plan,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    files = spark.sql(_COMPACT_FILES_SQL)
+    return compact_plan(files, target_bytes=8192, min_input_files=2)
+
+
 def _video_neardup(spark, sf):
     """Video near-dup pairs: per-frame dHash pigeonhole matching rolled
     up to (vid_a, vid_b, n_matched >= 2) — the multimodal dedup family's
@@ -4343,6 +4370,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": _degree_stats,              # degree histogram
         "dedup_phash": _dedup_phash,                # dHash image pairs
         "video_neardup": _video_neardup,            # frame-hash video pairs
+        "compact_plan": _compact_plan,              # small-file rewrite plan
         "dedup_editdist": _dedup_editdist,          # SymSpell pairs, exact
         "dedup_editdist2": _dedup_editdist2,        # staged d=2 path
         "spell_correct": _spell_correct,            # deletes-join correction
@@ -5518,6 +5546,13 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["video_neardup"] = oracle_video_neardup(
         _video_frames_sql("duckdb"), max_dist=3, min_frames=2
+    )
+    from navigator_document_parser_spark.operators.layout import (
+        oracle_compact_plan,
+    )
+
+    oracles["compact_plan"] = oracle_compact_plan(
+        _COMPACT_FILES_SQL, target_bytes=8192, min_input_files=2
     )
     from navigator_document_parser_spark.operators.editdist import (
         oracle_dedup_editdist,

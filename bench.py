@@ -228,6 +228,7 @@ OP_QUERIES = [
     # comparisons read as drift (the r5 sketch-family false alarm).
     "dedup_phash",
     "video_neardup",
+    "compact_plan",
 ]
 
 

@@ -17,7 +17,7 @@ byte-stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -245,4 +245,101 @@ def oracle_rendezvous_shards(
                CAST(CASE WHEN ({pick}) <> ({pick_alt}) THEN 1 ELSE 0 END
                     AS INT) AS moved
         FROM {table}
+    """
+
+
+# --------------------------------------------------------------------------
+# small-file compaction planning (Iceberg rewrite_data_files analog)
+# --------------------------------------------------------------------------
+
+def compact_plan(
+    files: DataFrame,
+    part_col: str = "part",
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+    target_bytes: int = 512 * 1024 * 1024,
+    min_input_files: int = 2,
+) -> DataFrame:
+    """Bin-pack small files into target-size rewrite groups — the
+    lakehouse maintenance pass (Iceberg's rewrite_data_files / Delta
+    OPTIMIZE) that keeps a 100 TB table's scan-task count sane: every
+    file below ``target_bytes`` is assigned, within its table
+    partition, to a contiguous next-fit group whose id is the file's
+    starting byte offset div target (deterministic: files walk in path
+    order, so a group closes as soon as the running total passes the
+    target — at most one overshooting file per group, the classic
+    next-fit bound). Files already at/over target are left alone, and
+    groups with fewer than ``min_input_files`` members are dropped
+    (rewriting one small file buys nothing — Iceberg's
+    min-input-files default).
+
+    The window partitions by the TABLE partition — the unit compaction
+    runs over anyway — so per-partition state is bounded and there is
+    never a global sort (the dedup_snm discipline; a file listing is
+    1 row per file, but partition-local windows keep the plan correct
+    at any listing size).
+
+    Returns (part, path, bytes, grp, grp_files, grp_bytes) — one row
+    per file to rewrite; (part, grp) identifies the output file.
+    """
+    if int(target_bytes) <= 0:
+        raise ValueError("target_bytes must be positive")
+    if int(min_input_files) <= 1:
+        raise ValueError("min_input_files must be at least 2")
+    small = files.select(
+        F.col(part_col).alias("part"),
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).cast("bigint").alias("bytes"),
+    ).filter(F.col("bytes") < int(target_bytes))
+    w = (
+        Window.partitionBy("part").orderBy("path")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # starting-offset div target, in INTEGER math (bigint div — a
+    # double division would lose exactness past 2^53 cumulative bytes)
+    planned = small.withColumn(
+        "off", F.sum("bytes").over(w) - F.col("bytes")
+    ).withColumn(
+        "grp", F.expr(f"off div {int(target_bytes)}").cast("bigint")
+    ).drop("off")
+    wg = Window.partitionBy("part", "grp")
+    return (
+        planned.withColumn(
+            "grp_files", F.count(F.lit(1)).over(wg).cast("bigint")
+        )
+        .withColumn("grp_bytes", F.sum("bytes").over(wg).cast("bigint"))
+        .filter(F.col("grp_files") >= int(min_input_files))
+        .select("part", "path", "bytes", "grp", "grp_files", "grp_bytes")
+    )
+
+
+def oracle_compact_plan(
+    files_sql: str,
+    target_bytes: int,
+    min_input_files: int = 2,
+) -> str:
+    """DuckDB replica of compact_plan; ``files_sql`` yields
+    (part, path, bytes)."""
+    t = int(target_bytes)
+    return f"""
+        WITH fl AS ({files_sql}),
+        small AS (
+          SELECT part, path, CAST(bytes AS BIGINT) AS bytes
+          FROM fl WHERE bytes < {t}
+        ), planned AS (
+          SELECT part, path, bytes,
+                 CAST((SUM(bytes) OVER (PARTITION BY part ORDER BY path
+                        ROWS UNBOUNDED PRECEDING) - bytes)
+                      // {t} AS BIGINT) AS grp
+          FROM small
+        ), sized AS (
+          SELECT part, path, bytes, grp,
+                 CAST(count(*) OVER (PARTITION BY part, grp) AS BIGINT)
+                   AS grp_files,
+                 CAST(SUM(bytes) OVER (PARTITION BY part, grp) AS BIGINT)
+                   AS grp_bytes
+          FROM planned
+        )
+        SELECT part, path, bytes, grp, grp_files, grp_bytes
+        FROM sized WHERE grp_files >= {int(min_input_files)}
     """

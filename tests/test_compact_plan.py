@@ -1,0 +1,54 @@
+"""compact_plan — small-file rewrite grouping (Iceberg rewrite analog)."""
+
+from __future__ import annotations
+
+import pytest
+
+from navigator_document_parser_spark.operators.layout import compact_plan
+
+
+def _plan(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "part bigint, path string, bytes bigint")
+    return compact_plan(df, **kw).collect()
+
+
+def test_next_fit_groups_and_exclusions(spark):
+    rows = [
+        (0, "a", 300), (0, "b", 300), (0, "c", 300),  # grp 0 (900 > 512)
+        (0, "d", 300), (0, "e", 300),                 # grp 1
+        (0, "big", 600),                              # >= target: untouched
+        (1, "x", 100), (1, "y", 100),                 # other partition
+    ]
+    got = _plan(spark, rows, target_bytes=512, min_input_files=2)
+    by_path = {r.path: r for r in got}
+    assert "big" not in by_path
+    # path order: a, b, c, d, e — offsets 0,300,600,900,1200 -> grps 0,0,1,1,2
+    assert (by_path["a"].grp, by_path["b"].grp) == (0, 0)
+    assert (by_path["c"].grp, by_path["d"].grp) == (1, 1)
+    # 'e' lands alone in grp 2 -> dropped by min_input_files
+    assert "e" not in by_path
+    assert by_path["a"].grp_files == 2 and by_path["a"].grp_bytes == 600
+    # partitions never mix
+    assert {r.part for r in got if r.path in ("x", "y")} == {1}
+    assert by_path["x"].grp == by_path["y"].grp == 0
+
+
+def test_group_bytes_bounded_by_next_fit(spark):
+    """Every group's total is < target + max member size (the next-fit
+    bound): the group id is the starting offset div target."""
+    rows = [(0, f"f{i:03d}", 97 + (i * 31) % 400) for i in range(60)]
+    got = _plan(spark, rows, target_bytes=1000, min_input_files=2)
+    groups = {}
+    for r in got:
+        groups.setdefault(r.grp, []).append(r.bytes)
+        assert r.grp_bytes < 1000 + max(b for _, _, b in rows)
+    for grp, sizes in groups.items():
+        assert sum(sizes) == [r.grp_bytes for r in got if r.grp == grp][0]
+
+
+def test_validates_params(spark):
+    rows = [(0, "a", 1)]
+    with pytest.raises(ValueError):
+        _plan(spark, rows, target_bytes=0)
+    with pytest.raises(ValueError):
+        _plan(spark, rows, min_input_files=1)
