@@ -4114,6 +4114,70 @@ _COMPACT_FILES_SQL = """
 """
 
 
+def _audio_frames_sql(dialect: str) -> str:
+    """Deterministic spectral-frame synth: every doc is a 'track' with
+    4 frames of 33 band energies (md5-derived); groups of 4 docs share
+    base frames, members 1-3 perturb ONE (group, member)-dependent band
+    in ONE member-dependent frame by +128 mod 256 — that touches <= 2
+    fingerprint bits in each of the two adjacent fingerprint frames, so
+    member tracks match the base on all 3 fingerprint frames at
+    max_dist=3. Engine-exact integers throughout."""
+    if dialect == "spark":
+        g = "CAST(doc_id div 4 AS STRING)"
+        gi = "(doc_id div 4)"
+        px = (
+            "CAST(conv(substring(md5(concat('ae:', " + g + ", ':', "
+            "CAST(fi AS STRING), ':', CAST(j AS STRING))), 1, 2), "
+            "16, 10) AS INT)"
+        )
+        return f"""
+          SELECT doc_id AS media_id, f.fi AS frame_idx,
+                 transform(sequence(1, 33), j ->
+                   CASE WHEN CAST(doc_id % 4 AS INT) > 0
+                             AND fi = CAST(doc_id % 4 AS INT) - 1
+                             AND j = 1 + CAST(({gi} * 7
+                                 + (doc_id % 4) * 13) % 33 AS INT)
+                        THEN CAST(({px} + 128) % 256 AS INT)
+                        ELSE {px} END) AS energies
+          FROM documents LATERAL VIEW explode(sequence(0, 3)) f AS fi
+        """
+    g = "CAST(doc_id // 4 AS VARCHAR)"
+    gi = "(doc_id // 4)"
+    px = (
+        "CAST('0x' || substring(md5('ae:' || " + g + " || ':' || "
+        "CAST(fi AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 2) "
+        "AS BIGINT)"
+    )
+    return f"""
+      SELECT doc_id AS media_id, f.fi AS frame_idx,
+             list_transform(range(1, 34), j ->
+               CASE WHEN (doc_id % 4) > 0
+                         AND fi = (doc_id % 4) - 1
+                         AND j = 1 + (({gi} * 7
+                             + (doc_id % 4) * 13) % 33)
+                    THEN ({px} + 128) % 256
+                    ELSE {px} END) AS energies
+      FROM documents, (SELECT unnest(range(0, 4)) AS fi) f
+    """
+
+
+def _audio_neardup(spark, sf):
+    """Audio near-dup pairs: Haitsma-Kalker frame fingerprints (sign of
+    the spectral second difference), pigeonhole-banded, rolled up to
+    (trk_a, trk_b, n_matched >= 2) — completes the perceptual dedup
+    trio (operators/dedup.py audio_neardup)."""
+    from navigator_document_parser_spark.operators.dedup import (
+        audio_neardup,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    frames = spark.sql(_audio_frames_sql("spark"))
+    return audio_neardup(frames, track_col="media_id",
+                         frame_col="frame_idx", energies_col="energies",
+                         max_dist=3, min_frames=2)
+
+
 def _compact_plan(spark, sf):
     """Small-file compaction planning (Iceberg rewrite_data_files /
     Delta OPTIMIZE analog): next-fit rewrite groups per table
@@ -4371,6 +4435,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash": _dedup_phash,                # dHash image pairs
         "video_neardup": _video_neardup,            # frame-hash video pairs
         "compact_plan": _compact_plan,              # small-file rewrite plan
+        "audio_neardup": _audio_neardup,            # HK-fingerprint tracks
         "dedup_editdist": _dedup_editdist,          # SymSpell pairs, exact
         "dedup_editdist2": _dedup_editdist2,        # staged d=2 path
         "spell_correct": _spell_correct,            # deletes-join correction
@@ -5553,6 +5618,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["compact_plan"] = oracle_compact_plan(
         _COMPACT_FILES_SQL, target_bytes=8192, min_input_files=2
+    )
+    from navigator_document_parser_spark.operators.dedup import (
+        oracle_audio_neardup,
+    )
+
+    oracles["audio_neardup"] = oracle_audio_neardup(
+        _audio_frames_sql("duckdb"), max_dist=3, min_frames=2
     )
     from navigator_document_parser_spark.operators.editdist import (
         oracle_dedup_editdist,

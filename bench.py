@@ -229,6 +229,7 @@ OP_QUERIES = [
     "dedup_phash",
     "video_neardup",
     "compact_plan",
+    "audio_neardup",
 ]
 
 

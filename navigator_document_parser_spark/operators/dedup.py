@@ -2507,3 +2507,185 @@ def oracle_video_neardup(
         GROUP BY vid_a, vid_b
         HAVING count(DISTINCT fi_a) >= {int(min_frames)}
     """
+
+
+def _hk_band_terms(band: int, elem_cur, elem_prev) -> str:
+    """The 8-bit integer for Haitsma-Kalker fingerprint band ``band``
+    (0..3) as one SQL sum. Bit k (global bit b = band*8 + k) is set iff
+    the band-energy delta STEEPENS frame over frame:
+
+        (E[f][b] - E[f][b+1]) - (E[f-1][b] - E[f-1][b+1]) > 0
+
+    — the classic robust audio fingerprint (sign of the time-frequency
+    second difference), needing 33 band energies for 32 bits.
+    ``elem_cur(i)`` / ``elem_prev(i)`` render 1-based access to the
+    current / previous frame's energy list, so Spark and DuckDB share
+    the exact index math (the _dhash_band_terms discipline)."""
+    terms = []
+    for k in range(8):
+        b = band * 8 + k
+        cur = f"({elem_cur(b + 1)} - {elem_cur(b + 2)})"
+        prv = f"({elem_prev(b + 1)} - {elem_prev(b + 2)})"
+        terms.append(
+            f"(CASE WHEN {cur} - {prv} > 0 THEN {1 << k} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def audio_neardup(
+    frames: DataFrame,
+    track_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    energies_col: str = "energies",
+    max_dist: int = 3,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs from frame fingerprints — the audio
+    face of the perceptual family (image: dedup_phash, video:
+    video_neardup): re-encoded/resampled copies keep the sign pattern
+    of spectral-energy second differences, the Haitsma-Kalker
+    fingerprint. Input is the spectral-frame table (track id, frame
+    idx, 33 band energies as array<int>) — the FFT/mel filterbank that
+    produces it is the multimodal codec stub boundary; from energies
+    down everything is integer, so the operator is oracle-exact.
+
+    Per frame f >= 1 (frame 0 has no predecessor) the 32-bit
+    fingerprint lives as FOUR 8-bit band ints; candidates come from ONE
+    folded band-key equi-join (pigeonhole: Hamming <= 3 shares a band),
+    verified with bit_count over per-band XORs; tracks are flagged when
+    >= ``min_frames`` of the first track's fingerprint frames each
+    match SOME frame of the second within ``max_dist`` bits.
+
+    Shape: one narrow checkpoint (track, fi, 33 small ints), one
+    track-partitioned lag window (arrays are 33 ints — cheap to
+    shuffle), a map-only band projection, one band-key shuffle, a
+    frame-pair dedup aggregate, one (track_a, track_b) count-distinct
+    rollup. 8-bit bands collide more than dedup_phash's 16-bit ones —
+    candidate volume is ~4/256 of the pair space, the price of a 32-bit
+    fingerprint; raise min_frames rather than band width to tighten.
+
+    Returns (track_a, track_b, n_matched), n_matched >= min_frames.
+    """
+    if not 0 <= int(max_dist) <= 3:
+        raise ValueError(
+            "max_dist must be in [0, 3]: 4 bands of 8 bits pigeonhole "
+            "exactly up to Hamming distance 3"
+        )
+    if int(min_frames) <= 0:
+        raise ValueError("min_frames must be positive")
+    base = frames.select(
+        F.col(track_col).alias("trk"),
+        F.col(frame_col).alias("fi"),
+        F.col(energies_col).cast("array<int>").alias("p"),
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("trk").orderBy("fi")
+    cur = base.withColumn("q", F.lag("p").over(w)).filter(
+        F.col("q").isNotNull()
+    )
+
+    def elem_cur(i: int) -> str:
+        return f"element_at(p, {i})"
+
+    def elem_prev(i: int) -> str:
+        return f"element_at(q, {i})"
+
+    bands = cur.select(
+        "trk", "fi",
+        *[
+            F.expr(_hk_band_terms(t, elem_cur, elem_prev))
+            .cast("int").alias(f"b{t}")
+            for t in range(4)
+        ],
+    )
+    bkey = F.expr(
+        "CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 "
+        "ELSE b3 END + bi * 256"
+    )
+    keyed = bands.withColumn(
+        "bi", F.explode(F.array(*[F.lit(t) for t in range(4)]))
+    ).select("trk", "fi", "b0", "b1", "b2", "b3", bkey.alias("bk"))
+    a = keyed.select(
+        F.col("trk").alias("trk_a"), F.col("fi").alias("fi_a"),
+        *[F.col(f"b{t}").alias(f"b{t}_a") for t in range(4)], "bk",
+    )
+    b = keyed.select(
+        F.col("trk").alias("trk_b"), F.col("fi").alias("fi_b"),
+        *[F.col(f"b{t}").alias(f"b{t}_b") for t in range(4)], "bk",
+    )
+    ham = sum(
+        (
+            F.bit_count(
+                F.col(f"b{t}_a").bitwiseXOR(F.col(f"b{t}_b"))
+            )
+            for t in range(4)
+        ),
+        start=F.lit(0),
+    )
+    matched = (
+        a.join(b, on="bk")
+        .filter(F.col("trk_a") < F.col("trk_b"))
+        .dropDuplicates(["trk_a", "fi_a", "trk_b", "fi_b"])
+        .filter(ham <= int(max_dist))
+    )
+    return (
+        matched.groupBy("trk_a", "trk_b")
+        .agg(F.countDistinct("fi_a").cast("bigint").alias("n_matched"))
+        .filter(F.col("n_matched") >= int(min_frames))
+    )
+
+
+def oracle_audio_neardup(
+    frames_sql: str,
+    max_dist: int = 3,
+    min_frames: int = 2,
+) -> str:
+    """DuckDB replica of audio_neardup; ``frames_sql`` yields
+    (media_id, frame_idx, energies LIST)."""
+
+    def elem_cur(i: int) -> str:
+        return f"p[{i}]"
+
+    def elem_prev(i: int) -> str:
+        return f"q[{i}]"
+
+    bcols = ", ".join(
+        f"({_hk_band_terms(t, elem_cur, elem_prev)}) AS b{t}"
+        for t in range(4)
+    )
+    branches = "\n          UNION\n".join(
+        f"          SELECT a.trk AS trk_a, a.fi AS fi_a,\n"
+        f"                 b.trk AS trk_b, b.fi AS fi_b,\n"
+        f"                 a.b0 AS b0a, a.b1 AS b1a, a.b2 AS b2a,"
+        f" a.b3 AS b3a,\n"
+        f"                 b.b0 AS b0b, b.b1 AS b1b, b.b2 AS b2b,"
+        f" b.b3 AS b3b\n"
+        f"          FROM bands a JOIN bands b\n"
+        f"            ON a.b{t} = b.b{t} AND a.trk < b.trk"
+        for t in range(4)
+    )
+    ham = (
+        "bit_count(xor(b0a, b0b)) + bit_count(xor(b1a, b1b)) + "
+        "bit_count(xor(b2a, b2b)) + bit_count(xor(b3a, b3b))"
+    )
+    return f"""
+        WITH fr AS MATERIALIZED (
+          SELECT media_id AS trk, frame_idx AS fi, energies AS p
+          FROM ({frames_sql})
+        ), lagged AS MATERIALIZED (
+          SELECT trk, fi, p,
+                 lag(p) OVER (PARTITION BY trk ORDER BY fi) AS q
+          FROM fr
+        ), bands AS MATERIALIZED (
+          SELECT trk, fi, {bcols} FROM lagged WHERE q IS NOT NULL
+        ), cand AS (
+{branches}
+        ), matched AS (
+          SELECT trk_a, fi_a, trk_b, fi_b FROM cand
+          WHERE {ham} <= {int(max_dist)}
+        )
+        SELECT trk_a, trk_b,
+               CAST(count(DISTINCT fi_a) AS BIGINT) AS n_matched
+        FROM matched
+        GROUP BY trk_a, trk_b
+        HAVING count(DISTINCT fi_a) >= {int(min_frames)}
+    """

@@ -196,3 +196,101 @@ def test_video_neardup_validates_params(spark):
         video_neardup(df, max_dist=4)
     with pytest.raises(ValueError):
         video_neardup(df, min_frames=0)
+
+
+# ---------------------------------------------------------------------------
+# audio_neardup — Haitsma-Kalker fingerprint rollup to track pairs
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.dedup import audio_neardup
+
+
+def _energies(seed):
+    return [hashlib.md5(f"{seed}:{j}".encode()).digest()[0]
+            for j in range(33)]
+
+
+def _hk_bits(cur, prev):
+    return [
+        1 if (cur[b] - cur[b + 1]) - (prev[b] - prev[b + 1]) > 0 else 0
+        for b in range(32)
+    ]
+
+
+def _hk_ham(a_cur, a_prev, b_cur, b_prev):
+    return sum(x != y for x, y in
+               zip(_hk_bits(a_cur, a_prev), _hk_bits(b_cur, b_prev)))
+
+
+def _track(trk, seeds, perturb=None):
+    rows = []
+    for fi, seed in enumerate(seeds):
+        e = _energies(seed)
+        if perturb and fi in perturb:
+            j = perturb[fi]
+            e[j] = (e[j] + 128) % 256
+        rows.append((trk, fi, e))
+    return rows
+
+
+def test_audio_neardup_planted_copy_found(spark):
+    seeds = [f"a:base:{fi}" for fi in range(4)]
+    rows = (
+        _track(0, seeds)
+        + _track(1, seeds, perturb={1: 10})   # re-encode wobble
+        + _track(2, [f"a:other:{fi}" for fi in range(4)])
+    )
+    df = spark.createDataFrame(rows, ["media_id", "frame_idx", "energies"])
+    got = {(r.trk_a, r.trk_b): r.n_matched
+           for r in audio_neardup(df, max_dist=3, min_frames=2).collect()}
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] == 3  # fingerprint frames 1..3 all match
+
+
+def test_audio_neardup_vs_bruteforce(spark):
+    rows, tracks = [], {}
+    for g in range(3):
+        seeds = [f"ag{g}:f{fi}" for fi in range(4)]
+        for m in range(4):
+            trk = g * 4 + m
+            pert = ({m - 1: (g * 7 + m * 13) % 33} if m else None)
+            trows = _track(trk, seeds, perturb=pert)
+            tracks[trk] = [r[2] for r in trows]
+            rows.extend(trows)
+    expect = {}
+    for a in tracks:
+        for b in tracks:
+            if a >= b:
+                continue
+            n = sum(
+                1 for fa in range(1, 4)
+                if any(
+                    _hk_ham(tracks[a][fa], tracks[a][fa - 1],
+                            tracks[b][fb], tracks[b][fb - 1]) <= 3
+                    for fb in range(1, 4)
+                )
+            )
+            if n >= 2:
+                expect[(a, b)] = n
+    df = spark.createDataFrame(rows, ["media_id", "frame_idx", "energies"])
+    got = {(r.trk_a, r.trk_b): r.n_matched
+           for r in audio_neardup(df, max_dist=3, min_frames=2).collect()}
+    assert got == expect
+    assert expect
+
+
+def test_audio_neardup_single_frame_track_never_pairs(spark):
+    """Frame 0 has no predecessor -> a 1-frame track has no fingerprint
+    at all and can never match."""
+    rows = [(0, 0, _energies("solo"))] + _track(1, ["solo"] * 4)
+    df = spark.createDataFrame(rows, ["media_id", "frame_idx", "energies"])
+    assert audio_neardup(df, min_frames=1).count() == 0
+
+
+def test_audio_neardup_validates_params(spark):
+    df = spark.createDataFrame([(0, 0, list(range(33)))],
+                               ["media_id", "frame_idx", "energies"])
+    with pytest.raises(ValueError):
+        audio_neardup(df, max_dist=4)
+    with pytest.raises(ValueError):
+        audio_neardup(df, min_frames=0)
