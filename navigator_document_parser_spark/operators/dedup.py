@@ -2258,10 +2258,17 @@ def dedup_phash(
             "max_dist must be in [0, 3]: 4 bands of 16 bits pigeonhole "
             "exactly up to Hamming distance 3"
         )
-    base = images.select(
-        F.col(id_col).alias("id"),
-        F.col(pixels_col).cast("array<int>").alias("p"),
-    ).localCheckpoint(eager=True)
+    base = (
+        images.select(
+            F.col(id_col).alias("id"),
+            F.col(pixels_col).cast("array<int>").alias("p"),
+        )
+        # malformed grids would crash element_at under ANSI (and read
+        # as NULLs in DuckDB — engine divergence): drop them, mirrored
+        # in the oracle
+        .filter(F.size("p") == width * height)
+        .localCheckpoint(eager=True)
+    )
 
     def elem(i: int) -> str:
         return f"element_at(p, {i})"
@@ -2344,6 +2351,7 @@ def oracle_dedup_phash(
     return f"""
         WITH imgs AS MATERIALIZED (
           SELECT media_id AS id, pixels AS p FROM ({images_sql})
+          WHERE len(pixels) = {int(width) * int(height)}
         ), bands AS MATERIALIZED (
           SELECT id, {bcols} FROM imgs
         ), cand AS (
@@ -2402,11 +2410,16 @@ def video_neardup(
         )
     if int(min_frames) <= 0:
         raise ValueError("min_frames must be positive")
-    base = frames.select(
-        F.col(vid_col).alias("vid"),
-        F.col(frame_col).alias("fi"),
-        F.col(pixels_col).cast("array<int>").alias("p"),
-    ).localCheckpoint(eager=True)
+    base = (
+        frames.select(
+            F.col(vid_col).alias("vid"),
+            F.col(frame_col).alias("fi"),
+            F.col(pixels_col).cast("array<int>").alias("p"),
+        )
+        # dedup_phash's ANSI/oracle-parity guard
+        .filter(F.size("p") == width * height)
+        .localCheckpoint(eager=True)
+    )
 
     def elem(i: int) -> str:
         return f"element_at(p, {i})"
@@ -2493,6 +2506,7 @@ def oracle_video_neardup(
         WITH fr AS MATERIALIZED (
           SELECT media_id AS vid, frame_idx AS fi, pixels AS p
           FROM ({frames_sql})
+          WHERE len(pixels) = {int(width) * int(height)}
         ), bands AS MATERIALIZED (
           SELECT vid, fi, {bcols} FROM fr
         ), cand AS (
@@ -2573,11 +2587,16 @@ def audio_neardup(
         )
     if int(min_frames) <= 0:
         raise ValueError("min_frames must be positive")
-    base = frames.select(
-        F.col(track_col).alias("trk"),
-        F.col(frame_col).alias("fi"),
-        F.col(energies_col).cast("array<int>").alias("p"),
-    ).localCheckpoint(eager=True)
+    base = (
+        frames.select(
+            F.col(track_col).alias("trk"),
+            F.col(frame_col).alias("fi"),
+            F.col(energies_col).cast("array<int>").alias("p"),
+        )
+        # 33 band energies -> 32 bits; dedup_phash's ANSI/oracle guard
+        .filter(F.size("p") == 33)
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("trk").orderBy("fi")
     cur = base.withColumn("q", F.lag("p").over(w)).filter(
         F.col("q").isNotNull()
@@ -2671,6 +2690,7 @@ def oracle_audio_neardup(
         WITH fr AS MATERIALIZED (
           SELECT media_id AS trk, frame_idx AS fi, energies AS p
           FROM ({frames_sql})
+          WHERE len(energies) = 33
         ), lagged AS MATERIALIZED (
           SELECT trk, fi, p,
                  lag(p) OVER (PARTITION BY trk ORDER BY fi) AS q

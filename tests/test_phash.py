@@ -294,3 +294,23 @@ def test_audio_neardup_validates_params(spark):
         audio_neardup(df, max_dist=4)
     with pytest.raises(ValueError):
         audio_neardup(df, min_frames=0)
+
+
+def test_malformed_grids_dropped_not_crashed(spark):
+    """ANSI element_at would throw on a short array; malformed rows are
+    dropped on BOTH engine sides instead (oracle-parity guard)."""
+    base = _grid("m:base")
+    near = list(base)
+    near[5] = (near[5] + 128) % 256
+    rows = [(0, base), (1, near), (2, base[:10]), (3, [])]
+    df = spark.createDataFrame(rows, "media_id long, pixels array<int>")
+    got = {(r.id_a, r.id_b) for r in dedup_phash(df).collect()}
+    assert got == {(0, 1)}
+    arows = (_track(0, [f"am:{i}" for i in range(4)])
+             + _track(1, [f"am:{i}" for i in range(4)])
+             + [(2, 0, [1, 2, 3])])
+    adf = spark.createDataFrame(
+        arows, "media_id long, frame_idx long, energies array<int>")
+    got = {(r.trk_a, r.trk_b)
+           for r in audio_neardup(adf, min_frames=2).collect()}
+    assert got == {(0, 1)}
