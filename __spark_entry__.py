@@ -4208,6 +4208,75 @@ def _video_neardup(spark, sf):
                          max_dist=3, min_frames=2)
 
 
+def _phash_mirror_images_sql(dialect: str) -> str:
+    """The _phash_images_sql synth with member 3 replaced by the exact
+    HORIZONTAL MIRROR of the group's base image (pixel j reads the
+    base value at the row-mirrored index) — invisible to plain dHash
+    matching (direct hamming ~32 bits), found only by the
+    mirror-invariant path."""
+    if dialect == "spark":
+        g = "CAST(doc_id div 4 AS STRING)"
+        gi = "(doc_id div 4)"
+        mj = "(((j-1) div 9) * 9 + (8 - ((j-1) % 9)) + 1)"
+        dia_div = "div"
+    else:
+        g = "CAST(doc_id // 4 AS VARCHAR)"
+        gi = "(doc_id // 4)"
+        mj = "(((j-1) // 9) * 9 + (8 - ((j-1) % 9)) + 1)"
+        dia_div = "//"
+
+    def px(e: str) -> str:
+        if dialect == "spark":
+            return (
+                "CAST(conv(substring(md5(concat('px:', " + g + ", ':', "
+                f"CAST({e} AS STRING))), 1, 2), 16, 10) AS INT)"
+            )
+        return (
+            "CAST('0x' || substring(md5('px:' || " + g + " || ':' || "
+            f"CAST({e} AS VARCHAR)), 1, 2) AS BIGINT)"
+        )
+
+    if dialect == "spark":
+        return f"""
+          SELECT doc_id AS media_id,
+                 transform(sequence(1, 72), j ->
+                   CASE WHEN CAST(doc_id % 4 AS INT) = 3
+                        THEN {px(mj)}
+                        WHEN CAST(doc_id % 4 AS INT) > 0
+                             AND j = 1 + CAST(({gi} * 7
+                                 + (doc_id % 4) * 13) % 72 AS INT)
+                        THEN CAST(({px('j')} + 128) % 256 AS INT)
+                        ELSE {px('j')} END) AS pixels
+          FROM documents
+        """
+    return f"""
+      SELECT doc_id AS media_id,
+             list_transform(range(1, 73), j ->
+               CASE WHEN (doc_id % 4) = 3
+                    THEN {px(mj)}
+                    WHEN (doc_id % 4) > 0
+                         AND j = 1 + (({gi} * 7
+                             + (doc_id % 4) * 13) % 72)
+                    THEN ({px('j')} + 128) % 256
+                    ELSE {px('j')} END) AS pixels
+      FROM documents
+    """
+
+
+def _dedup_phash_mirror(spark, sf):
+    """Mirror-invariant perceptual dedup: the synth's member 3 is the
+    exact horizontal mirror of its group base — caught only by the
+    min(direct, mirror) Hamming path (operators/dedup.py dedup_phash
+    mirror_invariant=True)."""
+    from navigator_document_parser_spark.operators.dedup import dedup_phash
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    imgs = spark.sql(_phash_mirror_images_sql("spark"))
+    return dedup_phash(imgs, id_col="media_id", pixels_col="pixels",
+                       max_dist=3, mirror_invariant=True)
+
+
 def _dedup_phash(spark, sf):
     """Perceptual image dedup: 64-bit dHash over the synthetic pixel
     grids, 4x16-bit pigeonhole bands folded into ONE equi-join key,
@@ -4433,6 +4502,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_consistency": _title_consistency,    # clickbait signal
         "degree_stats": _degree_stats,              # degree histogram
         "dedup_phash": _dedup_phash,                # dHash image pairs
+        "dedup_phash_mirror": _dedup_phash_mirror,  # flip-invariant pairs
         "video_neardup": _video_neardup,            # frame-hash video pairs
         "compact_plan": _compact_plan,              # small-file rewrite plan
         "audio_neardup": _audio_neardup,            # HK-fingerprint tracks
@@ -5608,6 +5678,10 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["dedup_phash"] = oracle_dedup_phash(
         _phash_images_sql("duckdb"), max_dist=3
+    )
+    oracles["dedup_phash_mirror"] = oracle_dedup_phash(
+        _phash_mirror_images_sql("duckdb"), max_dist=3,
+        mirror_invariant=True,
     )
     oracles["video_neardup"] = oracle_video_neardup(
         _video_frames_sql("duckdb"), max_dist=3, min_frames=2

@@ -230,6 +230,7 @@ OP_QUERIES = [
     "video_neardup",
     "compact_plan",
     "audio_neardup",
+    "dedup_phash_mirror",
 ]
 
 

@@ -314,3 +314,68 @@ def test_malformed_grids_dropped_not_crashed(spark):
     got = {(r.trk_a, r.trk_b)
            for r in audio_neardup(adf, min_frames=2).collect()}
     assert got == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# mirror-invariant dedup_phash
+# ---------------------------------------------------------------------------
+
+
+def _mirror(px):
+    out = []
+    for y in range(H):
+        row = px[y * W:(y + 1) * W]
+        out.extend(reversed(row))
+    return out
+
+
+def test_mirrored_copy_found_only_with_mirror_invariant(spark):
+    base = _grid("mi:base")
+    flipped = _mirror(base)
+    far = _grid("mi:far")
+    assert _hamming(base, flipped) > 3  # invisible to plain dHash
+    df = spark.createDataFrame(
+        [(0, base), (1, flipped), (2, far)], ["media_id", "pixels"]
+    )
+    plain = {(r.id_a, r.id_b) for r in dedup_phash(df).collect()}
+    assert plain == set()
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup_phash(df, mirror_invariant=True).collect()}
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] == _hamming(base, _mirror(flipped))
+
+
+def test_mirror_invariant_vs_bruteforce(spark):
+    """min(direct, mirror-of-id_b) over 24 images (incl. planted flips
+    and 1-pixel perturbations) must equal the all-pairs brute force."""
+    rows, grids = [], {}
+    for g in range(6):
+        base = _grid(f"mg:{g}")
+        for m in range(4):
+            if m == 3:
+                px = _mirror(base)
+            elif m:
+                px = list(base)
+                j = (g * 7 + m * 13) % 72
+                px[j] = (px[j] + 128) % 256
+            else:
+                px = list(base)
+            mid = g * 4 + m
+            grids[mid] = px
+            rows.append((mid, px))
+    expect = {}
+    for a in grids:
+        for b in grids:
+            if a >= b:
+                continue
+            h = min(_hamming(grids[a], grids[b]),
+                    _hamming(grids[a], _mirror(grids[b])))
+            if h <= 3:
+                expect[(a, b)] = h
+    df = spark.createDataFrame(rows, ["media_id", "pixels"])
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup_phash(df, max_dist=3,
+                                mirror_invariant=True).collect()}
+    assert got == expect
+    # flips must actually be part of the planted signal
+    assert any(b % 4 == 3 for (_, b) in expect)
