@@ -379,3 +379,22 @@ def test_mirror_invariant_vs_bruteforce(spark):
     assert got == expect
     # flips must actually be part of the planted signal
     assert any(b % 4 == 3 for (_, b) in expect)
+
+
+def test_video_audio_single_join_plans(spark):
+    """Lesson 12 discipline for the whole perceptual family: one folded
+    band-key equi-join, no BNLJ/cartesian/union-of-branches."""
+    vdf = spark.createDataFrame(
+        [(0, 0, _grid("pv:a")), (1, 0, _grid("pv:b"))],
+        ["media_id", "frame_idx", "pixels"],
+    )
+    adf = spark.createDataFrame(
+        [(0, 0, _energies("pa:a")), (0, 1, _energies("pa:b"))],
+        ["media_id", "frame_idx", "energies"],
+    )
+    for df in (video_neardup(vdf), audio_neardup(adf),
+               dedup_phash(vdf.drop("frame_idx"), mirror_invariant=True)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Union") == 0
