@@ -4263,6 +4263,48 @@ def _phash_mirror_images_sql(dialect: str) -> str:
     """
 
 
+def _phash_old_images_sql(dialect: str) -> str:
+    """Committed-corpus synth for phash_snapshot_dedup: one UNPERTURBED
+    base image per group (the doc_id % 4 = 0 rows) — every new-crawl
+    image then sits <= 2 dHash bits from exactly its group's base."""
+    g = "CAST(doc_id div 4 AS STRING)" if dialect == "spark" else \
+        "CAST(doc_id // 4 AS VARCHAR)"
+    if dialect == "spark":
+        px = (
+            "CAST(conv(substring(md5(concat('px:', " + g + ", ':', "
+            "CAST(j AS STRING))), 1, 2), 16, 10) AS INT)"
+        )
+        return f"""
+          SELECT doc_id AS media_id,
+                 transform(sequence(1, 72), j -> {px}) AS pixels
+          FROM documents WHERE doc_id % 4 = 0
+        """
+    px = (
+        "CAST('0x' || substring(md5('px:' || " + g + " || ':' || "
+        "CAST(j AS VARCHAR)), 1, 2) AS BIGINT)"
+    )
+    return f"""
+      SELECT doc_id AS media_id,
+             list_transform(range(1, 73), j -> {px}) AS pixels
+      FROM documents WHERE doc_id % 4 = 0
+    """
+
+
+def _phash_incremental(spark, sf):
+    """Incremental perceptual dedup: the new crawl's perturbed images
+    against the committed base-image corpus — new-vs-old band joins
+    only (operators/dedup.py phash_snapshot_dedup)."""
+    from navigator_document_parser_spark.operators.dedup import (
+        phash_snapshot_dedup,
+    )
+
+    d = _docs(spark, sf)
+    d.createOrReplaceTempView("documents")
+    new = spark.sql(_phash_images_sql("spark"))
+    old = spark.sql(_phash_old_images_sql("spark"))
+    return phash_snapshot_dedup(new, old, max_dist=3)
+
+
 def _dedup_phash_mirror(spark, sf):
     """Mirror-invariant perceptual dedup: the synth's member 3 is the
     exact horizontal mirror of its group base — caught only by the
@@ -4503,6 +4545,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": _degree_stats,              # degree histogram
         "dedup_phash": _dedup_phash,                # dHash image pairs
         "dedup_phash_mirror": _dedup_phash_mirror,  # flip-invariant pairs
+        "phash_incremental": _phash_incremental,    # new-vs-committed imgs
         "video_neardup": _video_neardup,            # frame-hash video pairs
         "compact_plan": _compact_plan,              # small-file rewrite plan
         "audio_neardup": _audio_neardup,            # HK-fingerprint tracks
@@ -5682,6 +5725,14 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_phash_mirror"] = oracle_dedup_phash(
         _phash_mirror_images_sql("duckdb"), max_dist=3,
         mirror_invariant=True,
+    )
+    from navigator_document_parser_spark.operators.dedup import (
+        oracle_phash_snapshot_dedup,
+    )
+
+    oracles["phash_incremental"] = oracle_phash_snapshot_dedup(
+        _phash_images_sql("duckdb"), _phash_old_images_sql("duckdb"),
+        max_dist=3,
     )
     oracles["video_neardup"] = oracle_video_neardup(
         _video_frames_sql("duckdb"), max_dist=3, min_frames=2

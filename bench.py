@@ -231,6 +231,7 @@ OP_QUERIES = [
     "compact_plan",
     "audio_neardup",
     "dedup_phash_mirror",
+    "phash_incremental",
 ]
 
 

@@ -2803,3 +2803,157 @@ def oracle_audio_neardup(
         GROUP BY trk_a, trk_b
         HAVING count(DISTINCT fi_a) >= {int(min_frames)}
     """
+
+
+def phash_snapshot_dedup(
+    new_images: DataFrame,
+    old_images: DataFrame,
+    id_col: str = "media_id",
+    pixels_col: str = "pixels",
+    width: int = 9,
+    height: int = 8,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Incremental perceptual dedup: each NEW image against the
+    COMMITTED image corpus only — the monthly-crawl shape
+    (dedup_incremental / snapshot_dedup for text): the old corpus was
+    already deduped when it was committed, so the only joins a new
+    snapshot pays are new-bands x old-bands; never old x old, and
+    new x new is dedup_phash on the delta alone.
+
+    Same 64-bit dHash / 4x16-bit pigeonhole machinery as dedup_phash
+    (exact recall within max_dist); each matching new image reports its
+    BEST committed match — min (hamming, then old id) via a min-struct
+    aggregate, never a corpus-wide window. New images with no committed
+    match produce no row (the caller's left-join decides what "fresh"
+    means).
+
+    Returns (media_id, dup_of, hamming) — one row per matched new id.
+    """
+    if (width - 1) * height != 64:
+        raise ValueError(
+            "dHash grid must yield 64 bits: (width-1)*height == 64"
+        )
+    if not 0 <= int(max_dist) <= 3:
+        raise ValueError(
+            "max_dist must be in [0, 3]: 4 bands of 16 bits pigeonhole "
+            "exactly up to Hamming distance 3"
+        )
+
+    def elem(i: int) -> str:
+        return f"element_at(p, {i})"
+
+    def bands_of(df: DataFrame, side: str) -> DataFrame:
+        base = (
+            df.select(
+                F.col(id_col).alias(f"id_{side}"),
+                F.col(pixels_col).cast("array<int>").alias("p"),
+            )
+            .filter(F.size("p") == width * height)
+            .localCheckpoint(eager=True)
+        )
+        return base.select(
+            f"id_{side}",
+            *[
+                F.expr(_dhash_band_terms(t, width, height, elem))
+                .cast("int").alias(f"b{t}_{side}")
+                for t in range(4)
+            ],
+        )
+
+    def keyed_of(bands: DataFrame, side: str) -> DataFrame:
+        bkey = F.expr(
+            f"CASE bi WHEN 0 THEN b0_{side} WHEN 1 THEN b1_{side} "
+            f"WHEN 2 THEN b2_{side} ELSE b3_{side} END + bi * 65536"
+        )
+        return bands.withColumn(
+            "bi", F.explode(F.array(*[F.lit(t) for t in range(4)]))
+        ).select(
+            f"id_{side}", *[f"b{t}_{side}" for t in range(4)],
+            bkey.alias("bk"),
+        )
+
+    nw = keyed_of(bands_of(new_images, "new"), "new")
+    od = keyed_of(bands_of(old_images, "old"), "old")
+    ham = sum(
+        (
+            F.bit_count(
+                F.col(f"b{t}_new").bitwiseXOR(F.col(f"b{t}_old"))
+            )
+            for t in range(4)
+        ),
+        start=F.lit(0),
+    )
+    matched = (
+        nw.join(od, on="bk")
+        .dropDuplicates(["id_new", "id_old"])
+        .withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= int(max_dist))
+    )
+    best = matched.groupBy("id_new").agg(
+        F.min(F.struct("hamming", F.col("id_old").alias("dup_of")))
+        .alias("w")
+    )
+    return best.select(
+        F.col("id_new").alias(id_col),
+        F.col("w.dup_of").alias("dup_of"),
+        F.col("w.hamming").alias("hamming"),
+    )
+
+
+def oracle_phash_snapshot_dedup(
+    new_sql: str,
+    old_sql: str,
+    width: int = 9,
+    height: int = 8,
+    max_dist: int = 3,
+) -> str:
+    """DuckDB replica of phash_snapshot_dedup; both inputs yield
+    (media_id, pixels LIST)."""
+
+    def elem(i: int) -> str:
+        return f"p[{i}]"
+
+    bcols = ", ".join(
+        f"({_dhash_band_terms(t, width, height, elem)}) AS b{t}"
+        for t in range(4)
+    )
+    branches = "\n          UNION\n".join(
+        f"          SELECT n.id AS id_new, o.id AS id_old,\n"
+        f"                 n.b0 AS b0n, n.b1 AS b1n, n.b2 AS b2n,"
+        f" n.b3 AS b3n,\n"
+        f"                 o.b0 AS b0o, o.b1 AS b1o, o.b2 AS b2o,"
+        f" o.b3 AS b3o\n"
+        f"          FROM nbands n JOIN obands o ON n.b{t} = o.b{t}"
+        for t in range(4)
+    )
+    ham = (
+        "bit_count(xor(b0n, b0o)) + bit_count(xor(b1n, b1o)) + "
+        "bit_count(xor(b2n, b2o)) + bit_count(xor(b3n, b3o))"
+    )
+    grid = int(width) * int(height)
+    return f"""
+        WITH nimgs AS MATERIALIZED (
+          SELECT media_id AS id, pixels AS p FROM ({new_sql})
+          WHERE len(pixels) = {grid}
+        ), oimgs AS MATERIALIZED (
+          SELECT media_id AS id, pixels AS p FROM ({old_sql})
+          WHERE len(pixels) = {grid}
+        ), nbands AS MATERIALIZED (
+          SELECT id, {bcols} FROM nimgs
+        ), obands AS MATERIALIZED (
+          SELECT id, {bcols} FROM oimgs
+        ), cand AS (
+{branches}
+        ), matched AS (
+          SELECT id_new, id_old, CAST({ham} AS BIGINT) AS hamming
+          FROM cand WHERE {ham} <= {int(max_dist)}
+        )
+        SELECT id_new AS media_id, id_old AS dup_of, hamming
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY id_new
+                   ORDER BY hamming ASC, id_old ASC) AS rn
+          FROM matched
+        )
+        WHERE rn = 1
+    """

@@ -398,3 +398,59 @@ def test_video_audio_single_join_plans(spark):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert plan.count("Union") == 0
+
+
+# ---------------------------------------------------------------------------
+# phash_snapshot_dedup — incremental (new-vs-committed) image dedup
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.dedup import (
+    phash_snapshot_dedup,
+)
+
+
+def test_phash_incremental_best_match_and_fresh(spark):
+    base = _grid("inc:base")
+    near = list(base)
+    near[11] = (near[11] + 128) % 256
+    old_rows = [(100, base), (101, base), (102, _grid("inc:other"))]
+    new_rows = [(0, near), (1, _grid("inc:fresh")), (2, base)]
+    old = spark.createDataFrame(old_rows, ["media_id", "pixels"])
+    new = spark.createDataFrame(new_rows, ["media_id", "pixels"])
+    got = {r.media_id: (r.dup_of, r.hamming)
+           for r in phash_snapshot_dedup(new, old).collect()}
+    # exact copy -> ham 0, tie between old 100/101 breaks to smaller id
+    assert got[2] == (100, 0)
+    # near copy -> its best committed match
+    assert got[0][0] == 100 and 0 < got[0][1] <= 3
+    # fresh image -> no row
+    assert 1 not in got
+    # old x old pairs are never computed/emitted (100 vs 101 identical)
+    assert set(got) == {0, 2}
+
+
+def test_phash_incremental_vs_bruteforce(spark):
+    olds = {100 + i: _grid(f"io:{i}") for i in range(8)}
+    news = {}
+    for i in range(12):
+        if i % 3 == 0:
+            px = list(olds[100 + (i % 8)])
+            px[(7 * i) % 72] = (px[(7 * i) % 72] + 128) % 256
+        else:
+            px = _grid(f"in:{i}")
+        news[i] = px
+    expect = {}
+    for n, np_ in news.items():
+        best = None
+        for o, op in olds.items():
+            h = _hamming(np_, op)
+            if h <= 3 and (best is None or (h, o) < best):
+                best = (h, o)
+        if best:
+            expect[n] = (best[1], best[0])
+    old = spark.createDataFrame(list(olds.items()), ["media_id", "pixels"])
+    new = spark.createDataFrame(list(news.items()), ["media_id", "pixels"])
+    got = {r.media_id: (r.dup_of, r.hamming)
+           for r in phash_snapshot_dedup(new, old).collect()}
+    assert got == expect
+    assert expect
