@@ -4290,6 +4290,21 @@ def _phash_old_images_sql(dialect: str) -> str:
     """
 
 
+def _table_stats(spark, sf):
+    """ANALYZE-style per-column stats over documents in one scan:
+    rows / nulls / exact NDV / min / max per column (operators/
+    layout.py table_stats). BIGINT/VARCHAR columns only — float and
+    temporal string reprs differ across engines (the lesson-17/18
+    family), integers and strings render identically."""
+    from navigator_document_parser_spark.operators.layout import (
+        table_stats,
+    )
+
+    return table_stats(
+        _docs(spark, sf), cols=["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def _phash_incremental(spark, sf):
     """Incremental perceptual dedup: the new crawl's perturbed images
     against the committed base-image corpus — new-vs-old band joins
@@ -4546,6 +4561,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash": _dedup_phash,                # dHash image pairs
         "dedup_phash_mirror": _dedup_phash_mirror,  # flip-invariant pairs
         "phash_incremental": _phash_incremental,    # new-vs-committed imgs
+        "table_stats": _table_stats,                # ANALYZE per-column
         "video_neardup": _video_neardup,            # frame-hash video pairs
         "compact_plan": _compact_plan,              # small-file rewrite plan
         "audio_neardup": _audio_neardup,            # HK-fingerprint tracks
@@ -5733,6 +5749,14 @@ def oracle_sql() -> dict[str, str]:
     oracles["phash_incremental"] = oracle_phash_snapshot_dedup(
         _phash_images_sql("duckdb"), _phash_old_images_sql("duckdb"),
         max_dist=3,
+    )
+    from navigator_document_parser_spark.operators.layout import (
+        oracle_table_stats,
+    )
+
+    oracles["table_stats"] = oracle_table_stats(
+        "SELECT * FROM documents",
+        cols=["doc_id", "lang", "source", "n_chars"],
     )
     oracles["video_neardup"] = oracle_video_neardup(
         _video_frames_sql("duckdb"), max_dist=3, min_frames=2

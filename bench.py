@@ -232,6 +232,7 @@ OP_QUERIES = [
     "audio_neardup",
     "dedup_phash_mirror",
     "phash_incremental",
+    "table_stats",
 ]
 
 

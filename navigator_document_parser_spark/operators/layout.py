@@ -343,3 +343,73 @@ def oracle_compact_plan(
         SELECT part, path, bytes, grp, grp_files, grp_bytes
         FROM sized WHERE grp_files >= {int(min_input_files)}
     """
+
+
+def table_stats(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE scan — the numbers a
+    cost-based optimizer (and a human sizing shuffle partitions) needs:
+    row count, null count, exact distinct count, and min/max rendered
+    as strings (type-agnostic output schema). All aggregates fold into
+    a single Aggregate node (one pass, partial map-side combine);
+    count(DISTINCT) over several columns expands via Spark's standard
+    expand-node rewrite — still one scan of the table.
+
+    At 100 TB exact NDV per column is the expensive part; swap
+    count_distinct for approx_count_distinct (HLL) there — kept exact
+    here so the operator is oracle-checkable bit-for-bit. min/max cast
+    to string AFTER aggregation (cast(min(x)) not min(cast(x)):
+    numeric order, not lexicographic).
+
+    Returns (col, n_rows, n_null, n_distinct, min_val, max_val),
+    one row per requested column.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_ndv_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _null_{c}, _ndv_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col, n_null, n_distinct, min_val, max_val)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "col",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_val", "max_val",
+    )
+
+
+def oracle_table_stats(table_sql: str, cols: list[str]) -> str:
+    """DuckDB replica of table_stats; one UNION ALL branch per column
+    over a single materialized source CTE."""
+    branches = "\n        UNION ALL\n".join(
+        f"""        SELECT '{c}' AS col,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT)
+                 AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS STRING) AS min_val,
+               CAST(max({c}) AS STRING) AS max_val
+        FROM src"""
+        for c in cols
+    )
+    return f"""
+        WITH src AS MATERIALIZED ({table_sql})
+{branches}
+    """

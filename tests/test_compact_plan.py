@@ -52,3 +52,47 @@ def test_validates_params(spark):
         _plan(spark, rows, target_bytes=0)
     with pytest.raises(ValueError):
         _plan(spark, rows, min_input_files=1)
+
+
+# ---------------------------------------------------------------------------
+# table_stats — ANALYZE-style one-scan column statistics
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.layout import table_stats
+
+
+def test_table_stats_values_and_nulls(spark):
+    rows = [(1, "a"), (2, "b"), (2, None), (None, "a"), (5, "c")]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    got = {r.col: r for r in table_stats(df, ["k", "s"]).collect()}
+    assert set(got) == {"k", "s"}
+    k = got["k"]
+    assert (k.n_rows, k.n_null, k.n_distinct) == (5, 1, 3)
+    assert (k.min_val, k.max_val) == ("1", "5")
+    s = got["s"]
+    assert (s.n_rows, s.n_null, s.n_distinct) == (5, 1, 3)
+    assert (s.min_val, s.max_val) == ("a", "c")
+
+
+def test_table_stats_all_null_and_empty_and_validation(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x string")
+    r = table_stats(df, ["x"]).collect()[0]
+    assert (r.n_rows, r.n_null, r.n_distinct) == (2, 2, 0)
+    assert r.min_val is None and r.max_val is None
+    empty = spark.createDataFrame([], "x string")
+    r = table_stats(empty, ["x"]).collect()[0]
+    assert (r.n_rows, r.n_null, r.n_distinct) == (0, 0, 0)
+    with pytest.raises(ValueError):
+        table_stats(df, [])
+
+
+def test_table_stats_single_scan_plan(spark):
+    """All per-column aggregates must fold into one pass — the plan
+    scans the source once (no union of per-column scans)."""
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    plan = (
+        table_stats(df, ["k", "s"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Union" not in plan
