@@ -226,3 +226,119 @@ def flag_with_bloom(
         (F.col("_bloom") & ~exact).alias("false_positive"),
         (~exact).alias("keep"),
     )
+
+
+def flag_against_image_snapshot(
+    stream_df: DataFrame,
+    committed: DataFrame,
+    id_col: str = "media_id",
+    pixels_col: str = "pixels",
+    width: int = 9,
+    height: int = 8,
+) -> DataFrame:
+    """Streaming admission control for IMAGES against the committed
+    image corpus — the perceptual face of flag_against_snapshot:
+    exact_dup = identical pixel grid (md5 of the canonical int-csv),
+    near_candidate = shares >= 1 of the 4 dHash bands with ANY
+    committed image (the dedup_phash pigeonhole: every true near-dup
+    within Hamming <= 3 is flagged; a 16-bit band share has false
+    positives, so this is the PREFILTER — the exact verify is the batch
+    twin phash_snapshot_dedup over the flagged rows).
+
+    Stream rows stay 1-row-in/1-row-out: the four stream-side band ints
+    are computed column-wise and each probes the committed folded-key
+    projection with its own LEFT join; the committed side is ONE
+    band-agnostic subtree (literal band-id explode folded into an INT
+    key, checkpointed eagerly so micro-batches never re-run the
+    committed banding — the flag_with_bloom discipline).
+
+    Returns (id, exact_dup, near_candidate, keep).
+    """
+    from ..operators.dedup import _dhash_band_terms
+
+    grid = width * height
+
+    def canon(col: str):
+        return F.md5(F.concat_ws(",", F.col(col).cast("array<string>")))
+
+    def elem(i: int) -> str:
+        return f"element_at(p, {i})"
+
+    old = (
+        committed.select(
+            F.col(pixels_col).cast("array<int>").alias("p")
+        )
+        .filter(F.size("p") == grid)
+        .localCheckpoint(eager=True)
+    )
+    old_exact = (
+        old.select(canon("p").alias("_oh"))
+        .dropDuplicates(["_oh"])
+        .withColumn("_e", F.lit(True))
+        .localCheckpoint(eager=True)
+    )
+    obands = old.select(
+        *[
+            F.expr(_dhash_band_terms(t, width, height, elem))
+            .cast("int").alias(f"b{t}")
+            for t in range(4)
+        ]
+    )
+    old_keys = (
+        obands.withColumn(
+            "bi", F.explode(F.array(*[F.lit(t) for t in range(4)]))
+        )
+        .select(
+            F.expr(
+                "CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1 "
+                "WHEN 2 THEN b2 ELSE b3 END + bi * 65536"
+            ).alias("_committed_bk")
+        )
+        .dropDuplicates(["_committed_bk"])
+        .localCheckpoint(eager=True)
+    )
+
+    s = stream_df.select(
+        F.col(id_col).alias("_id"),
+        F.col(pixels_col).cast("array<int>").alias("p"),
+    ).withColumn("_valid", F.size("p") == grid)
+
+    def selem(i: int) -> str:
+        return f"element_at(p, {i})"
+
+    for t in range(4):
+        s = s.withColumn(
+            f"_b{t}",
+            F.when(
+                F.col("_valid"),
+                F.expr(
+                    _dhash_band_terms(t, width, height, selem)
+                ).cast("int"),
+            ),
+        )
+    s = s.withColumn(
+        "_h", F.when(F.col("_valid"), canon("p"))
+    ).join(old_exact.withColumnRenamed("_oh", "_h"), "_h", "left")
+
+    near = F.lit(False)
+    for t in range(4):
+        s = (
+            s.join(
+                old_keys,
+                (F.col(f"_b{t}") + F.lit(t * 65536))
+                == F.col("_committed_bk"),
+                "left",
+            )
+            .withColumn(f"_m{t}", F.col("_committed_bk").isNotNull())
+            .drop("_committed_bk")
+        )
+        near = near | F.col(f"_m{t}")
+
+    exact = F.coalesce(F.col("_e"), F.lit(False))
+    near = F.col("_valid") & near
+    return s.select(
+        F.col("_id").alias(id_col),
+        exact.alias("exact_dup"),
+        near.alias("near_candidate"),
+        (~exact & ~near).alias("keep"),
+    )

@@ -205,3 +205,93 @@ def test_bloom_flagging_runs_as_a_real_stream(spark):
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# perceptual (image) streaming admission control
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from navigator_document_parser_spark.streaming.snapshot_stream import (
+    flag_against_image_snapshot,
+)
+
+W, H = 9, 8
+
+
+def _grid(seed):
+    return [hashlib.md5(f"{seed}:{j}".encode()).digest()[0]
+            for j in range(W * H)]
+
+
+def _image_fixture(spark):
+    base = [_grid(f"c:{i}") for i in range(6)]
+    committed = spark.createDataFrame(
+        [(100 + i, px) for i, px in enumerate(base)],
+        "media_id long, pixels array<int>",
+    )
+    near = list(base[0])
+    near[13] = (near[13] + 128) % 256
+    stream_rows = [
+        (0, list(base[1])),          # exact re-crawl
+        (1, near),                   # near-dup of a committed image
+        (2, _grid("fresh:2")),       # fresh
+        (3, base[2][:7]),            # malformed: short grid
+    ]
+    new = spark.createDataFrame(
+        stream_rows, "media_id long, pixels array<int>")
+    return committed, new
+
+
+def test_image_flagging_semantics_batch(spark):
+    committed, new = _image_fixture(spark)
+    got = {r.media_id: (r.exact_dup, r.near_candidate, r.keep)
+           for r in flag_against_image_snapshot(new, committed).collect()}
+    assert got[0] == (True, True, False)       # exact implies band share
+    assert got[1][0] is False and got[1][1] is True  # near flagged
+    assert got[3] == (False, False, True)      # malformed -> keep (verify downstream)
+    # fresh: near_candidate may rarely collide on one 16-bit band, but
+    # exact must be False; with these md5 grids there is no collision
+    assert got[2] == (False, False, True)
+
+
+def test_image_flagging_stream_matches_batch(spark):
+    import os
+    import shutil
+    import tempfile
+
+    committed, new = _image_fixture(spark)
+    base = tempfile.mkdtemp(prefix="ndps-imgstream-")
+    in_dir, out_dir, ckpt = (os.path.join(base, d)
+                             for d in ("in", "out", "ckpt"))
+    try:
+        # two micro-batches (one file each)
+        for half in (new.filter("media_id < 2"),
+                     new.filter("media_id >= 2")):
+            half.coalesce(1).write.mode("append").parquet(in_dir)
+        stream = (
+            spark.readStream.schema("media_id long, pixels array<int>")
+            .option("maxFilesPerTrigger", "1").parquet(in_dir)
+        )
+        flagged = flag_against_image_snapshot(stream, committed)
+        q = (
+            flagged.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.media_id, r.exact_dup, r.near_candidate, r.keep)
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        want = sorted(
+            (r.media_id, r.exact_dup, r.near_candidate, r.keep)
+            for r in flag_against_image_snapshot(new, committed).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
