@@ -4290,6 +4290,18 @@ def _phash_old_images_sql(dialect: str) -> str:
     """
 
 
+def _kn_counts(spark, sf):
+    """Kneser-Ney bigram count export (KenLM lmplz counting pass):
+    c / c(w1 .) / N1+(w1 .) / N1+(. w2) / N1+(. .) per surviving
+    bigram, integers end to end (operators/text.py kn_bigram_counts).
+    min_count=2 exercises the post-aggregate pruning path."""
+    from navigator_document_parser_spark.operators.text import (
+        kn_bigram_counts,
+    )
+
+    return kn_bigram_counts(_docs(spark, sf), min_count=2)
+
+
 def _table_stats(spark, sf):
     """ANALYZE-style per-column stats over documents in one scan:
     rows / nulls / exact NDV / min / max per column (operators/
@@ -4562,6 +4574,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_phash_mirror": _dedup_phash_mirror,  # flip-invariant pairs
         "phash_incremental": _phash_incremental,    # new-vs-committed imgs
         "table_stats": _table_stats,                # ANALYZE per-column
+        "kn_counts": _kn_counts,                    # KN bigram counts
         "video_neardup": _video_neardup,            # frame-hash video pairs
         "compact_plan": _compact_plan,              # small-file rewrite plan
         "audio_neardup": _audio_neardup,            # HK-fingerprint tracks
@@ -5757,6 +5770,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["table_stats"] = oracle_table_stats(
         "SELECT * FROM documents",
         cols=["doc_id", "lang", "source", "n_chars"],
+    )
+    from navigator_document_parser_spark.operators.text import (
+        oracle_kn_bigram_counts,
+    )
+
+    oracles["kn_counts"] = oracle_kn_bigram_counts(
+        "SELECT doc_id, text FROM documents", min_count=2
     )
     oracles["video_neardup"] = oracle_video_neardup(
         _video_frames_sql("duckdb"), max_dist=3, min_frames=2

@@ -233,6 +233,7 @@ OP_QUERIES = [
     "dedup_phash_mirror",
     "phash_incremental",
     "table_stats",
+    "kn_counts",
 ]
 
 

@@ -3016,3 +3016,108 @@ def oracle_gibberish_score(
                  - log2(CAST(tt AS DOUBLE)) AS score
         FROM per_doc, tot
     """
+
+
+def kn_bigram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Kneser-Ney count export for bigram LM training (the KenLM
+    `lmplz` counting pass): everything interpolated-KN smoothing needs,
+    as INTEGERS — per bigram (w1, w2): its count c, the left context's
+    total c(w1 .) and fan-out N1+(w1 .), the right word's continuation
+    count N1+(. w2), and the global distinct-bigram total N1+(. .).
+    P_KN assembles driver/consumer-side from these; exporting counts
+    instead of probabilities keeps the operator bit-exact across
+    engines (floats would differ in the last ulp) and lets shards merge
+    by plain addition — counts are the mergeable state, probabilities
+    are not.
+
+    Tokenization matches lm_rarity (whitespace split of trimmed
+    lowercase), so the two operators see the same bigram space.
+
+    100 TB shape: one scan -> positional bigram transform (token arrays
+    checkpointed first, lessons 3/9) -> one (w1, w2) count aggregate
+    with map-side combine, eagerly checkpointed ONCE because it feeds
+    three aggregate branches and a 1-row total (lesson 16's
+    subtree-duplication trap); the context/continuation joins are plain
+    equi-joins AQE broadcasts when the vocabulary allows. The
+    ``min_count`` cut applies at the END so every exported row's
+    context totals reflect the uncut corpus (pruning before the
+    aggregates would bias c(w1 .) exactly like KenLM's pruning caveat).
+
+    Returns (w1, w2, c, c_w1, n1p_w1, cont_w2, n1p_total), c >= min_count.
+    """
+    if int(min_count) < 1:
+        raise ValueError("min_count must be >= 1")
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("doc_id"), tokens.alias("t"))
+    base = base.localCheckpoint(eager=True)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.struct(
+            F.element_at("t", (i + 1).cast("int")).alias("w1"),
+            F.element_at("t", (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    bg = base.filter(F.size("t") >= 2).select(
+        F.explode(pairs).alias("s")
+    ).select(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    big = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w1s = big.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c_w1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_w1"),
+    )
+    w2s = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cont_w2")
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("bigint").alias("n1p_total"))
+    return (
+        big.join(w1s, "w1")
+        .join(w2s, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c") >= int(min_count))
+        .select("w1", "w2", "c", "c_w1", "n1p_w1", "cont_w2",
+                "n1p_total")
+    )
+
+
+def oracle_kn_bigram_counts(docs_sql: str, min_count: int = 1) -> str:
+    """DuckDB replica of kn_bigram_counts; ``docs_sql`` yields
+    (doc_id, text)."""
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM ({docs_sql})
+        ), bg AS MATERIALIZED (
+          SELECT s.w1 AS w1, s.w2 AS w2 FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                     i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS s
+            FROM toks WHERE len(t) >= 2
+          )
+        ), big AS MATERIALIZED (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+          FROM bg GROUP BY w1, w2
+        ), w1s AS (
+          SELECT w1, CAST(sum(c) AS BIGINT) AS c_w1,
+                 CAST(count(*) AS BIGINT) AS n1p_w1
+          FROM big GROUP BY w1
+        ), w2s AS (
+          SELECT w2, CAST(count(*) AS BIGINT) AS cont_w2
+          FROM big GROUP BY w2
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n1p_total FROM big
+        )
+        SELECT b.w1, b.w2, b.c, w1s.c_w1, w1s.n1p_w1, w2s.cont_w2,
+               tot.n1p_total
+        FROM big b
+        JOIN w1s USING (w1) JOIN w2s USING (w2) CROSS JOIN tot
+        WHERE b.c >= {int(min_count)}
+    """

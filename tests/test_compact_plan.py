@@ -96,3 +96,59 @@ def test_table_stats_single_scan_plan(spark):
     )
     assert plan.count("Scan ExistingRDD") == 1
     assert "Union" not in plan
+
+
+# ---------------------------------------------------------------------------
+# kn_bigram_counts — Kneser-Ney count export
+# ---------------------------------------------------------------------------
+
+from navigator_document_parser_spark.operators.text import kn_bigram_counts
+
+
+def test_kn_counts_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {(r.w1, r.w2): r for r in kn_bigram_counts(docs).collect()}
+    # bigrams: (a,b)x3, (b,a)x1, (b,c)x1 — docs 2/3 contribute none
+    assert set(got) == {("a", "b"), ("b", "a"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert (ab.c, ab.c_w1, ab.n1p_w1) == (3, 3, 1)   # 'a' only ever -> b
+    assert ab.cont_w2 == 1                            # b follows only a
+    assert ab.n1p_total == 3
+    ba = got[("b", "a")]
+    assert (ba.c, ba.c_w1, ba.n1p_w1) == (1, 2, 2)   # b -> {a, c}
+    assert ba.cont_w2 == 1                            # a follows only b
+
+
+def test_kn_counts_pruning_keeps_full_context_totals(spark):
+    """min_count prunes OUTPUT rows only — the exported context totals
+    must still reflect the uncut corpus (the KenLM pruning caveat)."""
+    docs = spark.createDataFrame(
+        [(0, "a b a b a c")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2): r
+           for r in kn_bigram_counts(docs, min_count=2).collect()}
+    assert set(got) == {("a", "b"), ("b", "a")}
+    ab = got[("a", "b")]
+    # c(a .) counts the pruned (a,c) instance too; fan-out sees it too
+    assert (ab.c, ab.c_w1, ab.n1p_w1) == (2, 3, 2)
+    assert ab.n1p_total == 3  # distinct bigrams pre-prune
+
+
+def test_kn_counts_identities(spark):
+    """Internal consistency over a larger corpus: per-w1 totals equal
+    the sum of member counts, and n1p_total is the distinct count."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").limit(200)
+    )
+    rows = kn_bigram_counts(docs).collect()
+    by_w1 = {}
+    for r in rows:
+        by_w1.setdefault(r.w1, []).append(r)
+    for w1, rs in by_w1.items():
+        assert {x.c_w1 for x in rs} == {sum(x.c for x in rs)}
+        assert {x.n1p_w1 for x in rs} == {len(rs)}
+    assert {r.n1p_total for r in rows} == {len(rows)}
