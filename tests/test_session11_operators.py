@@ -838,3 +838,28 @@ def test_winnow_pairs_short_texts_yield_nothing(spark):
     df = spark.createDataFrame(
         [(0, "tiny"), (1, "tiny")], ["doc_id", "text"])
     assert winnow_pairs(df, min_shared=1).count() == 0
+
+
+def test_winnow_pairs_block_partitioning_invariant(spark):
+    """r7 optimization pin: the blocked in-task pair counting must be
+    independent of block_rows — forcing every doc into its own block
+    (all pairs cross-block) gives the same pairs as one giant block."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, base + f" tail variant {i % 3} stays shared with siblings")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def snap(block_rows):
+        return sorted(
+            (r.id_a, r.id_b, r.n_shared, r.containment4)
+            for r in winnow_pairs(
+                df, min_shared=2, block_rows=block_rows
+            ).collect()
+        )
+
+    one_block = snap(1024)
+    assert one_block  # non-trivial corpus: pairs exist
+    assert snap(1) == one_block
+    assert snap(5) == one_block
