@@ -279,6 +279,50 @@ def test_audio_neardup_vs_bruteforce(spark):
     assert expect
 
 
+def test_audio_neardup_multiprobe_boundary_vs_bruteforce(spark):
+    """r7 optimization pin: candidates now come from two 16-bit halves
+    with a ham<=1 multiprobe. Multi-position perturbations produce
+    fingerprint pairs at Hamming 2-6 with errors split ACROSS halves
+    (the 2+1 split is the recall boundary: one half carries 2 errors
+    and only the other half's single-flip probe can find the pair);
+    brute force must agree exactly."""
+    rows, tracks = [], {}
+    for g in range(3):
+        seeds = [f"mb{g}:f{fi}" for fi in range(4)]
+        for m in range(4):
+            trk = g * 4 + m
+            pert = None
+            if m:
+                # 1-3 perturbed band positions spread over the 33 bands
+                pert = {
+                    (m * 11 + j * 13 + g * 5) % 33: (g * 7 + m + j) % 33
+                    for j in range(m)
+                }
+            trows = _track(trk, seeds, perturb=pert)
+            tracks[trk] = [r[2] for r in trows]
+            rows.extend(trows)
+    expect = {}
+    for a in tracks:
+        for b in tracks:
+            if a >= b:
+                continue
+            n = sum(
+                1 for fa in range(1, 4)
+                if any(
+                    _hk_ham(tracks[a][fa], tracks[a][fa - 1],
+                            tracks[b][fb], tracks[b][fb - 1]) <= 3
+                    for fb in range(1, 4)
+                )
+            )
+            if n >= 2:
+                expect[(a, b)] = n
+    df = spark.createDataFrame(rows, ["media_id", "frame_idx", "energies"])
+    got = {(r.trk_a, r.trk_b): r.n_matched
+           for r in audio_neardup(df, max_dist=3, min_frames=2).collect()}
+    assert got == expect
+    assert expect
+
+
 def test_audio_neardup_single_frame_track_never_pairs(spark):
     """Frame 0 has no predecessor -> a 1-frame track has no fingerprint
     at all and can never match."""
