@@ -213,6 +213,39 @@ def test_bitext_margin_accepts_clear_pairs_only(spark):
     assert out[100][1] > 0.9
 
 
+def test_bitext_margin_block_partitioning_invariant(spark):
+    """r7 optimization pin: scoring now runs per hash-block pair with
+    an in-block top-2 containment guard — forcing 1-row blocks (every
+    pair crosses blocks, every block emits its whole sub-matrix) must
+    give the same accepted pairs as one giant block."""
+    import math
+
+    src = spark.createDataFrame(
+        [(100 + i, [math.cos(i / 7.0), math.sin(i / 7.0), i * 0.05])
+         for i in range(9)],
+        ["vec_id", "embedding"],
+    )
+    tgt = spark.createDataFrame(
+        [(j, [math.cos(j / 5.0), math.sin(j / 5.0), 0.1])
+         for j in range(7)],
+        ["vec_id", "embedding"],
+    )
+
+    def snap(block_rows):
+        return sorted(
+            (r.src_id, r.tgt_id, r.sim, r.margin)
+            for r in bitext_margin_mine(
+                src, tgt, min_sim=0.3, min_margin=0.01,
+                block_rows=block_rows,
+            ).collect()
+        )
+
+    whole = snap(1024)
+    assert whole
+    assert snap(1) == whole
+    assert snap(4) == whole
+
+
 def test_bitext_margin_single_target_gets_full_margin(spark):
     # one target only: sim2 is NULL -> margin = sim - (-1) passes
     src = spark.createDataFrame([(10, [1.0, 0.0])], ["vec_id", "embedding"])
