@@ -2241,6 +2241,86 @@ def _dhash_mirror_band_terms(band: int, width: int, height: int,
     return " + ".join(terms)
 
 
+def _dhash_bands_arrow(
+    rows: DataFrame,
+    key_cols: list[str],
+    pixels_col: str,
+    width: int,
+    height: int,
+    mirror: bool,
+) -> DataFrame:
+    """(key_cols..., b0..b3[, m0..m3]) in ONE Arrow pass — the exact
+    integer math of _dhash_band_terms / _dhash_mirror_band_terms
+    vectorized in numpy (pure > comparisons and power-of-two sums, so
+    bit-identical to the SQL form).
+
+    The Catalyst shape needed a localCheckpoint of the WIDE pixel
+    arrays just to keep the 128 element_at reads from re-inlining a
+    computed pixels expression (lessons 3/20) — and materializing 72
+    ints per row cost ~3x the whole band computation (measured 4.5s vs
+    1.5s synth + 0.9s bands at 200k images). Here pixels are evaluated
+    exactly once as UDF input; malformed grids (len != width*height)
+    are dropped inside the pass, mirroring the SQL-side len() guard.
+    """
+    import numpy as np
+    import pandas as pd
+
+    w, h = int(width), int(height)
+    grid = w * h
+    key_types = [
+        f"{c} {rows.schema[c].dataType.simpleString()}" for c in key_cols
+    ]
+    band_names = [f"b{t}" for t in range(4)] + (
+        [f"m{t}" for t in range(4)] if mirror else []
+    )
+    schema = ", ".join(key_types + [f"{c} int" for c in band_names])
+    weights = (1 << np.arange(16)).astype(np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            arrs = pdf[pixels_col].to_numpy()
+            n = len(arrs)
+            out_cols = {c: pdf[c] for c in key_cols}
+            if n == 0:
+                yield pd.DataFrame(
+                    {**out_cols, **{c: [] for c in band_names}}
+                )
+                continue
+            lens = np.fromiter(
+                (len(a) for a in arrs), dtype=np.int64, count=n
+            )
+            ok = lens == grid
+            if not ok.all():
+                pdf = pdf[ok]
+                arrs = arrs[ok]
+                out_cols = {c: pdf[c] for c in key_cols}
+                n = len(arrs)
+            if n == 0:
+                yield pd.DataFrame(
+                    {**out_cols, **{c: [] for c in band_names}}
+                )
+                continue
+            p = np.stack(arrs).astype(np.int64).reshape(n, h, w)
+            d = (p[:, :, 1:] > p[:, :, :-1]).reshape(n, 64)
+            for t in range(4):
+                out_cols[f"b{t}"] = (
+                    d[:, t * 16 : (t + 1) * 16] @ weights
+                ).astype(np.int32)
+            if mirror:
+                dm = (p[:, :, :-1] > p[:, :, 1:])[:, :, ::-1].reshape(
+                    n, 64
+                )
+                for t in range(4):
+                    out_cols[f"m{t}"] = (
+                        dm[:, t * 16 : (t + 1) * 16] @ weights
+                    ).astype(np.int32)
+            yield pd.DataFrame(out_cols)
+
+    return rows.select(*key_cols, pixels_col).mapInPandas(
+        run, schema=schema
+    )
+
+
 def dedup_phash(
     images: DataFrame,
     id_col: str = "media_id",
@@ -2303,33 +2383,16 @@ def dedup_phash(
             "max_dist must be in [0, 3]: 4 bands of 16 bits pigeonhole "
             "exactly up to Hamming distance 3"
         )
-    base = (
+    # bands in one Arrow pass (malformed grids dropped inside — the
+    # ANSI/oracle len() guard); the narrow 4-8-int rows checkpoint so
+    # both join branches read them instead of recomputing
+    bands = _dhash_bands_arrow(
         images.select(
             F.col(id_col).alias("id"),
             F.col(pixels_col).cast("array<int>").alias("p"),
-        )
-        # malformed grids would crash element_at under ANSI (and read
-        # as NULLs in DuckDB — engine divergence): drop them, mirrored
-        # in the oracle
-        .filter(F.size("p") == width * height)
-        .localCheckpoint(eager=True)
-    )
-
-    def elem(i: int) -> str:
-        return f"element_at(p, {i})"
-
-    band_cols = [
-        F.expr(_dhash_band_terms(t, width, height, elem))
-        .cast("int").alias(f"b{t}")
-        for t in range(4)
-    ]
-    if mirror_invariant:
-        band_cols += [
-            F.expr(_dhash_mirror_band_terms(t, width, height, elem))
-            .cast("int").alias(f"m{t}")
-            for t in range(4)
-        ]
-    bands = base.select("id", *band_cols)
+        ),
+        ["id"], "p", width, height, mirror_invariant,
+    ).localCheckpoint(eager=True)
     bkey = F.expr(
         "CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 "
         "ELSE b3 END + bi * 65536"
@@ -2516,28 +2579,16 @@ def video_neardup(
         )
     if int(min_frames) <= 0:
         raise ValueError("min_frames must be positive")
-    base = (
+    # bands in one Arrow pass (malformed grids dropped inside — the
+    # ANSI/oracle len() guard); narrow rows checkpoint for both branches
+    bands = _dhash_bands_arrow(
         frames.select(
             F.col(vid_col).alias("vid"),
             F.col(frame_col).alias("fi"),
             F.col(pixels_col).cast("array<int>").alias("p"),
-        )
-        # dedup_phash's ANSI/oracle-parity guard
-        .filter(F.size("p") == width * height)
-        .localCheckpoint(eager=True)
-    )
-
-    def elem(i: int) -> str:
-        return f"element_at(p, {i})"
-
-    bands = base.select(
-        "vid", "fi",
-        *[
-            F.expr(_dhash_band_terms(t, width, height, elem))
-            .cast("int").alias(f"b{t}")
-            for t in range(4)
-        ],
-    )
+        ),
+        ["vid", "fi"], "p", width, height, False,
+    ).localCheckpoint(eager=True)
     bkey = F.expr(
         "CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 "
         "ELSE b3 END + bi * 65536"
@@ -2875,26 +2926,22 @@ def phash_snapshot_dedup(
             "exactly up to Hamming distance 3"
         )
 
-    def elem(i: int) -> str:
-        return f"element_at(p, {i})"
-
     def bands_of(df: DataFrame, side: str) -> DataFrame:
-        base = (
+        # one Arrow pass (dedup_phash's _dhash_bands_arrow): pixels are
+        # evaluated once as UDF input, so no wide-array checkpoint; the
+        # narrow band rows checkpoint instead (single consumer each,
+        # but the explode below would otherwise re-derive them under
+        # InferFiltersFromGenerate)
+        return _dhash_bands_arrow(
             df.select(
                 F.col(id_col).alias(f"id_{side}"),
                 F.col(pixels_col).cast("array<int>").alias("p"),
-            )
-            .filter(F.size("p") == width * height)
-            .localCheckpoint(eager=True)
-        )
-        return base.select(
+            ),
+            [f"id_{side}"], "p", width, height, False,
+        ).select(
             f"id_{side}",
-            *[
-                F.expr(_dhash_band_terms(t, width, height, elem))
-                .cast("int").alias(f"b{t}_{side}")
-                for t in range(4)
-            ],
-        )
+            *[F.col(f"b{t}").alias(f"b{t}_{side}") for t in range(4)],
+        ).localCheckpoint(eager=True)
 
     def keyed_of(bands: DataFrame, side: str) -> DataFrame:
         bkey = F.expr(
