@@ -3987,12 +3987,18 @@ def _spell_correct(spark, sf):
 
     d = _docs(spark, sf)
     d.createOrReplaceTempView("documents")
+    # r7: extract token runs instead of splitting on the negated class
+    # — java-regex split on '[^a-z0-9_]+' measured 13x slower than the
+    # complementary extract (2.0s vs 0.22s warm at sf1.0), and the old
+    # filter() HOF around it re-evaluated the split per access on top.
+    # extract-all of the class == split on its complement with empties
+    # dropped (token multiset equality probed), so the vocabulary (and
+    # the oracle) is unchanged.
     vocab = (
         d.select(
             F.explode(
-                F.expr(
-                    "filter(split(lower(text), '[^a-z0-9_]+'),"
-                    " x -> x <> '')"
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9_]+"), F.lit(0)
                 )
             ).alias("term")
         )

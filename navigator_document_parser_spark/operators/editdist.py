@@ -77,6 +77,13 @@ def _delete_neighborhood(
 
     d=2 is a STAGED second explode over the d=1 rows (never a nested
     HOF over a computed array — lesson 9), deduped per (id, v).
+
+    Emitted ``v`` is xxhash64 of the variant, not the string (r7): the
+    join only needs EQUALITY of variants, and a 64-bit collision can
+    only ADD candidate pairs — which the callers' exact levenshtein
+    verify removes — so recall and results are unchanged while the
+    operator's largest shuffle carries 8-byte longs instead of
+    variant strings (~L bytes each, L^2..L^3 rows per string).
     """
     if max_dist not in (1, 2):
         raise ValueError("max_dist must be 1 or 2")
@@ -88,13 +95,17 @@ def _delete_neighborhood(
         # already (id, v)-distinct: _variants1_sql wraps the per-row
         # array in array_distinct and each id contributes one row — a
         # dropDuplicates here would shuffle the operator's largest
-        # intermediate for nothing (review finding)
-        return lvl1
+        # intermediate for nothing (review finding). A same-id hash
+        # collision merely duplicates a candidate row; the pair-level
+        # dropDuplicates downstream absorbs it.
+        return lvl1.select("id", F.xxhash64("v").alias("v"))
     # variants1(v) contains v itself, so lvl2 is a superset of lvl1
     lvl2 = lvl1.select(
         "id", F.explode(F.expr(_variants1_sql("v"))).alias("v")
     )
-    return lvl2.dropDuplicates(["id", "v"])
+    return lvl2.select("id", F.xxhash64("v").alias("v")).dropDuplicates(
+        ["id", "v"]
+    )
 
 
 def dedup_editdist(

@@ -1413,10 +1413,13 @@ def prefix_suggest(
     vocab = (
         docs.select(
             F.col(id_col).alias("doc_id"),
+            # extract-all of the token class == split on its complement
+            # with empties dropped (identical stream; the negated-class
+            # java-regex split measured 13x slower — r7)
             F.explode(
                 F.expr(
-                    f"filter(split(lower({text_col}), '[^a-z0-9_]+'),"
-                    " x -> x <> '')"
+                    f"regexp_extract_all(lower({text_col}),"
+                    " '[a-z0-9_]+', 0)"
                 )
             ).alias("term"),
         )

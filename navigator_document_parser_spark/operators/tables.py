@@ -370,13 +370,16 @@ def title_consistency(
 
     base = pages.select(
         F.col(id_col).alias("doc_id"),
+        # extract-all == split-on-complement with empties dropped, same
+        # order, so array_distinct yields identical arrays (the
+        # negated-class java-regex split measured 13x slower — r7)
         F.expr(
-            f"array_distinct(filter(split(lower({title_col}),"
-            " '[^a-z0-9_]+'), x -> x <> ''))"
+            f"array_distinct(regexp_extract_all(lower({title_col}),"
+            " '[a-z0-9_]+', 0))"
         ).alias("tt"),
         F.expr(
-            f"array_distinct(filter(split(lower({text_col}),"
-            " '[^a-z0-9_]+'), x -> x <> ''))"
+            f"array_distinct(regexp_extract_all(lower({text_col}),"
+            " '[a-z0-9_]+', 0))"
         ).alias("bt"),
     ).localCheckpoint(eager=True)
     n_title = F.size("tt").cast("bigint")

@@ -2528,7 +2528,12 @@ def code_detect(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         F.split(F.col(text_col), "\n").alias("lines"),
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9_]+").alias("toks"),
+        # extract-all: same tokens as the negated-class split minus the
+        # boundary empties (which can never match a keyword) and 13x
+        # faster in java regex (r7)
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9_]+"), F.lit(0)
+        ).alias("toks"),
     ).localCheckpoint(eager=True)
 
     n_sym = (

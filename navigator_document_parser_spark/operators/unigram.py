@@ -107,10 +107,12 @@ def unigram_tokenize_stats(
     v = _vocab_dict(vocab)
     words = df.select(
         F.col(id_col).alias("doc_id"),
+        # extract-all == split-on-complement with empties dropped
+        # (identical stream; negated-class split is 13x slower — r7)
         F.explode(
             F.expr(
-                f"filter(split(lower({text_col}), '[^a-z0-9]+'),"
-                " x -> x <> '')"
+                f"regexp_extract_all(lower({text_col}),"
+                " '[a-z0-9]+', 0)"
             )
         ).alias("w0"),
     ).select(

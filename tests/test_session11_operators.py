@@ -493,12 +493,14 @@ def test_dedup_editdist_variant_shuffle_is_narrow(spark):
         ]
     plan = _physical(dedup_editdist(df, max_dist=2))
     # the checkpointed variant table is the only scan carrying v —
-    # pin that every such scan is exactly (id, v), never a string col
+    # pin that every such scan is exactly (id, v), never a string col;
+    # since r7 v is the xxhash64 of the variant (8-byte long, trailing
+    # L in the plan), so string bytes never ride the big shuffle at all
     scans = re.findall(r"Scan ExistingRDD[^\n]*", plan)
     vscans = [s for s in scans if re.search(r"\bv#\d+", s)]
     assert vscans, plan
     for s in vscans:
-        assert re.search(r"\[id#\d+L?,\s*v#\d+\]$", s.strip()), s
+        assert re.search(r"\[id#\d+L?,\s*v#\d+L\]$", s.strip()), s
 
 
 def test_extract_links_multiline_markup_flattened(spark):
