@@ -3106,13 +3106,21 @@ def gibberish_score(
     Documents shorter than 3 chars have no trigrams and yield NO row
     (both engines identically).
     """
-    tris = (
+    # the lowered text must be a STORED column before the interpreted
+    # transform lambda reads it: CollapseProject would otherwise inline
+    # s = lower(text) into every substring(s, i, 3) — one full-text
+    # lower per TRIGRAM (measured 4.5s at sf1.0; ~1.4s with the
+    # barrier). Cheap: the projection is one narrow string per doc.
+    lowered = (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.lower(F.col(text_col)).alias("s"),
         )
         .filter(F.length("s") >= 3)
-        .select(
+        .localCheckpoint(eager=True)
+    )
+    tris = (
+        lowered.select(
             "doc_id",
             F.explode(
                 F.expr(
@@ -3126,9 +3134,13 @@ def gibberish_score(
         # so it runs once, not three times (lessons 3/7; ADVICE r4)
         .localCheckpoint(eager=True)
     )
+    # corpus feeds BOTH the per-doc broadcast join and the total sum;
+    # un-materialized, each consumer re-scans + re-aggregates the 15M
+    # trigram rows (~0.9s each at sf1.0) — the table itself is
+    # dictionary-sized, so checkpointing it is free (r7)
     corpus = tris.groupBy("t").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     total = corpus.groupBy().agg(
         F.sum("c").cast("bigint").alias("tt")
     )
@@ -3136,8 +3148,13 @@ def gibberish_score(
         "CAST(floor(log2(CAST(c AS DOUBLE)) * 1048576.0 + 0.5)"
         " AS BIGINT)"
     )
+    # corpus counts are dictionary-sized (distinct trigrams of the
+    # alphabet, 377 at sf1.0) but sit above an aggregate, so the
+    # planner's size estimate blocks the automatic broadcast and the
+    # 15M-row trigram table pays a sort-merge shuffle (measured 2.6s
+    # vs 0.6s) — hint it explicitly (r7)
     per_doc = (
-        tris.join(corpus, "t")
+        tris.join(F.broadcast(corpus), "t")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tris"),
