@@ -105,49 +105,63 @@ def unigram_tokenize_stats(
     filters on, exactly like bpe_tokenize_stats but under the unigram
     model (low pieces/word = in-vocabulary natural text)."""
     v = _vocab_dict(vocab)
-    words = df.select(
+    clip = int(max_word_len)
+    # One zero-shuffle pass (r7): the old explode -> distinct ->
+    # mapInPandas -> join-back -> groupBy pipeline paid 3 Exchanges
+    # and shipped one boundary row per word occurrence; per-doc sums
+    # are already final inside a task, so compute them there. The DP
+    # still runs once per distinct word per task (memo) — same
+    # _viterbi, same integer sums, ratio4 stays in Spark.
+    toks = df.select(
         F.col(id_col).alias("doc_id"),
         # extract-all == split-on-complement with empties dropped
         # (identical stream; negated-class split is 13x slower — r7)
-        F.explode(
-            F.expr(
-                f"regexp_extract_all(lower({text_col}),"
-                " '[a-z0-9]+', 0)"
-            )
-        ).alias("w0"),
-    ).select(
-        "doc_id", F.substring("w0", 1, int(max_word_len)).alias("w")
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("ws"),
     )
-    distinct_w = words.select("w").distinct()
+    id_type = toks.schema["doc_id"].dataType.simpleString()
 
     def dp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
         for pdf in batches:
-            rows = []
-            for w in pdf["w"]:
-                sc, np_ = _viterbi(w, v)
-                rows.append({"w": w, "w_score": sc, "w_pieces": np_})
+            ids, nw, sc, np_ = [], [], [], []
+            for doc_id, ws in zip(pdf["doc_id"], pdf["ws"]):
+                if ws is None or len(ws) == 0:
+                    continue  # wordless doc: no row (as before)
+                s = p = 0
+                for w0 in ws:
+                    w = w0[:clip]  # == substring(w0, 1, clip): ASCII
+                    r = memo.get(w)
+                    if r is None:
+                        r = _viterbi(w, v)
+                        memo[w] = r
+                    s += r[0]
+                    p += r[1]
+                ids.append(doc_id)
+                nw.append(len(ws))
+                sc.append(s)
+                np_.append(p)
             yield pd.DataFrame(
-                rows, columns=["w", "w_score", "w_pieces"]
+                {
+                    "doc_id": ids,
+                    "n_words": pd.Series(nw, dtype="int64"),
+                    "uni_score": pd.Series(sc, dtype="int64"),
+                    "n_pieces": pd.Series(np_, dtype="int64"),
+                }
             )
 
-    scored = distinct_w.mapInPandas(
-        dp, schema="w string, w_score bigint, w_pieces bigint"
-    )
-    n_words = F.count(F.lit(1)).cast("bigint")
-    return (
-        words.join(scored, on="w")
-        .groupBy("doc_id")
-        .agg(
-            n_words.alias("n_words"),
-            F.sum("w_score").cast("bigint").alias("uni_score"),
-            F.sum("w_pieces").cast("bigint").alias("n_pieces"),
-        )
-        .select(
-            "doc_id", "n_words", "uni_score", "n_pieces",
-            ratio4(F.col("n_pieces"), F.col("n_words")).alias(
-                "pieces_per_word4"
-            ),
-        )
+    return toks.mapInPandas(
+        dp,
+        schema=(
+            f"doc_id {id_type}, n_words bigint, "
+            "uni_score bigint, n_pieces bigint"
+        ),
+    ).select(
+        "doc_id", "n_words", "uni_score", "n_pieces",
+        ratio4(F.col("n_pieces"), F.col("n_words")).alias(
+            "pieces_per_word4"
+        ),
     )
 
 

@@ -770,6 +770,26 @@ def test_unigram_tokenize_stats_sums(spark):
     assert out[2] == (2, 20, 2, 1.0)
 
 
+def test_unigram_tokenize_stats_clip_and_partition_invariance(spark):
+    # r7 rewrite: one zero-shuffle mapInPandas pass with a per-task
+    # Viterbi memo. Pin the two internals the old explode/join shape
+    # made structural: (a) words clip to max_word_len CHARS before
+    # scoring; (b) the result is partition-independent.
+    v = _vocab_dict(DEFAULT_UNIGRAM_VOCAB)
+    long_w = "the" * 10  # 30 chars -> scored as its 16-char prefix
+    df = spark.createDataFrame(
+        [(0, f"{long_w} zz"), (1, "the zz the")], ["doc_id", "text"]
+    )
+    sc16, np16 = _viterbi(long_w[:16], v)
+    out = {r.doc_id: (r.n_words, r.uni_score, r.n_pieces)
+           for r in unigram_tokenize_stats(df).collect()}
+    assert out[0] == (2, sc16 + 2, np16 + 2)
+    assert out[1] == (3, 14, 4)
+    out3 = {r.doc_id: (r.n_words, r.uni_score, r.n_pieces)
+            for r in unigram_tokenize_stats(df.repartition(3)).collect()}
+    assert out3 == out
+
+
 def test_unigram_vocab_validation():
     import pytest as _pytest
     with _pytest.raises(ValueError):
