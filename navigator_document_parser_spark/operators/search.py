@@ -82,20 +82,20 @@ def keyword_search(
         qrows, "query_id bigint, term string, n_terms int"
     )
 
-    # tf feeds both the document-frequency aggregate and the scored join;
-    # the barrier stops each branch from re-running scan->explode->agg
-    # (CLAUDE.md lesson 3; eager per lesson 7). Post-filter it is tiny:
-    # |vocab| x n_docs rows at most.
-    tf = term_postings(df, id_col, text_col, vocabulary=sorted(vocab))
-    tf = tf.localCheckpoint(eager=True)
-    dfreq = tf.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("dfq")
+    # df(term) as a window count over tf's unique (term, doc_id) rows
+    # — identical to the old count_distinct aggregate, but one pass:
+    # the separate dfreq branch (plus the checkpoint barrier that kept
+    # it from re-running scan->explode->agg) and its broadcast build
+    # are gone (r7).
+    tf = term_postings(
+        df, id_col, text_col, vocabulary=sorted(vocab)
+    ).withColumn(
+        "dfq", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
 
     scored = (
         tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .groupBy("query_id", "doc_id", "n_terms")
         .agg(
@@ -357,13 +357,17 @@ def bm25_search(
         .filter(F.col("term").isin(sorted(vocab)))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-    )
-    dfreq = tf.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("dfq")
+        # df(term) as a window count over the unique (term, doc_id)
+        # rows — identical to the old count_distinct aggregate, but
+        # ONE pass: the separate dfreq branch re-ran the whole
+        # tokenize+explode+agg subtree (18 Exchanges, 0 reused — r7)
+        # and paid a second broadcast build.
+        .withColumn(
+            "dfq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
     )
     scored = (
         tf.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
