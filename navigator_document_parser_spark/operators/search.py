@@ -595,28 +595,50 @@ def index_merge(
     from navigator_document_parser_spark.operators import md5_u32_sql
     from pyspark.sql.window import Window as W
 
-    if materialize_old:
-        old_index = old_index.localCheckpoint(eager=True)
-    new_ids = (
-        new_docs.select(F.col(id_col).alias("doc_id"))
-        .dropDuplicates(["doc_id"])
-        .withColumn("block_id", F.expr(f"doc_id div {block_size}"))
-        .localCheckpoint(eager=True)  # purge anti-join + block keys
-    )
-    new_words = (
-        new_docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.filter(
-                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-                    lambda t: F.length(t) > 0,
-                )
-            ).alias("term"),
+    # ONE delta scan/checkpoint for both the id table and the token
+    # table (r7): explode_outer keeps a null-term row for empty docs,
+    # so new_ids (which must purge even token-less re-crawls) and
+    # new_words both project from it. The old shape paid two delta
+    # scans and three SERIAL eager-checkpoint jobs at construction
+    # (2.4s of index_merge's 3.5s at sf0.1); independent barriers now
+    # materialize concurrently (guide §2.6 — actions are only
+    # sequential because driver code calls them sequentially).
+    def _delta():
+        return (
+            new_docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode_outer(
+                    F.filter(
+                        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                        lambda t: F.length(t) > 0,
+                    )
+                ).alias("term"),
+            )
+            .dropDuplicates(["term", "doc_id"])
+            .withColumn("block_id", F.expr(f"doc_id div {block_size}"))
+            .localCheckpoint(eager=True)
         )
-        .dropDuplicates(["term", "doc_id"])
-        .withColumn("block_id", F.expr(f"doc_id div {block_size}"))
-        .localCheckpoint(eager=True)
+
+    if materialize_old:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_old = pool.submit(
+                inheritable_thread_target(
+                    lambda: old_index.localCheckpoint(eager=True)
+                )
+            )
+            f_delta = pool.submit(inheritable_thread_target(_delta))
+            old_index = f_old.result()
+            delta = f_delta.result()
+    else:
+        delta = _delta()
+    new_ids = delta.select("doc_id", "block_id").dropDuplicates(
+        ["doc_id"]
     )
+    new_words = delta.filter(F.col("term").isNotNull())
     # block ids come from the doc IDS (not the token table): an empty
     # re-crawled doc has no tokens but must still purge its postings
     delta_blocks = new_ids.select("block_id").dropDuplicates()
