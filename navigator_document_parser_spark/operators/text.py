@@ -3082,6 +3082,7 @@ def gibberish_score(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_collect_tris: int = 1 << 20,
 ) -> DataFrame:
     """Character-trigram LM score per document — the gibberish /
     keyboard-mash / encoding-garbage detector that catches what the
@@ -3096,10 +3097,12 @@ def gibberish_score(
     one per-row log2 (accepted ulp class) and the final assembly
     score = sum_fx / 2^20 / n - log2(T), identical doubles both sides.
 
-    100 TB shape: trigram explode feeds two hash aggregates (corpus
-    counts, then per-doc sums) — both map-side combinable; the corpus
-    count table joins back by trigram (dictionary-sized, hot keys are
-    combiner-absorbed).
+    100 TB shape: one trigram explode -> hash aggregate builds the
+    alphabet-bounded corpus dictionary (map-side combine absorbs hot
+    trigrams); per-doc sums are ONE vectorized Arrow pass over the
+    lowered text against the collected (bounded, auto-fallback to the
+    broadcast-join shape above ``max_collect_tris``) dictionary — no
+    per-occurrence rows ever shuffle or materialize.
 
     Returns (doc_id, n_tris, score) — score is round()-free: the
     raw double is emitted (hash-stable because its inputs are exact).
@@ -3111,6 +3114,13 @@ def gibberish_score(
     # s = lower(text) into every substring(s, i, 3) — one full-text
     # lower per TRIGRAM (measured 4.5s at sf1.0; ~1.4s with the
     # barrier). Cheap: the projection is one narrow string per doc.
+    from typing import Iterator as _Iterator
+
+    import pandas as _pd
+
+    # the lowered text feeds TWO passes (corpus counts + per-doc
+    # scoring) — barrier it so lower() runs once; narrow (one string
+    # per doc)
     lowered = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -3119,6 +3129,98 @@ def gibberish_score(
         .filter(F.length("s") >= 3)
         .localCheckpoint(eager=True)
     )
+    id_type = lowered.schema["doc_id"].dataType.simpleString()
+    # corpus counts: explode -> hash aggregate (map-side combine
+    # absorbs hot trigrams); dictionary-sized output, checkpointed so
+    # the count() probe + collect below don't re-run the explode
+    corpus = (
+        lowered.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(s) - 2),"
+                    " i -> substring(s, i, 3))"
+                )
+            ).alias("t"),
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # per-trigram contribution computed in SPARK SQL so the log2
+        # stays the JVM's (ulp parity with the old join path)
+        .withColumn(
+            "contrib",
+            F.expr(
+                "CAST(floor(log2(CAST(c AS DOUBLE)) * 1048576.0"
+                " + 0.5) AS BIGINT)"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # r7: the old shape checkpointed the FULL (doc_id, trigram) table
+    # (15M rows at sf1.0) and paid a broadcast join + per-doc shuffle
+    # over it. The trigram DICTIONARY is alphabet-bounded (377 at
+    # sf1.0), so collect (t, c, contrib) to the driver — the bounded-
+    # collect class (centroids, BPE rounds) — and score each doc in
+    # one vectorized Arrow pass: trigram codes by bit-packing the
+    # UTF-32 char codes (21 bits each), searchsorted into the sorted
+    # dictionary (every doc trigram IS in the corpus by construction),
+    # integer contrib sums (exact under any order). Falls back to the
+    # old join shape if the dictionary exceeds max_collect_tris
+    # (committed-keys auto-fallback pattern).
+    if corpus.count() <= int(max_collect_tris):
+        rows = corpus.collect()
+        tt = sum(r["c"] for r in rows)  # exact BIGINT total
+        import numpy as _np
+
+        def _code(t: str) -> int:
+            a = _np.frombuffer(
+                t.encode("utf-32-le"), dtype=_np.uint32
+            ).astype(_np.int64)
+            return int((a[0] << 42) | (a[1] << 21) | a[2])
+
+        pairs = sorted((_code(r["t"]), r["contrib"]) for r in rows)
+        keys = _np.array([p[0] for p in pairs], dtype=_np.int64)
+        vals = _np.array([p[1] for p in pairs], dtype=_np.int64)
+
+        def score_docs(
+            batches: _Iterator[_pd.DataFrame],
+        ) -> _Iterator[_pd.DataFrame]:
+            for pdf in batches:
+                ids, nt, sf = [], [], []
+                for doc_id, s in zip(pdf["doc_id"], pdf["s"]):
+                    a = _np.frombuffer(
+                        s.encode("utf-32-le"), dtype=_np.uint32
+                    ).astype(_np.int64)
+                    tri = (
+                        (a[:-2] << 42) | (a[1:-1] << 21) | a[2:]
+                    )
+                    ids.append(doc_id)
+                    nt.append(tri.shape[0])
+                    sf.append(
+                        int(vals[_np.searchsorted(keys, tri)].sum())
+                    )
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_tris": _pd.Series(nt, dtype="int64"),
+                        "s_fx": _pd.Series(sf, dtype="int64"),
+                    }
+                )
+
+        per_doc = lowered.mapInPandas(
+            score_docs,
+            schema=f"doc_id {id_type}, n_tris bigint, s_fx bigint",
+        )
+        return per_doc.select(
+            "doc_id",
+            "n_tris",
+            (
+                (F.col("s_fx").cast("double") / F.lit(1048576.0))
+                / F.col("n_tris")
+                - F.expr(f"log2(CAST({int(tt)} AS DOUBLE))")
+            ).alias("score"),
+        )
+
+    # fallback: dictionary too large to collect — the r6 join shape
     tris = (
         lowered.select(
             "doc_id",
@@ -3129,36 +3231,17 @@ def gibberish_score(
                 )
             ).alias("t"),
         )
-        # (doc_id, t) feeds THREE consumers (corpus counts, total via
-        # the broadcast 1-row agg, per-doc join): barrier the explode
-        # so it runs once, not three times (lessons 3/7; ADVICE r4)
         .localCheckpoint(eager=True)
     )
-    # corpus feeds BOTH the per-doc broadcast join and the total sum;
-    # un-materialized, each consumer re-scans + re-aggregates the 15M
-    # trigram rows (~0.9s each at sf1.0) — the table itself is
-    # dictionary-sized, so checkpointing it is free (r7)
-    corpus = tris.groupBy("t").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    ).localCheckpoint(eager=True)
     total = corpus.groupBy().agg(
         F.sum("c").cast("bigint").alias("tt")
     )
-    contrib = F.expr(
-        "CAST(floor(log2(CAST(c AS DOUBLE)) * 1048576.0 + 0.5)"
-        " AS BIGINT)"
-    )
-    # corpus counts are dictionary-sized (distinct trigrams of the
-    # alphabet, 377 at sf1.0) but sit above an aggregate, so the
-    # planner's size estimate blocks the automatic broadcast and the
-    # 15M-row trigram table pays a sort-merge shuffle (measured 2.6s
-    # vs 0.6s) — hint it explicitly (r7)
     per_doc = (
         tris.join(F.broadcast(corpus), "t")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tris"),
-            F.sum(contrib).cast("bigint").alias("s_fx"),
+            F.sum("contrib").cast("bigint").alias("s_fx"),
         )
     )
     return per_doc.crossJoin(F.broadcast(total)).select(

@@ -640,6 +640,30 @@ def test_gibberish_score_orders_natural_above_mash(spark):
     assert out[1].n_tris == len("the cat and the hat and the bat") - 2
 
 
+def test_gibberish_score_fallback_matches_vectorized(spark):
+    # r7 rewrite: the per-doc sums come from a vectorized Arrow pass
+    # against the collected trigram dictionary; max_collect_tris=0
+    # forces the old broadcast-join shape. Same rows bit-for-bit —
+    # including non-ASCII text (UTF-32 code packing vs substring).
+    from navigator_document_parser_spark.operators.text import (
+        gibberish_score,
+    )
+
+    docs = [
+        (1, "the cat and the hat and the bat"),
+        (2, "Héllo wörld héllo wörld"),
+        (3, "zqxv jkwp qzzv xkjw"),
+        (4, "\U0001F600abc\U0001F600abc"),  # astral chars
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fast = _rows(gibberish_score(df))
+    slow = _rows(gibberish_score(df, max_collect_tris=0))
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert fast[k].n_tris == slow[k].n_tris
+        assert fast[k].score == slow[k].score  # identical doubles
+
+
 def test_gibberish_score_short_text_dropped(spark):
     from navigator_document_parser_spark.operators.text import (
         gibberish_score,
