@@ -2120,6 +2120,10 @@ def mmr_rerank(
     lam = float(lam)
     one_minus = 1.0 - lam
 
+    from typing import Iterator as _Iterator  # noqa: F401
+
+    import pandas as pd
+
     cands = knn_bruteforce(
         embeddings,
         queries,
@@ -2133,6 +2137,8 @@ def mmr_rerank(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
     cv = cands.select("query_id", "vec_id", "rel").join(ev, "vec_id")
+    # single consumer now (the cogrouped greedy pass) — no barrier
+    # needed; cv reads the checkpointed cands
     pairs = (
         cv.alias("a")
         .join(
@@ -2146,52 +2152,71 @@ def mmr_rerank(
             F.col("b.vec_id").alias("ib"),
             cosine(F.col("a.v"), F.col("b.v")).alias("s"),
         )
-        .localCheckpoint(eager=True)
     )
 
-    score1 = F.round(F.lit(lam) * F.col("rel"), 4)
-    picked = cands.filter(F.col("rank") == 1).select(
+    # r7: the k-round unrolled Spark loop re-executed each prior
+    # round's subplan per later reference (the lesson-16 class — exec
+    # was 2.9s of tiny-table window/join stages at sf0.1). Every float
+    # the greedy walk compares (rel, pairwise s) is ALREADY a
+    # 4dp-rounded Spark-side double, and lam*rel - (1-lam)*ms over
+    # identical doubles is the same IEEE arithmetic in any engine, so
+    # the walk runs in ONE cogrouped Arrow pass per query — same
+    # picks, same raw scores; the output round(.,4) stays in Spark
+    # (lesson 18: never round doubles in Python).
+    qid_t = cands.schema["query_id"].dataType.simpleString()
+    vid_t = cands.schema["vec_id"].dataType.simpleString()
+
+    def greedy(cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0:
+            return pd.DataFrame(
+                {"query_id": [], "vec_id": [], "pick": [], "score0": []}
+            )
+        qid = cdf["query_id"].iloc[0]
+        s = {
+            (ia, ib): sv
+            for ia, ib, sv in zip(pdf["ia"], pdf["ib"], pdf["s"])
+        }
+        rel = dict(zip(cdf["vec_id"], cdf["rel"]))
+        first = cdf.loc[cdf["rank"] == 1, "vec_id"].iloc[0]
+        picked = [first]
+        rows = [(qid, first, 1, lam * rel[first])]
+        remaining = sorted(v for v in cdf["vec_id"] if v != first)
+        for t in range(2, k + 1):
+            if not remaining:
+                break
+            best = None
+            for v in remaining:
+                msv = [s[(v, j)] for j in picked if (v, j) in s]
+                ms = max(msv) if msv else 0.0
+                sc = lam * rel[v] - one_minus * ms
+                # window order: score0 DESC, vec_id ASC
+                if best is None or (-sc, v) < (-best[1], best[0]):
+                    best = (v, sc)
+            rows.append((qid, best[0], t, best[1]))
+            picked.append(best[0])
+            remaining.remove(best[0])
+        return pd.DataFrame(
+            rows, columns=["query_id", "vec_id", "pick", "score0"]
+        )
+
+    out = (
+        cands.select("query_id", "vec_id", "rel", "rank")
+        .groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            greedy,
+            schema=(
+                f"query_id {qid_t}, vec_id {vid_t}, "
+                "pick bigint, score0 double"
+            ),
+        )
+    )
+    return out.select(
         "query_id",
         "vec_id",
-        F.lit(1).cast("bigint").alias("pick"),
-        score1.alias("mmr_score"),
+        "pick",
+        F.round(F.col("score0"), 4).alias("mmr_score"),
     )
-    out = picked
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score0").desc(), F.col("vec_id").asc()
-    )
-    for t in range(2, k + 1):
-        sel_keys = out.select("query_id", "vec_id")
-        rem = cands.join(sel_keys, ["query_id", "vec_id"], "left_anti")
-        ms = (
-            pairs.join(
-                sel_keys.withColumnRenamed("vec_id", "ib"),
-                ["query_id", "ib"],
-            )
-            .groupBy("query_id", "ia")
-            .agg(F.max("s").alias("ms"))
-            .withColumnRenamed("ia", "vec_id")
-        )
-        sc = rem.join(ms, ["query_id", "vec_id"], "left").select(
-            "query_id",
-            "vec_id",
-            (
-                F.lit(lam) * F.col("rel")
-                - F.lit(one_minus) * F.coalesce(F.col("ms"), F.lit(0.0))
-            ).alias("score0"),
-        )
-        pick_t = (
-            sc.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(
-                "query_id",
-                "vec_id",
-                F.lit(t).cast("bigint").alias("pick"),
-                F.round(F.col("score0"), 4).alias("mmr_score"),
-            )
-        )
-        out = out.unionByName(pick_t)
-    return out
 
 
 def oracle_mmr_rerank(
