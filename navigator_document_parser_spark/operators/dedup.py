@@ -217,6 +217,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     check_every: int = 2,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """Min-label propagation over the duplicate-pair graph.
 
@@ -252,6 +253,43 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+
+    # r7 bounded fast path: (node, min-reachable-id) is ALGORITHM-
+    # INDEPENDENT, so when the (already-materialized) edge table fits
+    # the driver bound, collect it and run union-find — one collect +
+    # one createDataFrame instead of O(log diameter) join-round jobs,
+    # whose launch overhead dominates on all but huge graphs. Same
+    # auto-fallback discipline as the committed-keys broadcast: above
+    # ``max_driver_edges`` (2M symmetric rows ≈ 32 MB of longs) the
+    # distributed rounds below run unchanged. count() reads the
+    # checkpoint's block metadata — it does not recompute the pairs.
+    if max_driver_edges and sym.count() <= 2 * int(max_driver_edges):
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            s, d = row[0], row[1]
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:  # union by min label: root = smaller id
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+        out = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            out, "node long, comp long"
+        )
 
     labels = (
         sym.select(F.col("src").alias("node"))

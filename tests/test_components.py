@@ -47,19 +47,32 @@ def test_components_match_union_find_random(spark):
         tuple(sorted(rng.sample(range(60), 2))) for _ in range(70)
     })
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = {
-        r["node"]: r["comp"] for r in connected_components(df).collect()
-    }
     expected = _union_find(pairs)
-    assert got == expected
+    # r7: both the bounded driver fast path (default) and the
+    # distributed label rounds (forced via max_driver_edges=0) must
+    # produce the identical min-label table
+    for mde in (2_000_000, 0):
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(
+                df, max_driver_edges=mde
+            ).collect()
+        }
+        assert got == expected, f"max_driver_edges={mde}"
 
 
 def test_components_long_chain(spark):
     # path graph 0-1-2-...-25: diameter stresses the iteration count
     pairs = [(i, i + 1) for i in range(25)]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
-    assert got == {i: 0 for i in range(26)}
+    for mde in (2_000_000, 0):
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(
+                df, max_driver_edges=mde
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(26)}, f"max_driver_edges={mde}"
 
 
 def test_dedup_corpus_keeps_one_per_cluster(spark):
