@@ -272,6 +272,7 @@ def label_propagation(
     src: str = "src_host",
     dst: str = "dst_host",
     checkpoint_every: int = 3,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """Synchronous min-label propagation over the UNDIRECTED host graph
     — the cheap community detector crawl pipelines use to group hosts
@@ -295,6 +296,31 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # r7 bounded fast path (the connected_components discipline): the
+    # fixed-round synchronous min-label recurrence is exact string
+    # arithmetic — replay it on the driver when the materialized edge
+    # table fits max_driver_edges, one collect + one createDataFrame
+    # instead of one join-round job per iteration. Spark's string min
+    # and Python's str min agree (both codepoint order). Distributed
+    # rounds below run unchanged above the bound.
+    if max_driver_edges and sym.count() <= int(max_driver_edges):
+        node_t = sym.schema["a"].dataType.simpleString()
+        adj: dict = {}
+        for row in sym.collect():
+            adj.setdefault(row[0], []).append(row[1])
+        labels_d = {v: v for v in adj}
+        for _ in range(int(iterations)):
+            labels_d = {
+                v: min(
+                    labels_d[v],
+                    min(labels_d[u] for u in nbrs),
+                )
+                for v, nbrs in adj.items()
+            }
+        return edges.sparkSession.createDataFrame(
+            list(labels_d.items()),
+            f"node {node_t}, community {node_t}",
+        )
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -362,6 +388,7 @@ def bfs_depth(
     src: str = "src_host",
     dst: str = "dst_host",
     checkpoint_every: int = 3,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """Multi-source BFS over the DIRECTED link graph: crawl depth from
     a seed list — the frontier-discovery question every crawl planner
@@ -395,6 +422,33 @@ def bfs_depth(
         .distinct()
     )
     seed_set = sorted(set(seeds))
+    # r7 bounded fast path: the fixed-round relaxation is exact
+    # integer arithmetic — replay on the driver under max_driver_edges
+    # (connected_components discipline), distributed rounds unchanged
+    # above it.
+    if max_driver_edges and sym.count() <= int(max_driver_edges):
+        node_t = sym.schema["a"].dataType.simpleString()
+        preds: dict = {}
+        all_nodes: set = set()
+        for row in sym.collect():
+            preds.setdefault(row[1], []).append(row[0])
+            all_nodes.add(row[0])
+            all_nodes.add(row[1])
+        ss = set(seed_set)
+        dist = {v: (0 if v in ss else _UNREACHED) for v in all_nodes}
+        for _ in range(int(rounds)):
+            dist = {
+                v: (
+                    min(d, min(dist[u] + 1 for u in preds[v]))
+                    if v in preds
+                    else d
+                )
+                for v, d in dist.items()
+            }
+        return edges.sparkSession.createDataFrame(
+            [(v, d) for v, d in dist.items() if d < _UNREACHED],
+            f"host {node_t}, depth bigint",
+        )
     labels = nodes.select(
         "node",
         F.when(F.col("node").isin(seed_set), F.lit(0))
@@ -485,6 +539,7 @@ def k_core(
     src: str = "src_host",
     dst: str = "dst_host",
     checkpoint_every: int = 3,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """Bounded k-core decomposition of the UNDIRECTED host graph:
     repeatedly peel nodes of degree < k. The k-core is the standard
@@ -526,6 +581,34 @@ def k_core(
         )
         .localCheckpoint(eager=True)  # re-read every round, two branches
     )
+    # r7 bounded fast path: the fixed-round peel is exact integer
+    # arithmetic — replay on the driver under max_driver_edges
+    # (connected_components discipline), distributed rounds unchanged
+    # above it.
+    if max_driver_edges and sym.count() <= int(max_driver_edges):
+        node_t = sym.schema["a"].dataType.simpleString()
+        adj: dict = {}
+        for row in sym.collect():
+            adj.setdefault(row[0], []).append(row[1])
+        alive_s = set(adj)
+
+        def _deg(al: set) -> dict:
+            # degree over alive-alive edges; nodes with none emit no
+            # row (matches the join+groupBy shape)
+            return {
+                v: d
+                for v in al
+                if (d := sum(1 for u in adj[v] if u in al)) > 0
+            }
+
+        for _ in range(int(rounds)):
+            alive_s = {
+                v for v, d in _deg(alive_s).items() if d >= int(k)
+            }
+        return edges.sparkSession.createDataFrame(
+            list(_deg(alive_s).items()),
+            f"host {node_t}, degree bigint",
+        )
     alive = sym.select(F.col("a").alias("node")).distinct()
 
     def _degrees(alive_df: DataFrame) -> DataFrame:

@@ -75,6 +75,39 @@ def test_components_long_chain(spark):
         assert got == {i: 0 for i in range(26)}, f"max_driver_edges={mde}"
 
 
+def test_graph_driver_fast_paths_match_distributed(spark):
+    # r7: label_propagation / bfs_depth / k_core grew the same bounded
+    # driver fast path as connected_components. Pin fast == distributed
+    # (max_driver_edges=0 forces the join-round shape) on a random
+    # directed multigraph with self-loops and asymmetric edges.
+    from navigator_document_parser_spark.operators.graph import (
+        bfs_depth,
+        k_core,
+        label_propagation,
+    )
+
+    rng = random.Random(7)
+    edges = [
+        (f"h{rng.randrange(30)}", f"h{rng.randrange(30)}")
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+
+    def rows(d):
+        return sorted(tuple(r) for r in d.collect())
+
+    assert rows(label_propagation(df, iterations=3)) == rows(
+        label_propagation(df, iterations=3, max_driver_edges=0)
+    )
+    seeds = ["h0", "h13"]
+    assert rows(bfs_depth(df, seeds, rounds=3)) == rows(
+        bfs_depth(df, seeds, rounds=3, max_driver_edges=0)
+    )
+    assert rows(k_core(df, k=2, rounds=3)) == rows(
+        k_core(df, k=2, rounds=3, max_driver_edges=0)
+    )
+
+
 def test_dedup_corpus_keeps_one_per_cluster(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
