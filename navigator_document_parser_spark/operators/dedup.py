@@ -946,8 +946,22 @@ def snapshot_dedup(
             "id", F.posexplode("band_keys").alias("band", "key")
         )
 
-    new_p = prep(new_df)
-    old_p = prep(old_df)
+    # the two prep barriers are independent jobs — materialize them
+    # concurrently (guide §2.6; the index_merge r7 pattern) instead of
+    # serially
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_new = pool.submit(
+            inheritable_thread_target(lambda: prep(new_df))
+        )
+        f_old = pool.submit(
+            inheritable_thread_target(lambda: prep(old_df))
+        )
+        new_p = f_new.result()
+        old_p = f_old.result()
     new_h = new_p.select("id", "h")
     old_h = old_p.select("h").dropDuplicates(["h"])
     exact = (
@@ -2993,8 +3007,25 @@ def phash_snapshot_dedup(
             bkey.alias("bk"),
         )
 
-    nw = keyed_of(bands_of(new_images, "new"), "new")
-    od = keyed_of(bands_of(old_images, "old"), "old")
+    # independent band materializations overlap (guide §2.6; the
+    # snapshot_dedup r7 pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_new = pool.submit(
+            inheritable_thread_target(
+                lambda: bands_of(new_images, "new")
+            )
+        )
+        f_old = pool.submit(
+            inheritable_thread_target(
+                lambda: bands_of(old_images, "old")
+            )
+        )
+        nw = keyed_of(f_new.result(), "new")
+        od = keyed_of(f_old.result(), "old")
     ham = sum(
         (
             F.bit_count(
