@@ -63,3 +63,21 @@ def ratio4_sql(num: str, den: str) -> str:
         f"(floor(((({num})) * 20000.0 + (({den}))) / (2.0 * (({den}))))"
         f" / 10000.0)"
     )
+
+
+def materialize_concurrently(*thunks):
+    """Run independent materialization thunks (each typically ending in
+    an eager localCheckpoint) in parallel driver threads and return
+    their results in argument order — guide §2.6: Spark actions are
+    only sequential because driver code calls them sequentially.
+    Threads are wrapped with inheritable_thread_target so job
+    descriptions/tags propagate under pinned-thread mode."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [
+            pool.submit(inheritable_thread_target(t)) for t in thunks
+        ]
+        return [f.result() for f in futures]

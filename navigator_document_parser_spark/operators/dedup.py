@@ -264,32 +264,36 @@ def connected_components(
     # distributed rounds below run unchanged. count() reads the
     # checkpoint's block metadata — it does not recompute the pairs.
     if max_driver_edges and sym.count() <= 2 * int(max_driver_edges):
-        parent: dict = {}
+        pdf = sym.toPandas()  # Arrow when enabled; never Row objects
+        # NULL endpoints are not orderable on the driver — let the
+        # distributed rounds handle them exactly as before (r7 review)
+        if not (pdf["src"].isna().any() or pdf["dst"].isna().any()):
+            parent: dict = {}
 
-        def find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
+            def find(x: int) -> int:
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
 
-        for row in sym.collect():
-            s, d = row[0], row[1]
-            if s not in parent:
-                parent[s] = s
-            if d not in parent:
-                parent[d] = d
-            rs, rd = find(s), find(d)
-            if rs != rd:  # union by min label: root = smaller id
-                if rs < rd:
-                    parent[rd] = rs
-                else:
-                    parent[rs] = rd
-        out = [(n, find(n)) for n in parent]
-        return pairs.sparkSession.createDataFrame(
-            out, "node long, comp long"
-        )
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                s, d = int(s), int(d)
+                if s not in parent:
+                    parent[s] = s
+                if d not in parent:
+                    parent[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:  # union by min label: root = smaller id
+                    if rs < rd:
+                        parent[rd] = rs
+                    else:
+                        parent[rs] = rd
+            out = [(n, find(n)) for n in parent]
+            return pairs.sparkSession.createDataFrame(
+                out, "node long, comp long"
+            )
 
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -949,19 +953,13 @@ def snapshot_dedup(
     # the two prep barriers are independent jobs — materialize them
     # concurrently (guide §2.6; the index_merge r7 pattern) instead of
     # serially
-    from concurrent.futures import ThreadPoolExecutor
+    from navigator_document_parser_spark.operators import (
+        materialize_concurrently,
+    )
 
-    from pyspark import inheritable_thread_target
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_new = pool.submit(
-            inheritable_thread_target(lambda: prep(new_df))
-        )
-        f_old = pool.submit(
-            inheritable_thread_target(lambda: prep(old_df))
-        )
-        new_p = f_new.result()
-        old_p = f_old.result()
+    new_p, old_p = materialize_concurrently(
+        lambda: prep(new_df), lambda: prep(old_df)
+    )
     new_h = new_p.select("id", "h")
     old_h = old_p.select("h").dropDuplicates(["h"])
     exact = (
@@ -3009,23 +3007,16 @@ def phash_snapshot_dedup(
 
     # independent band materializations overlap (guide §2.6; the
     # snapshot_dedup r7 pattern)
-    from concurrent.futures import ThreadPoolExecutor
+    from navigator_document_parser_spark.operators import (
+        materialize_concurrently,
+    )
 
-    from pyspark import inheritable_thread_target
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_new = pool.submit(
-            inheritable_thread_target(
-                lambda: bands_of(new_images, "new")
-            )
-        )
-        f_old = pool.submit(
-            inheritable_thread_target(
-                lambda: bands_of(old_images, "old")
-            )
-        )
-        nw = keyed_of(f_new.result(), "new")
-        od = keyed_of(f_old.result(), "old")
+    b_new, b_old = materialize_concurrently(
+        lambda: bands_of(new_images, "new"),
+        lambda: bands_of(old_images, "old"),
+    )
+    nw = keyed_of(b_new, "new")
+    od = keyed_of(b_old, "old")
     ham = sum(
         (
             F.bit_count(

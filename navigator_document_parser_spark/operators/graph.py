@@ -304,23 +304,27 @@ def label_propagation(
     # and Python's str min agree (both codepoint order). Distributed
     # rounds below run unchanged above the bound.
     if max_driver_edges and sym.count() <= int(max_driver_edges):
-        node_t = sym.schema["a"].dataType.simpleString()
-        adj: dict = {}
-        for row in sym.collect():
-            adj.setdefault(row[0], []).append(row[1])
-        labels_d = {v: v for v in adj}
-        for _ in range(int(iterations)):
-            labels_d = {
-                v: min(
-                    labels_d[v],
-                    min(labels_d[u] for u in nbrs),
-                )
-                for v, nbrs in adj.items()
-            }
-        return edges.sparkSession.createDataFrame(
-            list(labels_d.items()),
-            f"node {node_t}, community {node_t}",
-        )
+        pdf = sym.toPandas()  # Arrow when enabled; never Row objects
+        # NULL endpoints are not orderable on the driver — leave them
+        # to the distributed rounds (r7 review)
+        if not (pdf["a"].isna().any() or pdf["b"].isna().any()):
+            node_t = sym.schema["a"].dataType.simpleString()
+            adj: dict = {}
+            for a, b in zip(pdf["a"], pdf["b"]):
+                adj.setdefault(a, []).append(b)
+            labels_d = {v: v for v in adj}
+            for _ in range(int(iterations)):
+                labels_d = {
+                    v: min(
+                        labels_d[v],
+                        min(labels_d[u] for u in nbrs),
+                    )
+                    for v, nbrs in adj.items()
+                }
+            return edges.sparkSession.createDataFrame(
+                list(labels_d.items()),
+                f"node {node_t}, community {node_t}",
+            )
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -427,28 +431,32 @@ def bfs_depth(
     # (connected_components discipline), distributed rounds unchanged
     # above it.
     if max_driver_edges and sym.count() <= int(max_driver_edges):
-        node_t = sym.schema["a"].dataType.simpleString()
-        preds: dict = {}
-        all_nodes: set = set()
-        for row in sym.collect():
-            preds.setdefault(row[1], []).append(row[0])
-            all_nodes.add(row[0])
-            all_nodes.add(row[1])
-        ss = set(seed_set)
-        dist = {v: (0 if v in ss else _UNREACHED) for v in all_nodes}
-        for _ in range(int(rounds)):
+        pdf = sym.toPandas()  # Arrow when enabled; never Row objects
+        if not (pdf["a"].isna().any() or pdf["b"].isna().any()):
+            node_t = sym.schema["a"].dataType.simpleString()
+            preds: dict = {}
+            all_nodes: set = set()
+            for a, b in zip(pdf["a"], pdf["b"]):
+                preds.setdefault(b, []).append(a)
+                all_nodes.add(a)
+                all_nodes.add(b)
+            ss = set(seed_set)
             dist = {
-                v: (
-                    min(d, min(dist[u] + 1 for u in preds[v]))
-                    if v in preds
-                    else d
-                )
-                for v, d in dist.items()
+                v: (0 if v in ss else _UNREACHED) for v in all_nodes
             }
-        return edges.sparkSession.createDataFrame(
-            [(v, d) for v, d in dist.items() if d < _UNREACHED],
-            f"host {node_t}, depth bigint",
-        )
+            for _ in range(int(rounds)):
+                dist = {
+                    v: (
+                        min(d, min(dist[u] + 1 for u in preds[v]))
+                        if v in preds
+                        else d
+                    )
+                    for v, d in dist.items()
+                }
+            return edges.sparkSession.createDataFrame(
+                [(v, d) for v, d in dist.items() if d < _UNREACHED],
+                f"host {node_t}, depth bigint",
+            )
     labels = nodes.select(
         "node",
         F.when(F.col("node").isin(seed_set), F.lit(0))
@@ -586,10 +594,16 @@ def k_core(
     # (connected_components discipline), distributed rounds unchanged
     # above it.
     if max_driver_edges and sym.count() <= int(max_driver_edges):
+        pdf = sym.toPandas()  # Arrow when enabled; never Row objects
+        if pdf["a"].isna().any() or pdf["b"].isna().any():
+            pdf = None  # NULLs: fall through to distributed (r7 review)
+    else:
+        pdf = None
+    if pdf is not None:
         node_t = sym.schema["a"].dataType.simpleString()
         adj: dict = {}
-        for row in sym.collect():
-            adj.setdefault(row[0], []).append(row[1])
+        for a, b in zip(pdf["a"], pdf["b"]):
+            adj.setdefault(a, []).append(b)
         alive_s = set(adj)
 
         def _deg(al: set) -> dict:

@@ -82,20 +82,25 @@ def keyword_search(
         qrows, "query_id bigint, term string, n_terms int"
     )
 
-    # df(term) as a window count over tf's unique (term, doc_id) rows
-    # — identical to the old count_distinct aggregate, but one pass:
-    # the separate dfreq branch (plus the checkpoint barrier that kept
-    # it from re-running scan->explode->agg) and its broadcast build
-    # are gone (r7).
+    # tf feeds both the document-frequency aggregate and the scored
+    # join; the barrier stops each branch from re-running
+    # scan->explode->agg (lessons 3/7). Post-filter it is tiny:
+    # |vocab| x n_docs rows at most. dfq is count(*) over the unique
+    # (term, doc_id) rows == the old count_distinct, as a map-side-
+    # combinable aggregate + broadcast — NOT a term-partitioned
+    # window, which would serialize a hot term into one task (r7
+    # review).
     tf = term_postings(
         df, id_col, text_col, vocabulary=sorted(vocab)
-    ).withColumn(
-        "dfq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).localCheckpoint(eager=True)
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("dfq")
     )
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
 
     scored = (
         tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .groupBy("query_id", "doc_id", "n_terms")
         .agg(
@@ -357,17 +362,21 @@ def bm25_search(
         .filter(F.col("term").isin(sorted(vocab)))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        # df(term) as a window count over the unique (term, doc_id)
-        # rows — identical to the old count_distinct aggregate, but
-        # ONE pass: the separate dfreq branch re-ran the whole
-        # tokenize+explode+agg subtree (18 Exchanges, 0 reused — r7)
-        # and paid a second broadcast build.
-        .withColumn(
-            "dfq", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
+        # tf feeds the dfreq aggregate AND the scored join; without a
+        # barrier the dfreq branch re-ran the whole tokenize+explode+
+        # agg subtree (18 Exchanges, 0 reused — r7). Bounded:
+        # |query vocab| x n_docs rows. NOT a term-partitioned window:
+        # that would serialize a hot term's n_docs rows into one task,
+        # where count(tf over term) aggregates with map-side combine
+        # and broadcasts back (r7 review).
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("dfq")
     )
     scored = (
         tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
@@ -620,19 +629,13 @@ def index_merge(
         )
 
     if materialize_old:
-        from concurrent.futures import ThreadPoolExecutor
+        from navigator_document_parser_spark.operators import (
+            materialize_concurrently,
+        )
 
-        from pyspark import inheritable_thread_target
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_old = pool.submit(
-                inheritable_thread_target(
-                    lambda: old_index.localCheckpoint(eager=True)
-                )
-            )
-            f_delta = pool.submit(inheritable_thread_target(_delta))
-            old_index = f_old.result()
-            delta = f_delta.result()
+        old_index, delta = materialize_concurrently(
+            lambda: old_index.localCheckpoint(eager=True), _delta
+        )
     else:
         delta = _delta()
     new_ids = delta.select("doc_id", "block_id").dropDuplicates(

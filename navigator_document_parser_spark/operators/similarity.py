@@ -2113,14 +2113,10 @@ def mmr_rerank(
     Returns (query_id, vec_id, pick, mmr_score) with pick in 1..k,
     pick 1 = pure-relevance argmax (maxsim taken as 0).
     """
-    from pyspark.sql.window import Window
-
     if k < 1 or n_cands < k:
         raise ValueError("need n_cands >= k >= 1")
     lam = float(lam)
     one_minus = 1.0 - lam
-
-    from typing import Iterator as _Iterator  # noqa: F401
 
     import pandas as pd
 

@@ -3220,7 +3220,11 @@ def gibberish_score(
             ).alias("score"),
         )
 
-    # fallback: dictionary too large to collect — the r6 join shape
+    # fallback: dictionary too large to collect — the r6 join shape.
+    # (This path re-explodes trigrams for tris where the r6 layout
+    # derived corpus FROM the tris checkpoint: one extra compute pass
+    # in exchange for the fast path never materializing per-occurrence
+    # rows — the rare-path trade, r7 review.)
     tris = (
         lowered.select(
             "doc_id",
