@@ -1705,26 +1705,36 @@ def sorted_neighborhood_pairs(
 
     if window <= 0:
         raise ValueError("window must be positive")
-    # checkpoint the bare projection BEFORE the range partitioner: its
-    # boundary-sampling pass plus the size column would otherwise
-    # re-evaluate the interpreted shingle HOF several times per row
-    # (CLAUDE.md lessons 2/3)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.substring(
-            F.lower(F.trim(F.col(text_col))), 1, int(key_len)
-        ).alias("key"),
-        word_shingles(F.col(text_col)).alias("sh"),
-    ).localCheckpoint(eager=True)
-    base = base.withColumn("n_sh", F.size("sh"))
     spark = df.sparkSession
     npart = spark.sparkContext.defaultParallelism
-    # pin the range placement once: sizes and ranks must read the SAME
-    # partitioning (eager per CLAUDE.md lesson 7 — two consumers)
+    # ONE materialization (r7): shingles are computed AFTER the range
+    # exchange, in the same projection that stamps pid, so the
+    # partitioner's boundary-sampling pass evaluates only the cheap
+    # substring key and the shingle arrays are stored exactly once.
+    # (The old shape checkpointed the shingle table, re-shuffled it,
+    # and checkpointed it AGAIN to pin placement — two serial
+    # materializations of the heavy arrays.) Rank order depends only
+    # on (key, id), so placement is unchanged; the single eager
+    # checkpoint still pins pids for the sizes/ranks dual read
+    # (lesson 7).
     placed = (
-        base.repartitionByRange(npart, "key", "id")
+        df.select(
+            F.col(id_col).alias("id"),
+            F.substring(
+                F.lower(F.trim(F.col(text_col))), 1, int(key_len)
+            ).alias("key"),
+            F.col(text_col).alias("_t"),
+        )
+        .repartitionByRange(npart, "key", "id")
+        .select(
+            "id", "key", word_shingles(F.col("_t")).alias("sh")
+        )
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
+        # size() AFTER the barrier: fused into the pre-checkpoint
+        # projection it would re-inline the shingle HOF per reference
+        # (CollapseProject — lessons 2/20)
+        .withColumn("n_sh", F.size("sh"))
     )
     sizes = sorted(
         (r["pid"], r["n"]) for r in
